@@ -1,0 +1,24 @@
+from .distilbert import DistilBertConfig, DistilBertEncoder, cls_pool
+from .dual_encoder import NwayDualEncoder, DualEncoder
+from .cross_encoder import CrossEncoder
+from .hf_loader import (
+    distilbert_torch_to_flax,
+    dual_encoder_torch_to_flax,
+    cross_encoder_torch_to_flax,
+    load_torch_checkpoint,
+    strip_prefix,
+)
+
+__all__ = [
+    "DistilBertConfig",
+    "DistilBertEncoder",
+    "cls_pool",
+    "NwayDualEncoder",
+    "DualEncoder",
+    "CrossEncoder",
+    "distilbert_torch_to_flax",
+    "dual_encoder_torch_to_flax",
+    "cross_encoder_torch_to_flax",
+    "load_torch_checkpoint",
+    "strip_prefix",
+]

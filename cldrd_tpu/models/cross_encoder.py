@@ -1,0 +1,52 @@
+"""Cross-encoder reranker — the reference's missing
+``models/cross_encoder.py::CrossEncoder`` (imported at
+``reranking_evaluator.py:283,293``; used as the teacher reranker, e.g.
+``cross-encoder/ms-marco-MiniLM-L-6-v2``).
+
+A single encoder over the concatenated ``[CLS] query [SEP] passage [SEP]``
+sequence, with a 1-logit classification head on the CLS token (matching the
+HF ``*ForSequenceClassification`` head shape so converted teacher weights
+drop in: pre_classifier -> ReLU -> classifier for DistilBERT-style heads).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .distilbert import DistilBertConfig, DistilBertEncoder, cls_pool
+
+Dtype = Any
+Batch = Dict[str, jax.Array]
+
+
+class CrossEncoder(nn.Module):
+    """(query ++ passage) -> relevance score [bz]."""
+
+    config: DistilBertConfig
+    num_labels: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pairs: Batch, deterministic: bool = True) -> jax.Array:
+        cfg = self.config
+        hidden = DistilBertEncoder(cfg, self.dtype, name="encoder")(
+            pairs["input_ids"], pairs["attention_mask"], deterministic
+        )
+        pooled = cls_pool(hidden)
+        pooled = nn.Dense(
+            cfg.dim, dtype=self.dtype, param_dtype=jnp.float32, name="pre_classifier"
+        )(pooled)
+        pooled = nn.relu(pooled)
+        pooled = nn.Dropout(cfg.dropout)(pooled, deterministic=deterministic)
+        logits = nn.Dense(
+            self.num_labels,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="classifier",
+        )(pooled)
+        if self.num_labels == 1:
+            return logits.squeeze(-1)
+        return logits

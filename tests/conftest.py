@@ -2,19 +2,29 @@
 
 Multi-device sharding tests run on a fake 8-device CPU mesh
 (xla_force_host_platform_device_count) — the SPMD programs compile and
-execute identically to a real TPU mesh modulo performance. Must run before
-jax is imported anywhere.
+execute identically to a real TPU mesh modulo performance.
+
+NOTE on this environment: a sitecustomize hook registers the `axon` TPU
+plugin in every interpreter and sets ``jax_platforms`` via jax.config, which
+*overrides* the JAX_PLATFORMS env var. So we must both set the env vars
+(for any subprocesses) and override jax.config back to cpu before the first
+backend use.
 """
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""  # keep subprocesses off the TPU tunnel
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-import sys
+import jax  # noqa: E402  (sitecustomize may have imported it already)
+
+jax.config.update("jax_platforms", "cpu")
+
+import sys  # noqa: E402
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:

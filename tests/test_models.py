@@ -1,0 +1,226 @@
+"""Model tests: HF-torch numerical parity of the Flax DistilBERT encoder,
+dual-encoder scoring semantics (incl. in-batch-negative expansion vs the
+reference's torch index construction), and cross-encoder head shape."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cldrd_tpu.models import (
+    CrossEncoder,
+    DistilBertConfig,
+    DistilBertEncoder,
+    DualEncoder,
+    NwayDualEncoder,
+    cls_pool,
+    distilbert_torch_to_flax,
+    dual_encoder_torch_to_flax,
+)
+from cldrd_tpu.models.dual_encoder import _in_batch_neg_indices
+
+TINY = DistilBertConfig.tiny()
+
+
+def _rand_batch(rng, bz, seq_len, vocab, min_len=3):
+    ids = rng.integers(0, vocab, size=(bz, seq_len)).astype(np.int32)
+    lens = rng.integers(min_len, seq_len + 1, size=(bz,))
+    mask = (np.arange(seq_len)[None, :] < lens[:, None]).astype(np.int32)
+    ids = ids * mask  # zero out padding like a real tokenizer would
+    return ids, mask
+
+
+# ---------------------------------------------------------------- HF parity
+
+
+@pytest.fixture(scope="module")
+def torch_tiny():
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    hf_cfg = transformers.DistilBertConfig(
+        vocab_size=TINY.vocab_size,
+        max_position_embeddings=TINY.max_position_embeddings,
+        dim=TINY.dim,
+        n_layers=TINY.n_layers,
+        n_heads=TINY.n_heads,
+        hidden_dim=TINY.hidden_dim,
+        dropout=TINY.dropout,
+        attention_dropout=TINY.attention_dropout,
+    )
+    torch.manual_seed(0)
+    model = transformers.DistilBertModel(hf_cfg).eval()
+    return model
+
+
+def test_encoder_matches_hf_torch(torch_tiny):
+    """Converted random-init HF weights must reproduce HF outputs (fp32)."""
+    import torch
+
+    rng = np.random.default_rng(0)
+    ids, mask = _rand_batch(rng, bz=4, seq_len=12, vocab=TINY.vocab_size)
+
+    with torch.no_grad():
+        ref = torch_tiny(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+        ).last_hidden_state.numpy()
+
+    params = distilbert_torch_to_flax(torch_tiny.state_dict())
+    enc = DistilBertEncoder(TINY, dtype=jnp.float32)
+    out = enc.apply({"params": params}, jnp.array(ids), jnp.array(mask))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+
+
+def test_encoder_bf16_close_to_fp32(torch_tiny):
+    params = distilbert_torch_to_flax(torch_tiny.state_dict())
+    rng = np.random.default_rng(1)
+    ids, mask = _rand_batch(rng, bz=2, seq_len=10, vocab=TINY.vocab_size)
+    f32 = DistilBertEncoder(TINY, dtype=jnp.float32).apply(
+        {"params": params}, jnp.array(ids), jnp.array(mask)
+    )
+    bf16 = DistilBertEncoder(TINY, dtype=jnp.bfloat16).apply(
+        {"params": params}, jnp.array(ids), jnp.array(mask)
+    )
+    # bf16 has ~3 decimal digits; CLS reps should still correlate tightly
+    np.testing.assert_allclose(
+        np.asarray(bf16, np.float32), np.asarray(f32), atol=0.1, rtol=0.1
+    )
+
+
+# ----------------------------------------------------- dual encoder semantics
+
+
+def _init_nway(model, bz=2, nway=3, lq=6, lp=8):
+    rng = np.random.default_rng(2)
+    q_ids, q_mask = _rand_batch(rng, bz, lq, TINY.vocab_size)
+    p_ids, p_mask = _rand_batch(rng, bz * nway, lp, TINY.vocab_size)
+    queries = {"input_ids": jnp.array(q_ids), "attention_mask": jnp.array(q_mask)}
+    passages = {
+        "input_ids": jnp.array(p_ids).reshape(bz, nway, lp),
+        "attention_mask": jnp.array(p_mask).reshape(bz, nway, lp),
+    }
+    params = model.init(jax.random.PRNGKey(0), queries, passages)["params"]
+    return params, queries, passages
+
+
+def test_nway_forward_equals_manual_dot():
+    model = NwayDualEncoder(TINY, share_weights=False)
+    params, queries, passages = _init_nway(model)
+    logits = model.apply({"params": params}, queries, passages)
+    q = model.apply({"params": params}, queries, method=model.query_embs)
+    p = model.apply({"params": params}, passages, method=model.nway_passage_embs)
+    manual = np.einsum("bd,bnd->bn", np.asarray(q), np.asarray(p))
+    np.testing.assert_allclose(np.asarray(logits), manual, rtol=1e-5, atol=1e-5)
+    assert logits.shape == (2, 3)
+
+
+def test_share_weights_single_tower():
+    model = NwayDualEncoder(TINY, share_weights=True)
+    params, queries, passages = _init_nway(model)
+    assert set(params.keys()) == {"encoder"}
+    # query tower and passage tower produce identical embeddings on same input
+    flat = {
+        "input_ids": passages["input_ids"][:, 0, :],
+        "attention_mask": passages["attention_mask"][:, 0, :],
+    }
+    q = model.apply({"params": params}, flat, method=model.query_embs)
+    p = model.apply({"params": params}, flat, method=model.passage_embs)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(p))
+
+
+@pytest.mark.parametrize("all_neg", [True, False])
+def test_in_batch_neg_indices_match_reference_construction(all_neg):
+    """Reproduce the torch index gymnastics (nway_dual_encoder.py:30-41)
+    in plain numpy and compare."""
+    bz, nway = 4, 3
+    full = np.asarray(
+        [
+            list(range(b * nway)) + list(range((b + 1) * nway, bz * nway))
+            for b in range(bz)
+        ]
+    )
+    if all_neg:
+        expected = full
+    else:
+        xs = np.repeat(np.arange(bz).reshape(-1, 1), nway, axis=1)
+        ys = np.concatenate(
+            [
+                np.arange(0, (bz - 1) * nway).reshape(bz - 1, nway),
+                np.arange(0, nway).reshape(1, nway),
+            ],
+            axis=0,
+        )
+        expected = full[xs, ys]
+    got = _in_batch_neg_indices(bz, nway, all_neg)
+    np.testing.assert_array_equal(got, expected)
+
+
+@pytest.mark.parametrize("all_neg,extra", [(True, 3 * 2), (False, 3)])
+def test_in_batch_loss_logit_shapes(all_neg, extra):
+    model = NwayDualEncoder(
+        TINY, in_batch_loss=True, all_in_batch_neg=all_neg
+    )
+    params, queries, passages = _init_nway(model, bz=3, nway=3)
+    logits = model.apply({"params": params}, queries, passages)
+    assert logits.shape == (3, 3 + extra)
+
+
+def test_plain_dual_encoder():
+    model = DualEncoder(TINY, share_weights=True)
+    rng = np.random.default_rng(3)
+    q_ids, q_mask = _rand_batch(rng, 4, 6, TINY.vocab_size)
+    p_ids, p_mask = _rand_batch(rng, 4, 8, TINY.vocab_size)
+    queries = {"input_ids": jnp.array(q_ids), "attention_mask": jnp.array(q_mask)}
+    passages = {"input_ids": jnp.array(p_ids), "attention_mask": jnp.array(p_mask)}
+    params = model.init(jax.random.PRNGKey(0), queries, passages)["params"]
+    scores = model.apply({"params": params}, queries, passages)
+    assert scores.shape == (4,)
+    q = model.apply({"params": params}, queries, method=model.query_embs)
+    p = model.apply({"params": params}, passages, method=model.passage_embs)
+    np.testing.assert_allclose(
+        np.asarray(scores), (np.asarray(q) * np.asarray(p)).sum(-1), rtol=1e-5
+    )
+
+
+def test_dual_encoder_checkpoint_roundtrip(torch_tiny):
+    """module.query_encoder./passage_encoder. prefixed torch state_dict
+    converts into our dual tower tree and matches single-tower conversion."""
+    sd = {}
+    for k, v in torch_tiny.state_dict().items():
+        sd[f"module.query_encoder.{k}"] = v
+        sd[f"module.passage_encoder.{k}"] = v
+    params = dual_encoder_torch_to_flax(sd, share_weights=False)
+    assert set(params.keys()) == {"query_encoder", "passage_encoder"}
+    single = distilbert_torch_to_flax(torch_tiny.state_dict())
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b),
+        params["query_encoder"],
+        single,
+    )
+    shared = dual_encoder_torch_to_flax(sd, share_weights=True)
+    assert set(shared.keys()) == {"encoder"}
+
+
+def test_cross_encoder_shapes():
+    model = CrossEncoder(TINY)
+    rng = np.random.default_rng(4)
+    ids, mask = _rand_batch(rng, 5, 16, TINY.vocab_size)
+    pairs = {"input_ids": jnp.array(ids), "attention_mask": jnp.array(mask)}
+    params = model.init(jax.random.PRNGKey(0), pairs)["params"]
+    scores = model.apply({"params": params}, pairs)
+    assert scores.shape == (5,)
+
+
+def test_padding_invariance():
+    """CLS representation must not depend on values in padded positions."""
+    model = DistilBertEncoder(TINY)
+    rng = np.random.default_rng(5)
+    ids, mask = _rand_batch(rng, 3, 10, TINY.vocab_size, min_len=4)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.array(ids), jnp.array(mask)
+    )["params"]
+    out1 = cls_pool(model.apply({"params": params}, jnp.array(ids), jnp.array(mask)))
+    ids2 = np.where(mask == 0, 7, ids)  # scribble over padding
+    out2 = cls_pool(model.apply({"params": params}, jnp.array(ids2), jnp.array(mask)))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
