@@ -1,0 +1,39 @@
+from .label_modes import (
+    CURRICULUM_MODES,
+    EXPECTED_COUNTS,
+    LABEL_MODES,
+    labels_for,
+    nway_for,
+)
+from .loaders import (
+    iter_jsonl,
+    load_passages,
+    load_queries,
+    load_train_examples,
+    passage_text,
+)
+from .nway_dataset import NwayBatch, NwayDataset
+from .reranking_dataset import RerankBatch, RerankingDataset
+from .sequence_dataset import SequenceBatch, SequenceDataset
+from .tokenization import HFTokenizerAdapter, HashTokenizer
+
+__all__ = [
+    "CURRICULUM_MODES",
+    "EXPECTED_COUNTS",
+    "LABEL_MODES",
+    "labels_for",
+    "nway_for",
+    "iter_jsonl",
+    "load_passages",
+    "load_queries",
+    "load_train_examples",
+    "passage_text",
+    "NwayBatch",
+    "NwayDataset",
+    "RerankBatch",
+    "RerankingDataset",
+    "SequenceBatch",
+    "SequenceDataset",
+    "HFTokenizerAdapter",
+    "HashTokenizer",
+]

@@ -1,0 +1,100 @@
+"""Reranking dataset: (qid, pid) pairs scored by a dual or cross encoder.
+
+Capability parity with the reference ``dataset/reranking_dataset.py``
+(run-file parsing ``:17-27``, title-[SEP]-para join ``:47``, dual- vs
+cross-encoder collation ``:60-87``), with fixed-shape, batch-padded
+collation like ``SequenceDataset`` so model-in-the-loop evaluation runs a
+single compiled executable.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from .loaders import load_passages, load_queries, passage_text
+
+
+@dataclass
+class RerankBatch:
+    qids: np.ndarray  # [bz] int64, -1 padded
+    pids: np.ndarray  # [bz] int64, -1 padded
+    n_valid: int
+    # cross-encoder mode:
+    query_passage: Optional[Dict[str, np.ndarray]] = None  # [bz, L]
+    # dual-encoder mode:
+    query: Optional[Dict[str, np.ndarray]] = None    # [bz, Lq]
+    passage: Optional[Dict[str, np.ndarray]] = None  # [bz, Lp]
+
+
+class RerankingDataset:
+    def __init__(
+        self,
+        ranking_path: str,
+        queries_path: str,
+        passages_path: str,
+        tokenizer,
+        is_cross_encoder: bool,
+        query_first: bool = True,
+        max_len: Optional[int] = None,
+        query_max_len: Optional[int] = None,
+        passage_max_len: Optional[int] = None,
+    ):
+        self.pairs: List[Tuple[int, int]] = []
+        with open(ranking_path, "r", encoding="utf-8") as f:
+            for line in f:
+                a = line.rstrip("\n").split("\t")
+                qid, pid = (int(a[0]), int(a[1])) if query_first else (int(a[1]), int(a[0]))
+                self.pairs.append((qid, pid))
+        self.qid_to_query = load_queries(queries_path)
+        self.pid_to_passage = load_passages(passages_path)
+        self.tokenizer = tokenizer
+        self.is_cross_encoder = is_cross_encoder
+        if is_cross_encoder:
+            assert max_len is not None
+            self.max_len = max_len
+        else:
+            assert query_max_len is not None and passage_max_len is not None
+            self.query_max_len = query_max_len
+            self.passage_max_len = passage_max_len
+        self._sep = getattr(tokenizer, "sep_token", "[SEP]")
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def _pad_tokens(self, tokens: Dict[str, np.ndarray], pad_to: int) -> Dict[str, np.ndarray]:
+        n = next(iter(tokens.values())).shape[0]
+        if n == pad_to:
+            return tokens
+        return {
+            k: np.concatenate([v, np.zeros((pad_to - n, v.shape[1]), v.dtype)])
+            for k, v in tokens.items()
+        }
+
+    def batches(self, batch_size: int) -> Iterator[RerankBatch]:
+        for start in range(0, len(self.pairs), batch_size):
+            chunk = self.pairs[start : start + batch_size]
+            n = len(chunk)
+            queries = [self.qid_to_query[q] for q, _ in chunk]
+            passages = [
+                passage_text(self.pid_to_passage[p], self._sep) for _, p in chunk
+            ]
+            qids = np.full((batch_size,), -1, np.int64)
+            pids = np.full((batch_size,), -1, np.int64)
+            qids[:n] = [q for q, _ in chunk]
+            pids[:n] = [p for _, p in chunk]
+            if self.is_cross_encoder:
+                qp = self.tokenizer(queries, self.max_len, pairs=passages)
+                yield RerankBatch(
+                    qids=qids, pids=pids, n_valid=n,
+                    query_passage=self._pad_tokens(qp, batch_size),
+                )
+            else:
+                q = self.tokenizer(queries, self.query_max_len)
+                p = self.tokenizer(passages, self.passage_max_len)
+                yield RerankBatch(
+                    qids=qids, pids=pids, n_valid=n,
+                    query=self._pad_tokens(q, batch_size),
+                    passage=self._pad_tokens(p, batch_size),
+                )

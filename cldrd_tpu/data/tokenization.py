@@ -1,0 +1,92 @@
+"""Fixed-shape tokenization for XLA.
+
+The reference tokenizes with dynamic ``padding=True`` (pad to longest in
+batch, ``nway_dataset.py:103-106``), which would retrace/recompile the XLA
+program for every new batch length. Here every batch is padded to the static
+``max_length``, so the whole training/encoding job runs one compiled
+executable. Padding-position invariance of the encoder is guaranteed by the
+attention mask (tested in ``tests/test_models.py::test_padding_invariance``);
+CLS pooling never reads padded positions.
+
+The actual subword tokenizer stays host-side (HF ``tokenizers``, Rust), as in
+the reference. ``HFTokenizerAdapter`` wraps any HF tokenizer;
+``HashTokenizer`` is a dependency-free deterministic fallback used by tests
+and benchmarks (hash-bucket whitespace tokenizer with CLS/SEP/PAD semantics).
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+TokenBatch = Dict[str, np.ndarray]  # {"input_ids", "attention_mask"} [B, L] int32
+
+
+class HFTokenizerAdapter:
+    """Wrap an HF (fast) tokenizer into the fixed-shape numpy contract."""
+
+    def __init__(self, tokenizer):
+        self.tokenizer = tokenizer
+        self.sep_token = tokenizer.sep_token or "[SEP]"
+
+    def __call__(
+        self,
+        texts: Sequence[str],
+        max_length: int,
+        pairs: Optional[Sequence[str]] = None,
+    ) -> TokenBatch:
+        enc = self.tokenizer(
+            list(texts),
+            list(pairs) if pairs is not None else None,
+            padding="max_length",
+            truncation="longest_first",
+            max_length=max_length,
+            return_tensors="np",
+            return_token_type_ids=False,
+        )
+        return {
+            "input_ids": enc["input_ids"].astype(np.int32),
+            "attention_mask": enc["attention_mask"].astype(np.int32),
+        }
+
+
+class HashTokenizer:
+    """Deterministic hash-bucket tokenizer (no vocab files, no deps).
+
+    ids: 0=PAD, 1=CLS, 2=SEP, 3..vocab-1 = hash buckets. Produces the same
+    fixed-shape contract as the HF adapter, so the full pipeline (collators,
+    encoder, index, search) can be exercised hermetically in tests/benches.
+    """
+
+    def __init__(self, vocab_size: int = 30522):
+        assert vocab_size > 8
+        self.vocab_size = vocab_size
+        self.sep_token = "[SEP]"
+        self.pad_id, self.cls_id, self.sep_id = 0, 1, 2
+
+    def _token_id(self, token: str) -> int:
+        h = int.from_bytes(hashlib.md5(token.encode()).digest()[:4], "little")
+        return 3 + h % (self.vocab_size - 3)
+
+    def __call__(
+        self,
+        texts: Sequence[str],
+        max_length: int,
+        pairs: Optional[Sequence[str]] = None,
+    ) -> TokenBatch:
+        bz = len(texts)
+        ids = np.zeros((bz, max_length), np.int32)
+        mask = np.zeros((bz, max_length), np.int32)
+        for row, text in enumerate(texts):
+            toks = [self.cls_id]
+            toks += [self._token_id(t) for t in text.lower().split()]
+            toks.append(self.sep_id)
+            if pairs is not None:
+                toks += [self._token_id(t) for t in pairs[row].lower().split()]
+                toks.append(self.sep_id)
+            toks = toks[: max_length - 1] + [self.sep_id] if len(toks) > max_length else toks
+            n = len(toks)
+            ids[row, :n] = toks
+            mask[row, :n] = 1
+        return {"input_ids": ids, "attention_mask": mask}

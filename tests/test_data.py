@@ -1,0 +1,191 @@
+"""Data-pipeline tests: label modes (vs reference table), TSV/JSONL loaders,
+fixed-shape collation, rank sharding, and reranking/sequence batching."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cldrd_tpu.data import (
+    EXPECTED_COUNTS,
+    HashTokenizer,
+    NwayDataset,
+    RerankingDataset,
+    SequenceDataset,
+    labels_for,
+    load_passages,
+    load_queries,
+    load_train_examples,
+    nway_for,
+    passage_text,
+)
+
+
+# ------------------------------------------------------------- label modes
+
+
+def test_label_modes_match_reference_table():
+    """Hand-transcribed expectations from reference nway_dataset.py:41-72."""
+    inv = lambda n: list(1.0 / np.arange(1, n + 1))  # noqa: E731
+    expected = {
+        "1": [1.0] + [0.0] * 5,
+        "2": [1.0] * 10 + [0.5] * 10 + [0.0] * 10,
+        "3": inv(10) + [0.0] * 20,
+        "4": [1.0] + [0.9] * 9 + [0.5] * 10 + [0.0] * 10,
+        "5": inv(20) + [0.0] * 10,
+        "6": inv(30),
+        "7": inv(5) + [0.0] * 25,
+        "8": inv(5) + [-0.25] * 12 + [-0.5] * 13,
+        "9": inv(10) + [-0.25] * 10 + [-0.5] * 10,
+        "10": inv(20) + [-0.25] * 5 + [-0.5] * 5,
+    }
+    for mode, exp in expected.items():
+        r, n = EXPECTED_COUNTS[mode]
+        got = labels_for(mode, r, n)
+        np.testing.assert_allclose(got, np.asarray(exp, np.float32), rtol=1e-6)
+        assert nway_for(mode) == len(exp)
+
+
+def test_label_mode_count_validation():
+    with pytest.raises(ValueError):
+        labels_for("8", 4, 26)
+    with pytest.raises(ValueError):
+        labels_for("11", 5, 25)
+
+
+# ------------------------------------------------------- synthetic fixtures
+
+
+@pytest.fixture()
+def tiny_corpus(tmp_path):
+    queries = {i: f"query number {i} about topic {i % 3}" for i in range(8)}
+    passages = {
+        100 + i: f"passage text {i} discussing topic {i % 3} in depth" for i in range(40)
+    }
+    qpath = tmp_path / "queries.tsv"
+    ppath = tmp_path / "collection.tsv"
+    qpath.write_text("".join(f"{k}\t{v}\n" for k, v in queries.items()))
+    ppath.write_text("".join(f"{k}\t{v}\n" for k, v in passages.items()))
+
+    # label mode "1": 1 relT + 5 neg
+    tpath = tmp_path / "train.jsonl"
+    with open(tpath, "w") as f:
+        for qid in range(8):
+            ex = {
+                "qid": qid,
+                "relT_pids": [100 + qid],
+                "most_hard_pids": [100 + ((qid + j) % 40) for j in range(1, 4)],
+                "semi_hard_pids": [100 + ((qid + j) % 40) for j in range(4, 6)],
+            }
+            f.write(json.dumps(ex) + "\n")
+    return str(qpath), str(ppath), str(tpath)
+
+
+def test_loaders_roundtrip(tiny_corpus, tmp_path):
+    qpath, ppath, tpath = tiny_corpus
+    queries = load_queries(qpath)
+    passages = load_passages(ppath)
+    assert len(queries) == 8 and len(passages) == 40
+    assert queries[0].startswith("query number 0")
+
+    # 3-column titled passages
+    titled = tmp_path / "titled.tsv"
+    titled.write_text("7\tSome Title\tbody text here\n")
+    loaded = load_passages(str(titled))
+    assert loaded[7] == {"title": "Some Title", "para": "body text here"}
+    assert passage_text(loaded[7]) == "Some Title [SEP] body text here"
+
+    examples = load_train_examples(tpath, fmt="relT_most_semi_hard")
+    assert len(examples) == 8
+    assert examples[0]["neg_pids"] == [101, 102, 103, 104, 105]
+
+
+def test_rank_sharding(tiny_corpus):
+    _, _, tpath = tiny_corpus
+    shards = [
+        load_train_examples(tpath, fmt="relT_most_semi_hard", rank=r, nranks=4)
+        for r in range(4)
+    ]
+    all_qids = sorted(ex["qid"] for shard in shards for ex in shard)
+    assert all_qids == list(range(8))
+    assert all(len(s) == 2 for s in shards)
+
+
+def test_rel_pid_format(tmp_path):
+    path = tmp_path / "t.jsonl"
+    path.write_text(json.dumps({"qid": 1, "rel_pid": 9, "neg_pids": [4, 5]}) + "\n")
+    ex = load_train_examples(str(path), fmt="rel_pid")[0]
+    assert ex["relT_pids"] == [9] and ex["neg_pids"] == [4, 5]
+
+
+# ------------------------------------------------------------- collation
+
+
+def test_nway_collate_shapes(tiny_corpus):
+    qpath, ppath, tpath = tiny_corpus
+    tok = HashTokenizer(vocab_size=1000)
+    ds = NwayDataset.create_from_files(
+        qpath, ppath, tpath, tok, max_query_len=12, max_passage_len=24,
+        label_mode="1",
+    )
+    batches = list(ds.batches(batch_size=4, shuffle=True, seed=7))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b.query["input_ids"].shape == (4, 12)
+    assert b.nway_passages["input_ids"].shape == (4, 6, 24)
+    assert b.labels.shape == (4, 6)
+    np.testing.assert_allclose(b.labels[0], [1, 0, 0, 0, 0, 0])
+    assert b.nway_pids.shape == (4, 6)
+    # passage tokens at [b, n] must correspond to pid nway_pids[b, n]
+    assert (b.nway_passages["attention_mask"].sum(-1) > 0).all()
+
+
+def test_nway_epoch_determinism(tiny_corpus):
+    qpath, ppath, tpath = tiny_corpus
+    tok = HashTokenizer(vocab_size=1000)
+    ds = NwayDataset.create_from_files(
+        qpath, ppath, tpath, tok, 12, 24, label_mode="1"
+    )
+    a = [b.qid.tolist() for b in ds.batches(4, shuffle=True, seed=3)]
+    b = [b.qid.tolist() for b in ds.batches(4, shuffle=True, seed=3)]
+    c = [b.qid.tolist() for b in ds.batches(4, shuffle=True, seed=4)]
+    assert a == b and a != c
+
+
+def test_sequence_dataset_padding(tiny_corpus):
+    qpath, ppath, _ = tiny_corpus
+    tok = HashTokenizer(vocab_size=1000)
+    ds = SequenceDataset.create_from_seqs_file(ppath, tok, max_length=16, is_query=False)
+    batches = list(ds.batches(batch_size=16))
+    assert len(batches) == 3  # 40 passages -> 16,16,8(padded to 16)
+    last = batches[-1]
+    assert last.n_valid == 8
+    assert last.tokens["input_ids"].shape == (16, 16)
+    assert (last.ids[8:] == -1).all()
+    assert (last.tokens["attention_mask"][8:] == 0).all()
+
+
+def test_reranking_dataset_modes(tiny_corpus, tmp_path):
+    qpath, ppath, _ = tiny_corpus
+    run = tmp_path / "run.tsv"
+    with open(run, "w") as f:
+        for qid in range(3):
+            for rank, pid in enumerate([100 + qid, 110 + qid, 120 + qid]):
+                f.write(f"{qid}\t{pid}\t{rank+1}\t{9.0-rank}\n")
+    tok = HashTokenizer(vocab_size=1000)
+    dual = RerankingDataset(
+        str(run), qpath, ppath, tok, is_cross_encoder=False,
+        query_max_len=12, passage_max_len=24,
+    )
+    b = next(dual.batches(4))
+    assert b.query["input_ids"].shape == (4, 12)
+    assert b.passage["input_ids"].shape == (4, 24)
+    assert b.n_valid == 4
+
+    cross = RerankingDataset(
+        str(run), qpath, ppath, tok, is_cross_encoder=True, max_len=32
+    )
+    b = next(cross.batches(4))
+    assert b.query_passage["input_ids"].shape == (4, 32)
+    # pair encoding: two SEP tokens present in each valid row
+    assert (b.query_passage["input_ids"][0] == 2).sum() == 2
