@@ -1,0 +1,19 @@
+from .flat_index import FlatIPIndex
+from .builder import build_index_from_dataset, encode_dataset, make_encode_fn
+from .persistence import (
+    index_exists,
+    load_index,
+    read_embeddings,
+    write_embeddings,
+)
+
+__all__ = [
+    "FlatIPIndex",
+    "build_index_from_dataset",
+    "encode_dataset",
+    "make_encode_fn",
+    "index_exists",
+    "load_index",
+    "read_embeddings",
+    "write_embeddings",
+]

@@ -1,0 +1,126 @@
+"""Corpus/query encoding pipeline: text -> CLS embeddings at device speed.
+
+The TPU-native replacement for the reference's
+``get_embeddings_from_scratch`` (``retriever/retrieval_utils.py:30-58``) and
+the encode half of ``index_text.py`` — batched eval-mode encoding of 8.8M
+passages. Redesign:
+
+- the encode step is one jitted SPMD program: the token batch is sharded
+  over the mesh's data axis, every device encodes its slice, and the fp32
+  CLS embeddings come back batch-sharded (XLA overlaps the host transfers
+  with compute thanks to async dispatch — no manual double buffering).
+- fixed batch shape (ragged tail padded, ``SequenceBatch.n_valid``) -> one
+  compile for the whole 17k-batch job.
+- tokenization runs on the host thread ahead of dispatch; with the Rust HF
+  tokenizer this overlaps device compute (dispatch is async).
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cldrd_tpu.data.sequence_dataset import SequenceBatch, SequenceDataset
+
+logger = logging.getLogger(__name__)
+
+EncodeFn = Callable[[dict], jax.Array]  # tokens {input_ids, attention_mask} -> [B, D]
+
+
+def make_encode_fn(
+    model,
+    params,
+    method: str,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "data",
+    dtype=jnp.bfloat16,
+) -> EncodeFn:
+    """Build a jitted, batch-sharded encode closure from a flax model.
+
+    ``method``: 'query_embs' or 'passage_embs' on the dual encoder.
+    Embeddings are returned fp32 (the reference also emits fp32 even under
+    autocast, ``retrieval_utils.py:56``)."""
+
+    bound_method = getattr(model, method)
+
+    def encode(tokens):
+        out = model.apply({"params": params}, tokens, method=bound_method)
+        return out.astype(jnp.float32)
+
+    if mesh is not None:
+        shard = NamedSharding(mesh, P(axis_name))
+        jit_encode = jax.jit(encode, in_shardings=(shard,), out_shardings=shard)
+
+        def fn(tokens):
+            tokens = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, shard), tokens
+            )
+            return jit_encode(tokens)
+
+        return fn
+    jit_encode = jax.jit(encode)
+    return lambda tokens: jit_encode(tokens)
+
+
+def encode_dataset(
+    encode_fn: EncodeFn,
+    dataset: SequenceDataset,
+    batch_size: int,
+    log_every: int = 200,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Encode every sequence; returns (embeddings fp32 [N, D], ids int64 [N]).
+
+    NaN count is checked like the reference (``retrieval_utils.py:55``) but
+    raises instead of printing-and-continuing."""
+    emb_chunks, id_chunks = [], []
+    t0 = time.perf_counter()
+    n_batches = 0
+    for batch in dataset.batches(batch_size):
+        embs = encode_fn(batch.tokens)
+        n = batch.n_valid
+        emb_chunks.append(np.asarray(embs)[:n])
+        id_chunks.append(batch.ids[:n])
+        n_batches += 1
+        if log_every and n_batches % log_every == 0:
+            done = sum(len(c) for c in id_chunks)
+            rate = done / (time.perf_counter() - t0)
+            logger.info("encoded %d seqs (%.0f seq/s)", done, rate)
+    embeddings = np.concatenate(emb_chunks) if emb_chunks else np.zeros((0, 0), np.float32)
+    ids = np.concatenate(id_chunks) if id_chunks else np.zeros((0,), np.int64)
+    n_nan = int(np.isnan(embeddings).sum())
+    if n_nan:
+        raise FloatingPointError(f"{n_nan} NaNs in encoded embeddings")
+    elapsed = time.perf_counter() - t0
+    logger.info(
+        "encoded %d sequences in %.1fs (%.0f seq/s)",
+        len(ids), elapsed, len(ids) / max(elapsed, 1e-9),
+    )
+    return embeddings, ids
+
+
+def build_index_from_dataset(
+    encode_fn: EncodeFn,
+    dataset: SequenceDataset,
+    batch_size: int,
+    mesh: Optional[Mesh] = None,
+    out_dir: Optional[str] = None,
+    dtype=jnp.bfloat16,
+    block_rows: int = 8192,
+):
+    """End-to-end: encode the corpus, optionally persist the embedding store,
+    and stand up the in-HBM ``FlatIPIndex`` (reference ``index_text.main``,
+    ``index_text.py:57-110``)."""
+    from .flat_index import FlatIPIndex
+    from .persistence import write_embeddings
+
+    embeddings, ids = encode_dataset(encode_fn, dataset, batch_size)
+    if out_dir is not None:
+        write_embeddings(out_dir, embeddings, ids)
+    return FlatIPIndex.build(
+        embeddings, ids, mesh=mesh, dtype=dtype, block_rows=block_rows
+    )

@@ -1,0 +1,101 @@
+"""Index persistence: blocked memmap shards + JSON meta.
+
+The TPU-native replacement for FAISS ``write_index``/``read_index``
+(reference ``index_text.py:105``, ``retrieve_top_passages.py:85``) and for
+the reference's own memmap shard store
+(``retrieval_utils.py:60-114``: 50k-row blocked ``np.memmap`` shards +
+``meta.pkl``). Differences:
+
+- meta is JSON (human-readable, no pickle trust issues); ids live in one
+  ``ids.npy``.
+- embeddings may be stored fp32 or (half-size) fp16 on disk; the in-HBM
+  index is built bf16 either way.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+META_NAME = "meta.json"
+IDS_NAME = "ids.npy"
+
+
+def write_embeddings(
+    out_dir: str,
+    embeddings: np.ndarray,
+    ids: np.ndarray,
+    rows_per_shard: int = 500_000,
+    dtype: str = "float16",
+) -> None:
+    """Write [N, D] embeddings as blocked binary shards + ids + meta."""
+    os.makedirs(out_dir, exist_ok=True)
+    n, d = embeddings.shape
+    assert ids.shape == (n,)
+    shards = []
+    for shard_idx, start in enumerate(range(0, n, rows_per_shard)):
+        end = min(start + rows_per_shard, n)
+        name = f"embs_{shard_idx:05d}.bin"
+        block = np.ascontiguousarray(embeddings[start:end], dtype=np.dtype(dtype))
+        block.tofile(os.path.join(out_dir, name))
+        shards.append({"file": name, "rows": end - start})
+    np.save(os.path.join(out_dir, IDS_NAME), ids.astype(np.int64))
+    meta = {
+        "n_vectors": int(n),
+        "dim": int(d),
+        "dtype": dtype,
+        "rows_per_shard": int(rows_per_shard),
+        "shards": shards,
+        "format_version": 1,
+    }
+    with open(os.path.join(out_dir, META_NAME), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def read_embeddings(
+    out_dir: str, mmap: bool = True
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Read back (embeddings fp32 [N, D], ids int64 [N])."""
+    with open(os.path.join(out_dir, META_NAME)) as f:
+        meta = json.load(f)
+    n, d = meta["n_vectors"], meta["dim"]
+    dt = np.dtype(meta["dtype"])
+    out = np.empty((n, d), np.float32)
+    row = 0
+    for shard in meta["shards"]:
+        path = os.path.join(out_dir, shard["file"])
+        rows = shard["rows"]
+        block = np.memmap(path, dtype=dt, mode="r", shape=(rows, d)) if mmap else \
+            np.fromfile(path, dtype=dt).reshape(rows, d)
+        out[row : row + rows] = block
+        row += rows
+    assert row == n
+    ids = np.load(os.path.join(out_dir, IDS_NAME))
+    return out, ids
+
+
+def index_exists(out_dir: str) -> bool:
+    return os.path.isfile(os.path.join(out_dir, META_NAME))
+
+
+def load_index(
+    out_dir: str,
+    mesh=None,
+    dtype=None,
+    block_rows: int = 8192,
+):
+    """Read an embedding store and stand up the in-HBM ``FlatIPIndex``."""
+    import jax.numpy as jnp
+
+    from .flat_index import FlatIPIndex
+
+    embs, ids = read_embeddings(out_dir)
+    return FlatIPIndex.build(
+        embs,
+        ids,
+        mesh=mesh,
+        dtype=dtype or jnp.bfloat16,
+        block_rows=block_rows,
+    )

@@ -1,0 +1,21 @@
+from .mesh import (
+    DATA_AXIS,
+    CORPUS_AXIS,
+    default_mesh,
+    make_mesh,
+    batch_sharding,
+    corpus_sharding,
+    replicated,
+    shard_batch_to_devices,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "CORPUS_AXIS",
+    "default_mesh",
+    "make_mesh",
+    "batch_sharding",
+    "corpus_sharding",
+    "replicated",
+    "shard_batch_to_devices",
+]

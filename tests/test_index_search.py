@@ -1,0 +1,197 @@
+"""Index + MIPS search tests: streaming-vs-dense oracle equality, sharded
+8-device merge correctness, persistence roundtrip, run-file writing, and an
+end-to-end encode->index->search slice with the tiny model."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cldrd_tpu.index import (
+    FlatIPIndex,
+    build_index_from_dataset,
+    encode_dataset,
+    load_index,
+    make_encode_fn,
+    read_embeddings,
+    write_embeddings,
+)
+from cldrd_tpu.parallel import CORPUS_AXIS, make_mesh
+from cldrd_tpu.search import (
+    topk_dense,
+    topk_streaming,
+    write_run_file,
+    retrieve_to_run_file,
+)
+
+
+def _numpy_topk(q, c, ids, k):
+    scores = q.astype(np.float64) @ c.astype(np.float64).T
+    order = np.argsort(-scores, axis=-1, kind="stable")[:, :k]
+    return np.take_along_axis(scores, order, -1), ids[order]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(0)
+    n, d = 4096, 64
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    ids = rng.permutation(n).astype(np.int64) + 1000
+    q = rng.standard_normal((8, d)).astype(np.float32)
+    return q, c, ids
+
+
+def test_streaming_equals_dense(corpus):
+    q, c, ids = corpus
+    k = 50
+    s1, i1 = topk_dense(jnp.asarray(q), jnp.asarray(c), jnp.asarray(ids, jnp.int32), k)
+    s2, i2 = topk_streaming(
+        jnp.asarray(q), jnp.asarray(c), jnp.asarray(ids, jnp.int32), k, block_rows=512
+    )
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_dense_matches_numpy_oracle(corpus):
+    q, c, ids = corpus
+    k = 20
+    s, i = topk_dense(jnp.asarray(q), jnp.asarray(c), jnp.asarray(ids, jnp.int32), k)
+    es, ei = _numpy_topk(q, c, ids, k)
+    np.testing.assert_allclose(np.asarray(s), es, rtol=1e-4, atol=1e-4)
+    # ids may differ on exact ties; scores must match
+    matches = (np.asarray(i) == ei).mean()
+    assert matches > 0.99
+
+
+def test_flat_index_unsharded(corpus):
+    q, c, ids = corpus
+    index = FlatIPIndex.build(c, ids, mesh=None, dtype=jnp.float32, block_rows=512)
+    s, i = index.search(q, 10)
+    es, ei = _numpy_topk(q, c, ids, 10)
+    np.testing.assert_array_equal(i, ei)
+    assert index.n_vectors == len(ids)
+
+
+def test_flat_index_sharded_8dev(corpus):
+    q, c, ids = corpus
+    mesh = make_mesh(8, CORPUS_AXIS)
+    index = FlatIPIndex.build(c, ids, mesh=mesh, dtype=jnp.float32, block_rows=128)
+    s, i = index.search(q, 25)
+    es, ei = _numpy_topk(q, c, ids, 25)
+    np.testing.assert_allclose(s, es, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(i, ei)
+
+
+def test_sharded_padding_never_retrieved(corpus):
+    q, c, ids = corpus
+    # 4096 rows over 8 devices with block_rows=512 -> exact fit; use an odd
+    # count to force padding
+    c_odd, ids_odd = c[:3000], ids[:3000]
+    mesh = make_mesh(8, CORPUS_AXIS)
+    index = FlatIPIndex.build(c_odd, ids_odd, mesh=mesh, dtype=jnp.float32, block_rows=128)
+    s, i = index.search(q, 50)
+    assert (i >= 1000).all()  # no -1 padding ids surface
+    es, ei = _numpy_topk(q, c_odd, ids_odd, 50)
+    np.testing.assert_array_equal(i, ei)
+
+
+def test_topk_beyond_corpus_size():
+    rng = np.random.default_rng(1)
+    c = rng.standard_normal((10, 8)).astype(np.float32)
+    ids = np.arange(10)
+    q = rng.standard_normal((2, 8)).astype(np.float32)
+    index = FlatIPIndex.build(c, ids, dtype=jnp.float32, block_rows=128)
+    s, i = index.search(q, 20)
+    assert (i[:, 10:] == -1).all()
+    assert np.isneginf(s[:, 10:]).all()
+
+
+def test_bf16_index_recall(corpus):
+    """bf16 corpus storage must preserve top-k membership (small corpus)."""
+    q, c, ids = corpus
+    f32 = FlatIPIndex.build(c, ids, dtype=jnp.float32, block_rows=512)
+    bf16 = FlatIPIndex.build(c, ids, dtype=jnp.bfloat16, block_rows=512)
+    _, i32 = f32.search(q, 100)
+    _, i16 = bf16.search(q, 100)
+    overlap = np.mean([
+        len(set(i32[r]) & set(i16[r])) / 100 for r in range(len(q))
+    ])
+    assert overlap > 0.95
+
+
+def test_persistence_roundtrip(tmp_path, corpus):
+    q, c, ids = corpus
+    write_embeddings(str(tmp_path / "idx"), c, ids, rows_per_shard=1500)
+    embs, rids = read_embeddings(str(tmp_path / "idx"))
+    np.testing.assert_array_equal(rids, ids)
+    np.testing.assert_allclose(embs, c, atol=2e-3)  # fp16 disk storage
+    index = load_index(str(tmp_path / "idx"), dtype=jnp.float32, block_rows=512)
+    s, i = index.search(q, 10)
+    es, ei = _numpy_topk(q, c, ids, 10)
+    assert (i == ei).mean() > 0.95  # fp16 storage may flip near-ties
+
+
+def test_run_file_format(tmp_path):
+    path = str(tmp_path / "run.tsv")
+    qids = np.array([5, 7])
+    ids = np.array([[11, 12, -1], [13, -1, -1]])
+    scores = np.array([[0.9, 0.8, -np.inf], [0.7, -np.inf, -np.inf]])
+    write_run_file(path, qids, ids, scores)
+    lines = open(path).read().splitlines()
+    assert lines[0].split("\t") == ["5", "11", "1", "0.9"]
+    assert lines[1].split("\t") == ["5", "12", "2", "0.8"]
+    assert lines[2].split("\t")[:3] == ["7", "13", "1"]
+    assert len(lines) == 3
+
+
+# ------------------------------------------------------- e2e encode slice
+
+
+def test_encode_index_search_e2e(tmp_path):
+    from cldrd_tpu.data import HashTokenizer, SequenceDataset
+    from cldrd_tpu.models import DistilBertConfig, NwayDualEncoder
+
+    cfg = DistilBertConfig.tiny()
+    tok = HashTokenizer(vocab_size=cfg.vocab_size)
+
+    ppath = tmp_path / "collection.tsv"
+    with open(ppath, "w") as f:
+        for pid in range(100):
+            f.write(f"{pid}\tpassage about topic {pid % 7} number {pid}\n")
+    qpath = tmp_path / "queries.tsv"
+    with open(qpath, "w") as f:
+        for qid in range(10):
+            f.write(f"{qid}\tquery topic {qid % 7}\n")
+
+    model = NwayDualEncoder(cfg, share_weights=True)
+    sample = tok(["x"], 16)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        {k: jnp.asarray(v) for k, v in sample.items()},
+        method=model.passage_embs,
+    )["params"]
+
+    mesh = make_mesh(8, "data")
+    p_fn = make_encode_fn(model, params, "passage_embs", mesh=mesh, dtype=jnp.float32)
+    q_fn = make_encode_fn(model, params, "query_embs", mesh=mesh, dtype=jnp.float32)
+
+    corpus_ds = SequenceDataset.create_from_seqs_file(str(ppath), tok, 24, is_query=False)
+    query_ds = SequenceDataset.create_from_seqs_file(str(qpath), tok, 12, is_query=True)
+
+    index = build_index_from_dataset(
+        p_fn, corpus_ds, batch_size=16, mesh=None,
+        out_dir=str(tmp_path / "store"), dtype=jnp.float32, block_rows=64,
+    )
+    assert index.n_vectors == 100
+
+    q_embs, qids = encode_dataset(q_fn, query_ds, batch_size=16)
+    assert q_embs.shape == (10, cfg.dim)
+
+    stats = retrieve_to_run_file(
+        index, q_embs, qids, str(tmp_path / "run.tsv"), topk=10, batch_size=8
+    )
+    lines = open(tmp_path / "run.tsv").read().splitlines()
+    assert len(lines) == 100  # 10 queries x top-10
+    assert stats["qps"] > 0
