@@ -135,7 +135,7 @@ def sharded_topk(
         mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(queries, corpus, row_ids)
 
