@@ -1,0 +1,374 @@
+"""SPMD curriculum trainer: one config-driven training loop.
+
+Replaces the reference's three copy-pasted 400-line training scripts
+(``trainer/multistep-curriculum/nway_listwise_{1,2,3}.py``) with a single
+``Trainer``. Behavior parity:
+
+- loss = ``lambda_mrr_loss`` on [bz, nway] dual-encoder logits
+  (``nway_listwise_1.py:334-347``); optional in-batch negatives pad labels
+  with -0.5 (``:336-345``); optional L2 logit regularization ``reg_lambda``
+  (``:348-350``); KD losses of the missing ``trainer/knowledge_distill/``
+  scripts (SURVEY §2.4) are selectable via ``cfg.loss``.
+- AdamW + linear warmup + clip 1.0, no-decay groups (``:257-266,355-359``).
+- batch-level MRR@10 / Recall@10 monitoring (``:369-394``), TSV train logs
+  every ``logging_steps`` (``:78-90,398-416``), full-state checkpoint every
+  ``evaluate_steps`` (``:418-426``) plus an end-of-training save (the
+  reference forgets one), ``--resume`` / ``--model_checkpoint`` semantics
+  (``:291-324``).
+
+TPU-first design (NOT a port):
+
+- single-program SPMD: the train step is ``jit`` over a 1-D ``data`` mesh
+  with the batch sharded and the state replicated; XLA inserts the gradient
+  ``psum`` — no DDP wrapper, no NCCL, no barriers, no rank guards, no
+  per-rank file sharding (the host pipeline feeds the *global* batch).
+- bf16 compute / fp32 params+grads+optimizer replaces CUDA AMP fp16 +
+  GradScaler — no loss scaling, no unscale step.
+- batch metrics (MRR/Recall@10) are computed *in-graph* and fetched with the
+  loss in one device round-trip per step instead of a ``.cpu()`` logits pull.
+- everything static: fixed nway / sequence lengths -> one XLA executable for
+  the whole run.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cldrd_tpu import losses as L
+from cldrd_tpu.data.nway_dataset import NwayBatch, NwayDataset
+from cldrd_tpu.models import DistilBertConfig, NwayDualEncoder
+from cldrd_tpu.parallel import DATA_AXIS, make_mesh
+from cldrd_tpu.utils import AverageMeter, write_train_logs
+
+from .checkpoint import load_checkpoint, load_warm_start_params, save_checkpoint
+from .config import TrainConfig
+from .optim import linear_warmup_schedule, make_optimizer
+
+logger = logging.getLogger("cldrd_tpu.train")
+
+
+class TrainState(struct.PyTreeNode):
+    """Replicated training state: fp32 params + optimizer state + step."""
+
+    params: Any
+    opt_state: Any
+    step: jax.Array
+    epoch: jax.Array
+
+
+# --------------------------------------------------------------------- loss
+
+
+def make_loss_fn(cfg: TrainConfig) -> Callable[[jax.Array, jax.Array], jax.Array]:
+    """Map ``cfg.loss`` to a ``(logits, labels) -> scalar`` function.
+
+    ``labels`` carry graded relevance for the listwise losses and teacher
+    scores for the KD losses (the missing ``trainer/knowledge_distill/``
+    scripts consume ``*_score.train.json``; SURVEY §2.4)."""
+    name = cfg.loss
+    if name == "lambda_mrr":
+        return lambda logits, labels: L.lambda_mrr_loss(logits, labels)
+    if name == "ranknet":
+        return lambda logits, labels: L.ranknet_loss(logits, labels)
+    if name == "lambda_loss":
+        return lambda logits, labels: L.lambda_loss(
+            logits, labels, weighing_scheme=cfg.weighing_scheme
+        )
+    if name == "kl_div":
+        return lambda logits, labels: L.kl_div_loss(logits, labels, T=cfg.temperature)
+    if name == "margin_mse":
+        return lambda logits, labels: L.margin_mse_loss(logits, labels)
+    if name == "weighted_pointwise":
+        return lambda logits, labels: L.weighted_pointwise_loss(
+            logits, labels, T=cfg.temperature
+        )
+    if name == "kd":
+        # Reconstruction of the missing kd trainers' composite objective
+        # (scripts/unity/kd_nway_listwise.sh: --kd_mode=ylabel
+        # --ylabel_mode=ranknet --T=50 --lambda_weight=10): pairwise ranking
+        # on the label order + temperature-scaled KL on the score simplex.
+        def kd(logits, labels):
+            return L.ranknet_loss(logits, labels) + cfg.lambda_weight * L.kl_div_loss(
+                logits, labels, T=cfg.temperature
+            )
+
+        return kd
+    raise ValueError(f"unknown loss {name!r}")
+
+
+# ------------------------------------------------------------- batch metric
+
+
+def batch_mrr_recall(
+    logits: jax.Array, labels: jax.Array, cutoff: int = 10
+) -> Tuple[jax.Array, jax.Array]:
+    """In-graph batch MRR@cutoff / Recall@cutoff (reference
+    ``nway_listwise_1.py:369-394``): sort labels by logits desc, find the
+    position of the label==1.0 item per row; rows where it lands inside the
+    cutoff contribute 1/(pos+1) to MRR and 1 to recall; denominators count
+    rows that have a label==1 item at all."""
+    order = jnp.argsort(-logits, axis=-1, stable=True)
+    sorted_labels = jnp.take_along_axis(labels, order, axis=-1)
+    is_one = sorted_labels == 1.0
+    has_one = jnp.any(is_one, axis=-1)
+    first_pos = jnp.argmax(is_one, axis=-1)  # 0 if none; masked by has_one
+    within = has_one & (first_pos < cutoff)
+    denom = jnp.maximum(jnp.sum(has_one), 1)
+    mrr = jnp.sum(jnp.where(within, 1.0 / (first_pos + 1.0), 0.0)) / denom
+    recall = jnp.sum(within.astype(jnp.float32)) / denom
+    return mrr, recall
+
+
+# -------------------------------------------------------------- train step
+
+
+def make_train_step(
+    model: NwayDualEncoder,
+    optimizer: optax.GradientTransformation,
+    cfg: TrainConfig,
+    mesh: Mesh,
+):
+    """Build the jitted SPMD train step: state replicated, batch sharded on
+    the ``data`` axis; returns (new_state, metrics dict)."""
+    loss_fn = make_loss_fn(cfg)
+    in_batch_pad = -0.5  # reference nway_listwise_1.py:343-345
+
+    def step_fn(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
+        def compute_loss(params):
+            logits = model.apply(
+                {"params": params},
+                batch["query"],
+                batch["nway_passages"],
+                deterministic=False,
+                rngs={"dropout": rng},
+            )
+            labels = batch["labels"]
+            if cfg.in_batch_loss:
+                bz, all_nway = logits.shape
+                n_pad = all_nway - labels.shape[1]
+                labels = jnp.concatenate(
+                    [labels, jnp.full((bz, n_pad), in_batch_pad, labels.dtype)],
+                    axis=-1,
+                )
+            loss = loss_fn(logits, labels)
+            reg_loss = jnp.float32(0.0)
+            if cfg.reg_lambda > 0.0:
+                reg_loss = jnp.linalg.norm(logits.ravel()) * cfg.reg_lambda
+                loss = loss + reg_loss
+            return loss, (logits, labels, reg_loss)
+
+        (loss, (logits, labels, reg_loss)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        mrr, recall = batch_mrr_recall(logits, labels)
+        metrics = {
+            "loss": loss,
+            "mrr": mrr,
+            "recall": recall,
+            "reg_loss": reg_loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        new_state = state.replace(
+            params=new_params, opt_state=new_opt_state, step=state.step + 1
+        )
+        return new_state, metrics
+
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P(DATA_AXIS))
+    batch_shardings = {
+        "query": {"input_ids": sharded, "attention_mask": sharded},
+        "nway_passages": {"input_ids": sharded, "attention_mask": sharded},
+        "labels": sharded,
+    }
+    return jax.jit(
+        step_fn,
+        in_shardings=(replicated, batch_shardings, replicated),
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,),
+    )
+
+
+# ------------------------------------------------------------------ trainer
+
+
+class Trainer:
+    """Config-driven training for one curriculum iteration."""
+
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        model_config: DistilBertConfig,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.cfg = cfg
+        self.model_config = model_config
+        self.mesh = mesh or make_mesh(cfg.n_devices, DATA_AXIS)
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.model = NwayDualEncoder(
+            config=model_config,
+            share_weights=cfg.share_weights,
+            in_batch_loss=cfg.in_batch_loss,
+            all_in_batch_neg=cfg.all_in_batch_neg,
+            dtype=dtype,
+        )
+        self.run_dir = os.path.join(cfg.run_folder, cfg.experiment_name)
+        os.makedirs(self.run_dir, exist_ok=True)
+        cfg.save_yaml(os.path.join(self.run_dir, "config.yaml"))
+        self._step_fn = None
+        self._schedule = None
+
+    # ------------------------------------------------------------- state
+
+    def init_state(
+        self, total_steps: int, init_params: Optional[Any] = None, seed: Optional[int] = None
+    ) -> TrainState:
+        cfg = self.cfg
+        if init_params is None:
+            rng = jax.random.PRNGKey(seed if seed is not None else cfg.seed)
+            dummy_q = {
+                "input_ids": jnp.zeros((1, cfg.max_query_len), jnp.int32),
+                "attention_mask": jnp.ones((1, cfg.max_query_len), jnp.int32),
+            }
+            dummy_p = {
+                "input_ids": jnp.zeros((1, 1, cfg.max_passage_len), jnp.int32),
+                "attention_mask": jnp.ones((1, 1, cfg.max_passage_len), jnp.int32),
+            }
+            variables = self.model.init(rng, dummy_q, dummy_p, deterministic=True)
+            init_params = variables["params"]
+        init_params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, jnp.float32), init_params
+        )
+        optimizer = self._make_optimizer(total_steps)
+        opt_state = optimizer.init(init_params)
+        return TrainState(
+            params=init_params,
+            opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+            epoch=jnp.zeros((), jnp.int32),
+        )
+
+    def _make_optimizer(self, total_steps: int) -> optax.GradientTransformation:
+        cfg = self.cfg
+        self._schedule = linear_warmup_schedule(
+            cfg.learning_rate, cfg.warmup_steps, total_steps
+        )
+        return make_optimizer(
+            cfg.learning_rate,
+            total_steps,
+            warmup_steps=cfg.warmup_steps,
+            weight_decay=cfg.weight_decay,
+            adam_epsilon=cfg.adam_epsilon,
+            max_grad_norm=cfg.max_grad_norm,
+        )
+
+    # ---------------------------------------------------------- main loop
+
+    def train(
+        self,
+        dataset: NwayDataset,
+        init_params: Optional[Any] = None,
+        step_hook: Optional[Callable[[int, Dict[str, float]], None]] = None,
+    ) -> TrainState:
+        """Run the full training loop over ``dataset``. Returns final state.
+
+        Warm-start / resume precedence follows the reference
+        (``nway_listwise_1.py:291-324``): ``cfg.resume`` restores full state,
+        else ``cfg.model_checkpoint`` loads weights only, else ``init_params``
+        (e.g. TAS-B weights) or random init.
+        """
+        cfg = self.cfg
+        steps_per_epoch = len(dataset) // cfg.batch_size
+        total_steps = steps_per_epoch * cfg.num_train_epochs
+        assert steps_per_epoch > 0, "dataset smaller than one batch"
+
+        optimizer = self._make_optimizer(total_steps)
+        state = self.init_state(total_steps, init_params)
+
+        start_epoch = 0
+        if cfg.resume:
+            assert not cfg.model_checkpoint, "resume and model_checkpoint are exclusive"
+            state = load_checkpoint(cfg.resume, state)
+            start_epoch = int(state.epoch)
+            logger.info("resumed from %s at step %d", cfg.resume, int(state.step))
+        elif cfg.model_checkpoint:
+            params = load_warm_start_params(
+                cfg.model_checkpoint, state.params, cfg.share_weights
+            )
+            params = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.float32), params
+            )
+            state = state.replace(params=params)
+            logger.info("warm-started weights from %s", cfg.model_checkpoint)
+
+        step_jit = make_train_step(self.model, optimizer, cfg, self.mesh)
+        base_rng = jax.random.PRNGKey(cfg.seed)
+
+        loss_m, mrr_m, recall_m = AverageMeter(), AverageMeter(), AverageMeter()
+        reg_m, aux_ratio_m = AverageMeter(), AverageMeter()
+        log_path = os.path.join(self.run_dir, "train_logs.log")
+        global_step = int(state.step)
+
+        logger.info(
+            "start training: %d examples, %d steps/epoch, %d total steps, lr %g, "
+            "loss %s, label_mode %s, devices %d",
+            len(dataset), steps_per_epoch, total_steps, cfg.learning_rate,
+            cfg.loss, cfg.label_mode, self.mesh.devices.size,
+        )
+
+        for epoch in range(start_epoch, cfg.num_train_epochs):
+            state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
+            for batch in dataset.batches(
+                cfg.batch_size, shuffle=True, seed=cfg.seed + epoch, drop_last=True
+            ):
+                rng = jax.random.fold_in(base_rng, global_step)
+                state, metrics = step_jit(state, _batch_to_pytree(batch), rng)
+                global_step += 1
+
+                m = {k: float(v) for k, v in metrics.items()}
+                loss_m.update(m["loss"])
+                mrr_m.update(m["mrr"])
+                recall_m.update(m["recall"])
+                if cfg.reg_lambda > 0.0:
+                    reg_m.update(m["reg_loss"])
+                    aux_ratio_m.update(m["reg_loss"] / max(m["loss"], 1e-12))
+                if step_hook is not None:
+                    step_hook(global_step, m)
+
+                if global_step % cfg.logging_steps == 0:
+                    lr = float(self._schedule(global_step))
+                    kwargs = {}
+                    if cfg.reg_lambda > 0.0:
+                        kwargs = dict(
+                            reg_loss=reg_m.avg, total_aux_ratio=aux_ratio_m.avg
+                        )
+                        reg_m.reset(), aux_ratio_m.reset()
+                    write_train_logs(
+                        epoch + 1, global_step, loss_m.avg, mrr_m.avg,
+                        recall_m.avg, lr, filename=log_path, **kwargs,
+                    )
+                    loss_m.reset(), mrr_m.reset(), recall_m.reset()
+
+                if global_step % cfg.evaluate_steps == 0:
+                    save_checkpoint(state, self.run_dir, global_step)
+
+        # end-of-training save (the reference has none — a known gap)
+        save_checkpoint(state, self.run_dir, global_step)
+        return state
+
+
+def _batch_to_pytree(batch: NwayBatch) -> Dict[str, Any]:
+    """Device-facing subset of the collated batch (ids stay host-side)."""
+    return {
+        "query": dict(batch.query),
+        "nway_passages": dict(batch.nway_passages),
+        "labels": batch.labels,
+    }

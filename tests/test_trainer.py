@@ -1,0 +1,265 @@
+"""Trainer tests: optimizer/schedule parity, batch metrics, config system,
+checkpoint/resume, and a full (tiny) SPMD training run on the 8-device mesh.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cldrd_tpu.data.nway_dataset import NwayDataset
+from cldrd_tpu.data.tokenization import HashTokenizer
+from cldrd_tpu.models import DistilBertConfig
+from cldrd_tpu.parallel import make_mesh
+from cldrd_tpu.train import (
+    TrainConfig,
+    Trainer,
+    batch_mrr_recall,
+    curriculum_iterations,
+    latest_checkpoint,
+    linear_warmup_schedule,
+    load_checkpoint,
+    make_loss_fn,
+    run_curriculum,
+    save_checkpoint,
+)
+from cldrd_tpu.train.optim import _decay_mask
+
+
+# ----------------------------------------------------------- schedule/optim
+
+
+def test_linear_warmup_schedule_matches_hf():
+    torch = pytest.importorskip("torch")
+    from transformers import get_linear_schedule_with_warmup
+
+    peak, warmup, total = 7e-6, 10, 100
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.AdamW([p], lr=peak)
+    sched = get_linear_schedule_with_warmup(opt, warmup, total)
+    ours = linear_warmup_schedule(peak, warmup, total)
+    for step in range(total):
+        hf_lr = sched.get_last_lr()[0]
+        assert float(ours(step)) == pytest.approx(hf_lr, rel=1e-6), step
+        opt.step()
+        sched.step()
+
+
+def test_decay_mask_excludes_bias_and_scale():
+    params = {
+        "layer": {"kernel": np.zeros(2), "bias": np.zeros(2)},
+        "norm": {"scale": np.ones(2), "bias": np.zeros(2)},
+        "emb": {"embedding": np.zeros((2, 2))},
+    }
+    mask = _decay_mask(params)
+    assert mask["layer"]["kernel"] is True
+    assert mask["layer"]["bias"] is False
+    assert mask["norm"]["scale"] is False
+    assert mask["norm"]["bias"] is False
+    assert mask["emb"]["embedding"] is True  # embeddings DO decay (reference)
+
+
+# ------------------------------------------------------------ batch metrics
+
+
+def _reference_batch_metrics(logits, labels, cutoff=10):
+    """numpy transliteration of nway_listwise_1.py:369-394."""
+    sorted_idxs = np.argsort(-logits, axis=-1, kind="stable")
+    labels = np.take_along_axis(labels, sorted_idxs, axis=-1)
+    b_first_pos = np.where(labels == 1)[1]
+    remain = b_first_pos[b_first_pos < cutoff]
+    if len(remain) == 0:
+        return 0.0, 0.0
+    return (
+        np.sum(1 / (remain + 1.0)) / len(b_first_pos),
+        len(remain) / len(b_first_pos),
+    )
+
+
+def test_batch_mrr_recall_matches_reference():
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        bz, nway = 4, 12
+        logits = rng.normal(size=(bz, nway)).astype(np.float32)
+        labels = np.full((bz, nway), -0.25, np.float32)
+        # one label==1 per row at a random position
+        for b in range(bz):
+            labels[b, rng.integers(nway)] = 1.0
+        ref_mrr, ref_rec = _reference_batch_metrics(logits, labels)
+        mrr, rec = batch_mrr_recall(jnp.asarray(logits), jnp.asarray(labels))
+        assert float(mrr) == pytest.approx(ref_mrr, abs=1e-6)
+        assert float(rec) == pytest.approx(ref_rec, abs=1e-6)
+
+
+def test_batch_mrr_recall_no_relevant():
+    logits = jnp.ones((2, 6))
+    labels = jnp.zeros((2, 6))
+    mrr, rec = batch_mrr_recall(logits, labels)
+    assert float(mrr) == 0.0 and float(rec) == 0.0
+
+
+# ------------------------------------------------------------------ config
+
+
+def test_config_yaml_roundtrip(tmp_path):
+    cfg = TrainConfig(label_mode="9", learning_rate=3e-6, model_checkpoint="/x/y.msgpack")
+    path = str(tmp_path / "config.yaml")
+    cfg.save_yaml(path)
+    back = TrainConfig.from_yaml(path)
+    assert back == cfg
+
+
+def test_curriculum_defaults_match_paper():
+    iters = curriculum_iterations()
+    assert [c.label_mode for c in iters] == ["8", "9", "10"]
+    assert [c.learning_rate for c in iters] == [7e-6, 3e-6, 3e-6]
+    assert [c.num_train_epochs for c in iters] == [4, 2, 2]
+    assert all(c.warmup_steps == 4000 and c.batch_size == 8 for c in iters)
+    assert all(not c.share_weights for c in iters)
+
+
+# ------------------------------------------------------------ loss dispatch
+
+
+@pytest.mark.parametrize(
+    "loss", ["lambda_mrr", "ranknet", "lambda_loss", "kl_div", "margin_mse",
+             "weighted_pointwise", "kd"]
+)
+def test_loss_dispatch_finite_grads(loss):
+    cfg = TrainConfig(loss=loss, temperature=2.0, lambda_weight=0.5)
+    fn = make_loss_fn(cfg)
+    logits = jnp.asarray([[2.0, 1.0, 0.5, -0.3], [0.1, 0.2, 0.3, 0.4]])
+    labels = jnp.asarray([[1.0, 0.5, 0.25, 0.1], [1.0, 0.5, 0.3, 0.2]])
+    val, grad = jax.value_and_grad(lambda lg: fn(lg, labels))(logits)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grad)))
+
+
+# ----------------------------------------------------- end-to-end training
+
+
+def _tiny_dataset(n_examples=16, label_mode="1"):
+    tok = HashTokenizer(vocab_size=512)
+    qid_to_query = {q: f"query about topic {q}" for q in range(n_examples)}
+    pid_to_passage = {}
+    examples = []
+    pid = 0
+    for q in range(n_examples):
+        rel = pid
+        pid_to_passage[pid] = f"passage exactly answering topic {q}"
+        pid += 1
+        negs = []
+        for j in range(5):
+            pid_to_passage[pid] = f"unrelated filler text {pid} banana {j}"
+            negs.append(pid)
+            pid += 1
+        examples.append({"qid": q, "relT_pids": [rel], "neg_pids": negs})
+    return NwayDataset(
+        qid_to_query, pid_to_passage, examples, tok,
+        max_query_len=12, max_passage_len=16, label_mode=label_mode,
+    )
+
+
+def _tiny_cfg(tmp_path, **overrides):
+    base = dict(
+        label_mode="1",
+        batch_size=8,
+        num_train_epochs=2,
+        learning_rate=1e-3,
+        warmup_steps=1,
+        logging_steps=1,
+        evaluate_steps=2,
+        max_query_len=12,
+        max_passage_len=16,
+        compute_dtype="float32",
+        run_folder=str(tmp_path),
+        seed=0,
+    )
+    base.update(overrides)
+    return TrainConfig(**base)
+
+
+def test_train_loop_8device_loss_decreases(tmp_path):
+    assert jax.device_count() == 8
+    cfg = _tiny_cfg(tmp_path, experiment_name="t8", num_train_epochs=10)
+    model_cfg = DistilBertConfig.tiny()
+    trainer = Trainer(cfg, model_cfg, mesh=make_mesh(8))
+    dataset = _tiny_dataset()
+    history = []
+    state = trainer.train(dataset, step_hook=lambda s, m: history.append(m["loss"]))
+    assert int(state.step) == 2 * 10  # 16/8 steps/epoch * 10 epochs
+    assert np.mean(history[-4:]) < np.mean(history[:4])
+    # artifacts: config.yaml + TSV log + checkpoints
+    run_dir = os.path.join(str(tmp_path), "t8")
+    assert os.path.exists(os.path.join(run_dir, "config.yaml"))
+    log = open(os.path.join(run_dir, "train_logs.log")).read().splitlines()
+    assert log[0].startswith("epoch\tstep\tloss\tmrr@10")
+    assert len(log) == 1 + 20  # header + one row per step (logging_steps=1)
+    assert latest_checkpoint(run_dir) is not None
+
+
+def test_in_batch_loss_and_reg(tmp_path):
+    cfg = _tiny_cfg(
+        tmp_path, experiment_name="ibl", in_batch_loss=True,
+        all_in_batch_neg=True, reg_lambda=0.01, num_train_epochs=1,
+    )
+    trainer = Trainer(cfg, DistilBertConfig.tiny(), mesh=make_mesh(8))
+    metrics = []
+    trainer.train(_tiny_dataset(), step_hook=lambda s, m: metrics.append(m))
+    assert all(np.isfinite(m["loss"]) for m in metrics)
+    assert all(m["reg_loss"] > 0 for m in metrics)
+    log = open(os.path.join(str(tmp_path), "ibl", "train_logs.log")).read()
+    assert "reg_loss" in log and "total_aux_ratio" in log
+
+
+def test_checkpoint_resume_restores_state(tmp_path):
+    cfg = _tiny_cfg(tmp_path, experiment_name="ck", num_train_epochs=1)
+    trainer = Trainer(cfg, DistilBertConfig.tiny(), mesh=make_mesh(8))
+    state = trainer.train(_tiny_dataset())
+    ckpt = latest_checkpoint(trainer.run_dir)
+    template = trainer.init_state(total_steps=4)
+    restored = load_checkpoint(ckpt, template)
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.params),
+        jax.tree_util.tree_leaves(state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_warm_start_from_msgpack(tmp_path):
+    cfg1 = _tiny_cfg(tmp_path, experiment_name="w1", num_train_epochs=1)
+    t1 = Trainer(cfg1, DistilBertConfig.tiny(), mesh=make_mesh(8))
+    s1 = t1.train(_tiny_dataset())
+    ckpt = latest_checkpoint(t1.run_dir)
+
+    cfg2 = _tiny_cfg(tmp_path, experiment_name="w2", num_train_epochs=1,
+                     model_checkpoint=ckpt)
+    t2 = Trainer(cfg2, DistilBertConfig.tiny(), mesh=make_mesh(8))
+    seen = {}
+
+    def hook(step, m):
+        seen.setdefault("first_loss", m["loss"])
+
+    s2 = t2.train(_tiny_dataset(), step_hook=hook)
+    assert int(s2.step) == 2
+    assert np.isfinite(seen["first_loss"])
+
+
+def test_run_curriculum_hands_off_weights(tmp_path):
+    model_cfg = DistilBertConfig.tiny()
+    iters = [
+        _tiny_cfg(tmp_path, experiment_name="c1", num_train_epochs=1),
+        _tiny_cfg(tmp_path, experiment_name="c2", num_train_epochs=1,
+                  learning_rate=5e-4),
+    ]
+    dataset = _tiny_dataset()
+    calls = []
+    state = run_curriculum(
+        iters, model_cfg, dataset_factory=lambda cfg: dataset,
+        mesh=make_mesh(8),
+        after_iteration=lambda i, s, t: calls.append((i, int(s.step))),
+    )
+    assert calls == [(0, 2), (1, 2)]
+    assert os.path.exists(os.path.join(str(tmp_path), "c2", "train_logs.log"))
