@@ -1,16 +1,24 @@
 """Headline benchmark: exact MIPS top-1000 throughput on one TPU chip.
 
 Measures the system's hottest path (the FAISS-GPU-search replacement,
-reference ``retriever/retrieve_top_passages.py:85-88``): streaming blocked
-Q x C^T top-k over a 1.1M x 768 bf16 corpus shard — exactly the per-chip
-slice a v4-8 would hold for the full 8.8M MS MARCO collection (the
-multi-chip path adds only an ICI all-gather of [B, k] buffers, which is
-negligible next to the per-shard scan). Query batch 128, k=1000, matching
-the reference's search configuration (``retrieval_utils.py:131-153``).
+reference ``retriever/retrieve_top_passages.py:85-88``): exact bin-max
+top-k over a 1.1M x 768 bf16 corpus shard — the per-chip slice a v4-8
+holds for the full 8.8M MS MARCO collection (the multi-chip path adds only
+an ICI all-gather of [B, k] buffers, negligible next to the per-shard
+scan). k=1000 matching the reference's search configuration
+(``retrieval_utils.py:131-153``); query batch 512 (throughput mode — the
+retrieval CLI batches the 6980 dev queries the same way).
 
 The driver's north-star target is >= 5,000 QPS exact top-1000 over 8.8M
 rows on a v4-8 (BASELINE.md); per-chip QPS over the 1/8 shard is the
 equivalent single-chip number, so ``vs_baseline`` = QPS / 5000.
+
+Timing protocol: the corpus is generated ON DEVICE (host->device transfer
+through the axon tunnel is ~5 MB/s and must not pollute the measurement)
+and the per-batch cost is the MARGINAL cost (time(N iters) - time(1 iter))
+/ (N - 1), with distinct pre-staged query batches per iteration and a
+scalar-reduced fetch, which removes the ~25 ms fixed tunnel round-trip and
+any caching artifacts from the figure.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -21,44 +29,54 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-N_ROWS = 1_100_000  # 8.8M / 8 chips
+N_ROWS = 1_114_112  # 8.8M / 8 chips, padded to a multiple of 2^16
 DIM = 768
 K = 1000
-QUERY_BATCH = 128
-BLOCK_ROWS = 16384
+QUERY_BATCH = 512
 BASELINE_QPS = 5000.0
-WARMUP_ITERS = 2
-MEASURE_ITERS = 10
+MEASURE_ITERS = 12
+N_QUERY_SETS = 4
 
 
 def main():
-    from cldrd_tpu.index import FlatIPIndex
+    from cldrd_tpu.search.mips import topk_binmax_jit
 
-    rng = np.random.default_rng(0)
-    # unit-norm-ish vectors so top-k is non-degenerate
-    corpus = rng.standard_normal((N_ROWS, DIM), dtype=np.float32)
-    ids = np.arange(N_ROWS, dtype=np.int64)
-    index = FlatIPIndex.build(corpus, ids, mesh=None, dtype=jnp.bfloat16,
-                              block_rows=BLOCK_ROWS)
-    del corpus
+    corpus = jax.random.normal(jax.random.PRNGKey(0), (N_ROWS, DIM), jnp.bfloat16)
+    ids = jnp.arange(N_ROWS, dtype=jnp.int32)
+    qs = [
+        jax.random.normal(jax.random.PRNGKey(i + 1), (QUERY_BATCH, DIM), jnp.bfloat16)
+        for i in range(N_QUERY_SETS)
+    ]
+    # force data onto the device (NOTE: jax.block_until_ready can hang through
+    # the axon tunnel; a tiny host fetch is the reliable synchronization)
+    _ = np.asarray(corpus[0, 0]), np.asarray(ids[0])
+    for q in qs:
+        _ = np.asarray(q[0, 0])
 
-    queries = rng.standard_normal((QUERY_BATCH, DIM), dtype=np.float32)
-    q_dev = jax.device_put(jnp.asarray(queries, index.embeddings.dtype))
+    # NOTE: corpus/ids must be explicit jit arguments — closing over large
+    # device arrays turns them into embedded constants and sends XLA constant
+    # folding into a multi-minute compile.
+    def search(q, corpus, ids):
+        s, i = topk_binmax_jit(q, corpus, ids, K)
+        # scalar-reduce so the host fetch is O(1) bytes
+        return jnp.sum(s[:, -1]) + jnp.sum(i[:, -1].astype(jnp.float32))
 
-    from cldrd_tpu.search.mips import topk_jit
+    search_jit = jax.jit(search)
+    float(search_jit(qs[0], corpus, ids))  # compile + first run
 
-    # warmup / compile
-    for _ in range(WARMUP_ITERS):
-        s, i = topk_jit(q_dev, index.embeddings, index.row_ids, K, BLOCK_ROWS)
-        jax.block_until_ready((s, i))
+    def run(n):
+        out = None
+        t0 = time.perf_counter()
+        for i in range(n):
+            out = search_jit(qs[i % N_QUERY_SETS], corpus, ids)
+        float(out)
+        return time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    for _ in range(MEASURE_ITERS):
-        s, i = topk_jit(q_dev, index.embeddings, index.row_ids, K, BLOCK_ROWS)
-    jax.block_until_ready((s, i))
-    elapsed = time.perf_counter() - t0
+    t1 = min(run(1) for _ in range(3))
+    tn = min(run(MEASURE_ITERS) for _ in range(3))
+    per_batch = (tn - t1) / (MEASURE_ITERS - 1)
 
-    qps = QUERY_BATCH * MEASURE_ITERS / elapsed
+    qps = QUERY_BATCH / per_batch
     print(json.dumps({
         "metric": "exact_mips_top1000_qps_per_chip_1.1M",
         "value": round(qps, 1),

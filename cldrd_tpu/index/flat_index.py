@@ -23,7 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cldrd_tpu.parallel import CORPUS_AXIS
-from cldrd_tpu.search.mips import sharded_topk, topk_jit
+from cldrd_tpu.search.mips import sharded_topk, topk_binmax_jit, topk_jit
 
 
 def _pad_rows(n: int, multiple: int) -> int:
@@ -39,6 +39,7 @@ class FlatIPIndex:
     mesh: Optional[Mesh] = None
     axis_name: str = CORPUS_AXIS
     block_rows: int = 8192
+    method: str = "binmax"  # 'binmax' (fast exact) | 'stream' (memory-lean exact)
 
     @property
     def dim(self) -> int:
@@ -57,6 +58,7 @@ class FlatIPIndex:
         axis_name: str = CORPUS_AXIS,
         dtype=jnp.bfloat16,
         block_rows: int = 8192,
+        method: str = "binmax",
     ) -> "FlatIPIndex":
         """Pad rows to (n_devices * block_rows) multiples and device-put
         sharded (or unsharded when ``mesh`` is None)."""
@@ -80,7 +82,7 @@ class FlatIPIndex:
         else:
             dev_embs = jnp.asarray(embs, dtype=dtype)
             dev_ids = jnp.asarray(row_ids)
-        return cls(dev_embs, dev_ids, mesh, axis_name, block_rows)
+        return cls(dev_embs, dev_ids, mesh, axis_name, block_rows, method)
 
     def search(self, queries, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """queries [B, D] (host or device) -> (scores [B, k], ids [B, k]).
@@ -97,7 +99,10 @@ class FlatIPIndex:
                 self.mesh,
                 self.axis_name,
                 self.block_rows,
+                method=self.method,
             )
+        elif self.method == "binmax":
+            s, i = topk_binmax_jit(q, self.embeddings, self.row_ids, k)
         else:
             s, i = topk_jit(q, self.embeddings, self.row_ids, k, self.block_rows)
         return np.asarray(s), np.asarray(i)

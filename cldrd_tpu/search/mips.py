@@ -106,18 +106,23 @@ def sharded_topk(
     mesh: Mesh,
     axis_name: str = "corpus",
     block_rows: int = 8192,
+    method: str = "binmax",
 ) -> Tuple[jax.Array, jax.Array]:
     """Corpus-sharded exact top-k under ``shard_map``.
 
     ``corpus``/``row_ids`` are sharded along rows over ``axis_name``;
-    ``queries`` are replicated. Per-shard streaming top-k, then the
+    ``queries`` are replicated. Per-shard exact top-k (``method``:
+    'binmax' fast path or 'stream' memory-lean path), then the
     ``[ndev, B, k]`` candidate buffers all-gather over ICI and a final
     ``top_k`` picks the global winners. k candidates per shard always cover
     the global top-k, so the result is exact.
     """
 
     def shard_fn(q, c_shard, id_shard):
-        local_s, local_i = topk_streaming(q, c_shard, id_shard, k, block_rows)
+        if method == "binmax":
+            local_s, local_i = topk_binmax(q, c_shard, id_shard, k)
+        else:
+            local_s, local_i = topk_streaming(q, c_shard, id_shard, k, block_rows)
         all_s = jax.lax.all_gather(local_s, axis_name)  # [ndev, B, k]
         all_i = jax.lax.all_gather(local_i, axis_name)
         ndev = all_s.shape[0]
@@ -143,3 +148,159 @@ def sharded_topk(
 @functools.partial(jax.jit, static_argnames=("k", "block_rows"))
 def topk_jit(queries, corpus, row_ids, k: int, block_rows: int = 8192):
     return topk_streaming(queries, corpus, row_ids, k, block_rows)
+
+
+# --------------------------------------------------------------------------
+# Bin-max exact top-k: the fast path.
+#
+# Exactness argument (per corpus segment): partition the segment's rows into
+# contiguous bins of L rows and reduce scores to per-bin maxima. If item x is
+# among the true top-k, fewer than k items score above x, so fewer than k
+# bins have max > score(x); since x's own bin has max >= score(x), that bin
+# is among the top-k bins ranked by bin max. Hence the true top-k is covered
+# by the contents of the top-k bins — an exact candidate set of k*L items.
+#
+# The candidate set is then narrowed from k*L to k*m (m << L) by extracting
+# the top-m items of each bin with m rounds of (max, argmax, mask). This
+# narrowing is verified: tau = k-th largest bin max is a lower bound on the
+# true k-th score (>= k bins have max >= tau, each contributing >= 1 item
+# >= tau). If every non-extracted item is < tau, no true top-k item was
+# dropped; otherwise a (rare, data-adversarial) fallback runs the full
+# top_k over all k*L candidates. Either way the result is EXACT.
+#
+# Why this shape of algorithm: on TPU the full scan's cost is one corpus
+# read (HBM-bound, MXU matmul) — but XLA's TopK on a [B, 16k+] axis costs
+# more than the matmul itself. Bin-max replaces almost all TopK work with
+# VPU max-reductions that fuse into the matmul's consumer, leaving two
+# small TopKs ([B, nbins] and [B, k*m]).
+# --------------------------------------------------------------------------
+
+
+def _binmax_segment(
+    queries: jax.Array,
+    segment: jax.Array,
+    seg_row_ids: jax.Array,
+    k: int,
+    bin_rows: int,
+    extract: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k of one corpus segment via bin-max selection.
+
+    Returns (scores [B, k] fp32, ids [B, k]). Segment rows must be a
+    multiple of ``bin_rows``.
+
+    Performance note: candidate *positions* are derived arithmetically
+    (``bin_base + argmax_lane``) during the extraction rounds — TPU gathers
+    along the minor axis (``take_along_axis(..., axis=-1)`` on a [B, kb, L]
+    operand) are an order of magnitude slower than the whole rest of the
+    pipeline, so the fast path performs none."""
+    bz = queries.shape[0]
+    n = segment.shape[0]
+    assert n % bin_rows == 0, (n, bin_rows)
+    nbins = n // bin_rows
+
+    scores = _block_scores(queries, segment)  # [B, n] fp32
+    scores = jnp.where(seg_row_ids[None, :] >= 0, scores, NEG_INF)
+    sb = scores.reshape(bz, nbins, bin_rows)
+    bmax = jnp.max(sb, axis=-1)  # [B, nbins]
+
+    kb = min(k, nbins)
+    bvals, bsel = jax.lax.top_k(bmax, kb)  # exact top-kb bins
+    tau = bvals[:, kb - 1]  # [B] lower bound on the true k-th score
+
+    cand = jnp.take_along_axis(sb, bsel[:, :, None], axis=1)  # [B, kb, L]
+
+    # extract top-m per bin: m rounds of (max, argmax, mask); positions are
+    # pure arithmetic on the argmax lane — no gathers in the fast path.
+    m = min(extract, bin_rows)
+    lane = jnp.arange(bin_rows)[None, None, :]
+    base_pos = bsel * bin_rows  # [B, kb]
+    vals, poss = [], []
+    c = cand
+    for _ in range(m):
+        mx = jnp.max(c, axis=-1)
+        am = jnp.argmax(c, axis=-1)
+        vals.append(mx)
+        poss.append(base_pos + am)
+        c = jnp.where(lane == am[:, :, None], NEG_INF, c)
+    kept_v = jnp.stack(vals, -1).reshape(bz, kb * m)
+    kept_p = jnp.stack(poss, -1).reshape(bz, kb * m)
+    rem_max = jnp.max(c, axis=(1, 2))
+
+    # exact unless some non-extracted item could still reach tau
+    # (ties included conservatively; all -inf rem is always fine)
+    ok = jnp.all((rem_max < tau) | (rem_max == NEG_INF))
+
+    def fast(_):
+        v, sel = jax.lax.top_k(kept_v, k)
+        p = jnp.take_along_axis(kept_p, sel, axis=-1)
+        return v, p
+
+    def slow(_):
+        cand_pos = base_pos[:, :, None] + lane  # [B, kb, L]
+        v, sel = jax.lax.top_k(cand.reshape(bz, kb * bin_rows), k)
+        p = jnp.take_along_axis(cand_pos.reshape(bz, kb * bin_rows), sel, axis=-1)
+        return v, p
+
+    if kb * m < k:  # not enough narrowed candidates: always take the full set
+        v, p = slow(None)
+    else:
+        v, p = jax.lax.cond(ok, fast, slow, None)
+    ids = jnp.take(seg_row_ids, p)
+    ids = jnp.where(jnp.isfinite(v), ids, -1)
+    return v, ids
+
+
+def topk_binmax(
+    queries: jax.Array,
+    corpus: jax.Array,
+    row_ids: jax.Array,
+    k: int,
+    bin_rows: int = 64,
+    extract: int = 8,
+    segment_rows: int = 2_097_152,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact MIPS top-k via bin-max selection (see block comment above).
+
+    Materializes fp32 scores one ``segment_rows`` corpus segment at a time
+    (B * segment_rows * 4 bytes of HBM scratch), so large corpora stream in
+    exact segment-topk + merge steps. N must be a multiple of ``bin_rows``
+    (the index pads with ``row_id == -1`` rows).
+    """
+    n, _ = corpus.shape
+    if n <= k or n <= bin_rows * 2:
+        return topk_dense(queries, corpus, row_ids, k)
+    assert n % bin_rows == 0, (n, bin_rows)
+    segment_rows = min(segment_rows, n)
+    # segments must be bin-aligned
+    segment_rows -= segment_rows % bin_rows
+    seg_results = []
+    for start in range(0, n, segment_rows):
+        end = min(start + segment_rows, n)
+        if end - start <= k:  # tiny tail: dense
+            seg_results.append(
+                topk_dense(queries, corpus[start:end], row_ids[start:end], k)
+            )
+        else:
+            seg_results.append(
+                _binmax_segment(
+                    queries, corpus[start:end], row_ids[start:end],
+                    k, bin_rows, extract,
+                )
+            )
+    if len(seg_results) == 1:
+        return seg_results[0]
+    all_v = jnp.concatenate([v for v, _ in seg_results], axis=-1)
+    all_i = jnp.concatenate([i for _, i in seg_results], axis=-1)
+    v, sel = jax.lax.top_k(all_v, k)
+    return v, jnp.take_along_axis(all_i, sel, axis=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "bin_rows", "extract", "segment_rows")
+)
+def topk_binmax_jit(
+    queries, corpus, row_ids, k: int,
+    bin_rows: int = 64, extract: int = 8, segment_rows: int = 2_097_152,
+):
+    return topk_binmax(queries, corpus, row_ids, k, bin_rows, extract, segment_rows)

@@ -195,3 +195,100 @@ def test_encode_index_search_e2e(tmp_path):
     lines = open(tmp_path / "run.tsv").read().splitlines()
     assert len(lines) == 100  # 10 queries x top-10
     assert stats["qps"] > 0
+
+
+# ------------------------------------------------------------ bin-max exact
+
+
+def test_binmax_equals_dense(corpus):
+    from cldrd_tpu.search import topk_binmax
+
+    q, c, ids = corpus
+    k = 50
+    s1, i1 = topk_dense(jnp.asarray(q), jnp.asarray(c), jnp.asarray(ids, jnp.int32), k)
+    s2, i2 = jax.jit(
+        lambda q, c, i: topk_binmax(q, c, i, k, bin_rows=16, extract=4)
+    )(jnp.asarray(q), jnp.asarray(c), jnp.asarray(ids, jnp.int32))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_binmax_adversarial_clustered_fallback():
+    """All high-scoring items packed into ONE bin: the extract-m narrowing
+    cannot cover them, so the tau check must trigger the slow path and the
+    result must still be exact."""
+    from cldrd_tpu.search import topk_binmax
+
+    rng = np.random.default_rng(1)
+    n, d, k, L = 1024, 32, 24, 16
+    c = rng.standard_normal((n, d)).astype(np.float32) * 0.01
+    q = rng.standard_normal((2, d)).astype(np.float32)
+    # rows 64..79 (exactly one bin of 16) strongly aligned with both queries
+    boost = (q[0] + q[1]) / np.linalg.norm(q[0] + q[1])
+    c[64:80] = boost[None, :] * np.linspace(5.0, 6.0, 16)[:, None]
+    ids = np.arange(n, dtype=np.int64)
+    s1, i1 = topk_dense(jnp.asarray(q), jnp.asarray(c), jnp.asarray(ids, jnp.int32), k)
+    s2, i2 = jax.jit(
+        lambda q, c, i: topk_binmax(q, c, i, k, bin_rows=L, extract=2)
+    )(jnp.asarray(q), jnp.asarray(c), jnp.asarray(ids, jnp.int32))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_binmax_segmented_matches_dense(corpus):
+    from cldrd_tpu.search import topk_binmax
+
+    q, c, ids = corpus
+    k = 30
+    s1, i1 = topk_dense(jnp.asarray(q), jnp.asarray(c), jnp.asarray(ids, jnp.int32), k)
+    # segment_rows=1024 forces 4 segments + merge
+    s2, i2 = jax.jit(
+        lambda q, c, i: topk_binmax(q, c, i, k, bin_rows=16, extract=4, segment_rows=1024)
+    )(jnp.asarray(q), jnp.asarray(c), jnp.asarray(ids, jnp.int32))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_binmax_padding_rows_ignored():
+    from cldrd_tpu.search import topk_binmax
+
+    rng = np.random.default_rng(2)
+    n, d, k = 512, 16, 10
+    c = np.zeros((n, d), np.float32)
+    c[:100] = rng.standard_normal((100, d))
+    # padded rows have huge values but id -1: must never be returned
+    c[100:] = 100.0
+    ids = np.full((n,), -1, np.int64)
+    ids[:100] = np.arange(100)
+    q = rng.standard_normal((4, d)).astype(np.float32)
+    s, i = jax.jit(
+        lambda q, c, ii: topk_binmax(q, c, ii, k, bin_rows=16, extract=4)
+    )(jnp.asarray(q), jnp.asarray(c), jnp.asarray(ids, jnp.int32))
+    assert np.all(np.asarray(i) < 100)
+    assert np.all(np.asarray(i) >= 0)
+
+
+def test_sharded_binmax_matches_dense(corpus):
+    from cldrd_tpu.search import sharded_topk
+
+    q, c, ids = corpus
+    k = 40
+    mesh = make_mesh(8, CORPUS_AXIS)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P(CORPUS_AXIS))
+    c_d = jax.device_put(jnp.asarray(c), sh)
+    ids_d = jax.device_put(jnp.asarray(ids, jnp.int32), sh)
+    s1, i1 = topk_dense(jnp.asarray(q), jnp.asarray(c), jnp.asarray(ids, jnp.int32), k)
+    s2, i2 = sharded_topk(jnp.asarray(q), c_d, ids_d, k, mesh, method="binmax")
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_flat_index_binmax_default(corpus):
+    q, c, ids = corpus
+    index = FlatIPIndex.build(c, ids, mesh=None, dtype=jnp.float32, block_rows=512)
+    assert index.method == "binmax"
+    s, i = index.search(q, k=20)
+    s_ref, i_ref = _numpy_topk(q, c, ids, 20)
+    np.testing.assert_array_equal(i[:, :10], i_ref[:, :10])
