@@ -1,0 +1,80 @@
+"""Build the corpus embedding index.
+
+Replaces the reference's ``retriever/index_text.py`` (encode the collection
+with the trained passage tower at batch 512, build the flat-IP index, persist
+it, ``:57-110``): here the encode step is a batch-sharded SPMD program, the
+index is bf16 shards in HBM, and persistence is the blocked shard store of
+``cldrd_tpu.index.persistence`` (JSON meta + binary shards + ids.npy, the
+FAISS ``write_index`` replacement).
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+from typing import List, Optional
+
+import jax.numpy as jnp
+
+from cldrd_tpu.data.sequence_dataset import SequenceDataset
+from cldrd_tpu.index import encode_dataset, make_encode_fn
+from cldrd_tpu.index.persistence import write_embeddings
+from cldrd_tpu.models import NwayDualEncoder
+
+from .common import (
+    add_model_args,
+    build_tokenizer,
+    load_dual_encoder_params,
+    model_config_from_args,
+    setup_logging,
+)
+
+logger = logging.getLogger("cldrd_tpu.cli.index")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--collection", required=True, help="pid\\ttext TSV")
+    p.add_argument("--checkpoint", default=None,
+                   help=".msgpack or reference .pth.tar weights")
+    p.add_argument("--out", required=True, help="index output directory")
+    p.add_argument("--max-length", type=int, default=256)
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--store-dtype", default="float16",
+                   choices=("float16", "float32"))
+    add_model_args(p)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    setup_logging()
+    args = build_parser().parse_args(argv)
+    cfg = model_config_from_args(args)
+    tokenizer = build_tokenizer(args.tokenizer, vocab_size=cfg.vocab_size)
+
+    model = NwayDualEncoder(
+        config=cfg, share_weights=args.share_weights, dtype=jnp.bfloat16
+    )
+    params = load_dual_encoder_params(
+        args.checkpoint, model, cfg, args.share_weights,
+        max_passage_len=args.max_length,
+    )
+    dataset = SequenceDataset.create_from_seqs_file(
+        args.collection, tokenizer, args.max_length, is_query=False
+    )
+    encode = make_encode_fn(model, params, "passage_embs")
+    t0 = time.perf_counter()
+    embeddings, ids = encode_dataset(encode, dataset, args.batch_size)
+    elapsed = time.perf_counter() - t0
+    logger.info(
+        "encoded %d passages in %.1fs (%.0f passages/s)",
+        len(ids), elapsed, len(ids) / max(elapsed, 1e-9),
+    )
+    write_embeddings(args.out, embeddings, ids, dtype=args.store_dtype)
+    logger.info("index written to %s", args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

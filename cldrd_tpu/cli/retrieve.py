@@ -1,0 +1,79 @@
+"""Retrieve top-k passages per query -> run file.
+
+Replaces the reference's ``retriever/retrieve_top_passages.py`` (encode
+queries at max_len 30, load the index to GPU, top-1000 search at query batch
+128, write ``qid\\tpid\\trank\\tscore``, ``:47-109``). Here the persisted
+shard store loads straight into (optionally mesh-sharded) TPU HBM — there is
+no CPU->device "clone" step — and search is the exact bin-max MIPS kernel.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from cldrd_tpu.data.sequence_dataset import SequenceDataset
+from cldrd_tpu.index import encode_dataset, load_index, make_encode_fn
+from cldrd_tpu.models import NwayDualEncoder
+from cldrd_tpu.search import retrieve_to_run_file
+
+from .common import (
+    add_model_args,
+    build_tokenizer,
+    load_dual_encoder_params,
+    model_config_from_args,
+    setup_logging,
+)
+
+logger = logging.getLogger("cldrd_tpu.cli.retrieve")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--index", required=True, help="index directory (from cli.index)")
+    p.add_argument("--queries", required=True, help="qid\\ttext TSV")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--run", required=True, help="output run TSV path")
+    p.add_argument("--topk", type=int, default=1000)
+    p.add_argument("--max-length", type=int, default=30)
+    p.add_argument("--encode-batch-size", type=int, default=512)
+    p.add_argument("--search-batch-size", type=int, default=128)
+    add_model_args(p)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    setup_logging()
+    args = build_parser().parse_args(argv)
+    cfg = model_config_from_args(args)
+    tokenizer = build_tokenizer(args.tokenizer, vocab_size=cfg.vocab_size)
+
+    model = NwayDualEncoder(
+        config=cfg, share_weights=args.share_weights, dtype=jnp.bfloat16
+    )
+    params = load_dual_encoder_params(
+        args.checkpoint, model, cfg, args.share_weights,
+        max_query_len=args.max_length,
+    )
+    dataset = SequenceDataset.create_from_seqs_file(
+        args.queries, tokenizer, args.max_length, is_query=True
+    )
+    encode = make_encode_fn(model, params, "query_embs")
+    q_embs, qids = encode_dataset(encode, dataset, args.encode_batch_size)
+
+    index = load_index(args.index)
+    stats = retrieve_to_run_file(
+        index, q_embs, qids, args.run,
+        topk=args.topk, batch_size=args.search_batch_size,
+    )
+    print(json.dumps({"queries": len(qids), **{k: round(v, 3) for k, v in stats.items()}}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -324,11 +324,15 @@ class Trainer:
             cfg.loss, cfg.label_mode, self.mesh.devices.size,
         )
 
+        first_batch_checked = False
         for epoch in range(start_epoch, cfg.num_train_epochs):
             state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
             for batch in dataset.batches(
                 cfg.batch_size, shuffle=True, seed=cfg.seed + epoch, drop_last=True
             ):
+                if not first_batch_checked:
+                    self._validate_token_range(batch)
+                    first_batch_checked = True
                 rng = jax.random.fold_in(base_rng, global_step)
                 state, metrics = step_jit(state, _batch_to_pytree(batch), rng)
                 global_step += 1
@@ -363,6 +367,25 @@ class Trainer:
         # end-of-training save (the reference has none — a known gap)
         save_checkpoint(state, self.run_dir, global_step)
         return state
+
+    def _validate_token_range(self, batch: NwayBatch) -> None:
+        """Guard against tokenizer/model vocab mismatch: out-of-range token
+        ids silently corrupt the embedding lookup under jit (NaN loss from
+        step 1). Checked host-side on the first batch only."""
+        vocab = self.model_config.vocab_size
+        max_pos = self.model_config.max_position_embeddings
+        for name, tokens in (("query", batch.query), ("passage", batch.nway_passages)):
+            max_id = int(tokens["input_ids"].max())
+            if max_id >= vocab:
+                raise ValueError(
+                    f"{name} token id {max_id} >= model vocab_size {vocab}: "
+                    "tokenizer and model config disagree"
+                )
+            seq_len = tokens["input_ids"].shape[-1]
+            if seq_len > max_pos:
+                raise ValueError(
+                    f"{name} length {seq_len} > max_position_embeddings {max_pos}"
+                )
 
 
 def _batch_to_pytree(batch: NwayBatch) -> Dict[str, Any]:

@@ -1,0 +1,202 @@
+"""CLI end-to-end: train -> index -> retrieve -> evaluate on a tiny synthetic
+MS MARCO-style corpus, entirely through the command-line entrypoints
+(in-process mains, tiny model, hermetic hash tokenizer)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cldrd_tpu.cli import curriculum as cli_curriculum
+from cldrd_tpu.cli import evaluate as cli_evaluate
+from cldrd_tpu.cli import index as cli_index
+from cldrd_tpu.cli import retrieve as cli_retrieve
+from cldrd_tpu.cli import retrieve_queries as cli_retrieve_queries
+from cldrd_tpu.cli import train as cli_train
+
+
+@pytest.fixture(scope="module")
+def corpus_files(tmp_path_factory):
+    """16 queries; each query's relevant passage shares its exact wording."""
+    tmp = tmp_path_factory.mktemp("cli_corpus")
+    n_q = 16
+    queries, passages, train_lines, qrels = [], [], [], []
+    pid = 0
+    rng = np.random.default_rng(0)
+    for q in range(n_q):
+        # query and its relevant passage share a unique token (subject{q}),
+        # so full-corpus retrieval is learnable from per-query candidates
+        queries.append(f"{q}\tfind subject{q} info\n")
+        rel = pid
+        passages.append(f"{pid}\tdocument with subject{q} info inside\n")
+        pid += 1
+        negs = []
+        for _ in range(5):
+            passages.append(f"{pid}\tnoise {rng.integers(10**6)} text {rng.integers(10**6)}\n")
+            negs.append(pid)
+            pid += 1
+        train_lines.append(json.dumps({
+            "qid": q, "relT_pids": [rel],
+            "most_hard_pids": negs[:3], "semi_hard_pids": negs[3:],
+        }) + "\n")
+        qrels.append(f"{q}\t0\t{rel}\t1\n")
+    paths = {
+        "queries": str(tmp / "queries.tsv"),
+        "passages": str(tmp / "collection.tsv"),
+        "train": str(tmp / "train.jsonl"),
+        "qrels": str(tmp / "qrels.tsv"),
+        "tmp": tmp,
+    }
+    open(paths["queries"], "w").write("".join(queries))
+    open(paths["passages"], "w").write("".join(passages))
+    open(paths["train"], "w").write("".join(train_lines))
+    open(paths["qrels"], "w").write("".join(qrels))
+    return paths
+
+
+def test_cli_pipeline(corpus_files, tmp_path):
+    f = corpus_files
+    run_folder = str(tmp_path / "runs")
+
+    # 1. train one iteration (tiny model, label mode 1: 1 relT + 5 neg)
+    rc = cli_train.main([
+        "--queries-path", f["queries"], "--passages-path", f["passages"],
+        "--training-path", f["train"], "--label-mode", "1",
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--batch-size", "8", "--num-train-epochs", "8",
+        "--learning-rate", "2e-3", "--warmup-steps", "2",
+        "--max-query-len", "12", "--max-passage-len", "16",
+        "--compute-dtype", "float32",
+        "--run-folder", run_folder, "--experiment-name", "it1",
+        "--logging-steps", "4", "--evaluate-steps", "100",
+    ])
+    assert rc == 0
+    ckpts = [p for p in os.listdir(os.path.join(run_folder, "it1"))
+             if p.endswith(".msgpack")]
+    assert ckpts, "training wrote no checkpoint"
+    ckpt = os.path.join(run_folder, "it1", sorted(ckpts)[-1])
+
+    # 2. build the index from the trained checkpoint
+    index_dir = str(tmp_path / "index")
+    rc = cli_index.main([
+        "--collection", f["passages"], "--checkpoint", ckpt,
+        "--out", index_dir, "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "16", "--batch-size", "32",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(index_dir, "meta.json"))
+
+    # 3. retrieve top-5 per query
+    run_path = str(tmp_path / "dev.run.tsv")
+    rc = cli_retrieve.main([
+        "--index", index_dir, "--queries", f["queries"],
+        "--checkpoint", ckpt, "--run", run_path,
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "12", "--topk", "5",
+        "--encode-batch-size", "32", "--search-batch-size", "8",
+    ])
+    assert rc == 0
+
+    # 4a. run-file structure: 16 queries x 5 candidates, scores descending
+    rows = [l.split("\t") for l in open(run_path).read().splitlines()]
+    assert len(rows) == 16 * 5
+    by_qid = {}
+    for qid, pid, rank, score in rows:
+        by_qid.setdefault(int(qid), []).append((int(rank), float(score)))
+    assert set(by_qid) == set(range(16))
+    for ranked in by_qid.values():
+        assert [r for r, _ in ranked] == [1, 2, 3, 4, 5]
+        scores = [s for _, s in ranked]
+        assert scores == sorted(scores, reverse=True)
+
+    # 4b. file-based evaluation runs over the run file (a 2-layer dim-32
+    #     hash-token model cannot win *full-corpus* retrieval in 16 steps,
+    #     so only structural properties are asserted here; quality is
+    #     asserted on the in-candidate reranking path below)
+    from cldrd_tpu.evaluation import RankingEvaluator
+
+    ev = RankingEvaluator(f["qrels"], mrr_at_k=(5,), recall_at_k=(5,),
+                          ndcg_at_k=(5,), map_at_k=5)
+    metrics = ev.compute_metrics(run_path)
+    assert metrics["QueriesRanked"] == 16
+
+    # ... and the evaluate CLI prints the same numbers as JSON
+    rc = cli_evaluate.main(["--qrels", f["qrels"], "--run", run_path])
+    assert rc == 0
+
+    # 4c. quality: rerank each query's 6 training candidates with the
+    #     trained checkpoint — the fitted objective — expect near-perfect MRR
+    import jax.numpy as jnp
+
+    from cldrd_tpu.data.reranking_dataset import RerankingDataset
+    from cldrd_tpu.data.tokenization import HashTokenizer
+    from cldrd_tpu.evaluation import RerankingEvaluator, make_dual_encoder_score_fn
+    from cldrd_tpu.models import DistilBertConfig, NwayDualEncoder
+    from cldrd_tpu.cli.common import load_dual_encoder_params
+
+    cand_run = str(tmp_path / "cands.tsv")
+    with open(cand_run, "w") as fh:
+        for q in range(16):
+            for p in range(q * 6, q * 6 + 6):
+                fh.write(f"{q}\t{p}\n")
+    model_cfg = DistilBertConfig.tiny()
+    model = NwayDualEncoder(config=model_cfg, dtype=jnp.float32)
+    params = load_dual_encoder_params(ckpt, model, model_cfg, False)
+    rds = RerankingDataset(cand_run, f["queries"], f["passages"],
+                           HashTokenizer(model_cfg.vocab_size),
+                           is_cross_encoder=False,
+                           query_max_len=12, passage_max_len=16)
+    rev = RerankingEvaluator(f["qrels"], mrr_at_k=(5,), recall_at_k=(5,),
+                             ndcg_at_k=(5,), map_at_k=5)
+    rmetrics = rev.compute_metrics(make_dual_encoder_score_fn(model, params),
+                                   rds, batch_size=16)
+    assert rmetrics["MRR@5"] >= 0.9, rmetrics
+
+    # 5. inverse retrieval (teacher-data fragment): passages -> top queries.
+    #    Build a query index, then search it with passages.
+    q_index_dir = str(tmp_path / "qindex")
+    rc = cli_index.main([
+        "--collection", f["queries"], "--checkpoint", ckpt,
+        "--out", q_index_dir, "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "12", "--batch-size", "32",
+    ])
+    assert rc == 0
+    p2q_run = str(tmp_path / "p2q.run.tsv")
+    rc = cli_retrieve_queries.main([
+        "--query-index", q_index_dir, "--passages", f["passages"],
+        "--checkpoint", ckpt, "--run", p2q_run,
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "16", "--topk", "3",
+        "--encode-batch-size", "32", "--search-batch-size", "8",
+    ])
+    assert rc == 0
+    assert os.path.getsize(p2q_run) > 0
+
+
+def test_cli_curriculum(corpus_files, tmp_path):
+    f = corpus_files
+    rc = cli_curriculum.main([
+        "--queries", f["queries"], "--passages", f["passages"],
+        "--training-paths", f["train"], f["train"],
+        "--label-modes", "1", "1",
+        "--learning-rates", "2e-3", "1e-3",
+        "--epochs", "2", "2",
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--batch-size", "8",
+        "--run-folder", str(tmp_path / "cur"),
+        "--config", _tiny_yaml(tmp_path),
+    ])
+    assert rc == 0
+    for name in ("curriculum_iter1", "curriculum_iter2"):
+        assert os.path.exists(tmp_path / "cur" / name / "train_logs.log")
+
+
+def _tiny_yaml(tmp_path):
+    from cldrd_tpu.train import TrainConfig
+
+    cfg = TrainConfig(max_query_len=12, max_passage_len=16,
+                      compute_dtype="float32", warmup_steps=2,
+                      logging_steps=4, evaluate_steps=100)
+    path = str(tmp_path / "base.yaml")
+    cfg.save_yaml(path)
+    return path
