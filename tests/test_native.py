@@ -1,0 +1,110 @@
+"""Native TSV parser: build, parity with the Python loaders, error paths,
+and a throughput sanity check."""
+import os
+import time
+
+import numpy as np
+import pytest
+
+native = pytest.importorskip("cldrd_tpu.native")
+
+
+@pytest.fixture()
+def tsv2(tmp_path):
+    path = tmp_path / "two.tsv"
+    rows = [
+        "0\thello world\n",
+        "7\t  padded text \n",
+        "123456789012\tbig id row\n",
+        "\n",  # blank line skipped
+        "3\ttab-free trailing\n",
+    ]
+    path.write_text("".join(rows), encoding="utf-8")
+    return str(path)
+
+
+def test_parse_two_column(tsv2):
+    out = native.parse_id_text_tsv(tsv2)
+    assert out == {
+        0: "hello world",
+        7: "padded text",
+        123456789012: "big id row",
+        3: "tab-free trailing",
+    }
+
+
+def test_parse_three_column_title(tmp_path):
+    path = tmp_path / "three.tsv"
+    path.write_text("5\tThe Title\tThe para body\n9\tplain only\n")
+    out = native.parse_id_text_tsv(str(path), allow_title=True)
+    assert out[5] == {"title": "The Title", "para": "The para body"}
+    assert out[9] == "plain only"
+
+
+def test_parity_with_python_loaders(tmp_path):
+    """Native parse must agree with the pure-Python loader on generated data."""
+    import importlib
+
+    from cldrd_tpu.data import loaders
+
+    rng = np.random.default_rng(0)
+    path = tmp_path / "corpus.tsv"
+    with open(path, "w", encoding="utf-8") as f:
+        for pid in range(500):
+            f.write(f"{pid}\tpassage {' '.join(str(rng.integers(1e6)) for _ in range(8))}\n")
+
+    native_out = native.parse_id_text_tsv(str(path), allow_title=True)
+
+    os.environ["CLDRD_TPU_NO_NATIVE"] = "1"
+    try:
+        importlib.reload(loaders)
+        py_out = loaders.load_passages(str(path))
+    finally:
+        del os.environ["CLDRD_TPU_NO_NATIVE"]
+        importlib.reload(loaders)
+    assert native_out == py_out
+
+
+def test_errors(tmp_path):
+    bad = tmp_path / "bad.tsv"
+    bad.write_text("notanint\ttext\n")
+    with pytest.raises(ValueError, match="bad integer id"):
+        native.parse_id_text_tsv(str(bad))
+    notab = tmp_path / "notab.tsv"
+    notab.write_text("42 no tab here\n")
+    with pytest.raises(ValueError, match="no tab"):
+        native.parse_id_text_tsv(str(notab))
+    with pytest.raises(OSError):
+        native.parse_id_text_tsv(str(tmp_path / "missing.tsv"))
+
+
+def test_count_lines(tsv2):
+    assert native.count_lines(tsv2) == 5
+
+
+def test_throughput_faster_than_python(tmp_path):
+    """On a 200k-row file the native parse should beat the Python loop
+    comfortably (regression guard for the build actually being native)."""
+    path = tmp_path / "big.tsv"
+    with open(path, "w", encoding="utf-8") as f:
+        for pid in range(200_000):
+            f.write(f"{pid}\tpassage text with some words repeated {pid % 97}\n")
+
+    t0 = time.perf_counter()
+    native_out = native.parse_id_text_tsv(str(path))
+    t_native = time.perf_counter() - t0
+
+    def py_parse(p):
+        out = {}
+        with open(p, "r", encoding="utf-8") as f:
+            for line in f:
+                i, t = line.rstrip("\n").split("\t", 1)
+                out[int(i)] = t.strip()
+        return out
+
+    t0 = time.perf_counter()
+    py_out = py_parse(str(path))
+    t_py = time.perf_counter() - t0
+
+    assert native_out == py_out
+    assert t_native < t_py, (t_native, t_py)
