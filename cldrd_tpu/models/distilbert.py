@@ -129,7 +129,13 @@ class MultiHeadSelfAttention(nn.Module):
         k = dense("k_lin")(hidden).reshape(bsz, seq_len, cfg.n_heads, head_dim)
         v = dense("v_lin")(hidden).reshape(bsz, seq_len, cfg.n_heads, head_dim)
 
-        if cfg.attention_impl == "pallas":
+        # The fused Pallas kernel does not implement attention-probs dropout;
+        # use it only when dropout is a no-op (inference / encode paths, or
+        # attention_dropout == 0) so train/eval numerics stay faithful.
+        use_pallas = cfg.attention_impl == "pallas" and (
+            deterministic or cfg.attention_dropout == 0.0
+        )
+        if use_pallas:
             from cldrd_tpu.ops.attention import flash_attention
 
             context = flash_attention(q, k, v, attention_mask)
