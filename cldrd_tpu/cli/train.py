@@ -64,7 +64,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     dataset = NwayDataset.create_from_files(
         cfg.queries_path, cfg.passages_path, cfg.training_path,
         tokenizer, cfg.max_query_len, cfg.max_passage_len,
-        cfg.label_mode, fmt=cfg.train_fmt,
+        cfg.label_mode, fmt=cfg.train_fmt, neg_score_mode=cfg.neg_score_mode,
     )
     trainer = Trainer(cfg, model_config)
     trainer.train(dataset)

@@ -118,14 +118,21 @@ def load_train_examples(
             example.setdefault("neg_pids", [])
             out.append(example)
         elif fmt == "relT_most_semi_hard":
-            out.append(
-                {
-                    "qid": example["qid"],
-                    "relT_pids": example["relT_pids"],
-                    "neg_pids": example.get("most_hard_pids", [])
-                    + example.get("semi_hard_pids", []),
-                }
-            )
+            canonical = {
+                "qid": example["qid"],
+                "relT_pids": example["relT_pids"],
+                "neg_pids": example.get("most_hard_pids", [])
+                + example.get("semi_hard_pids", []),
+            }
+            # teacher scores (the ``*_score.train.json`` files consumed by
+            # the reference's missing knowledge_distill trainers, SURVEY
+            # §2.4): carried through when present
+            if "relT_scores" in example:
+                canonical["relT_scores"] = example["relT_scores"]
+                canonical["neg_scores"] = example.get(
+                    "most_hard_scores", []
+                ) + example.get("semi_hard_scores", [])
+            out.append(canonical)
         else:
             raise ValueError(f"unknown training-file format {fmt!r}")
     return out

@@ -34,6 +34,10 @@ class NwayBatch:
     query: Dict[str, np.ndarray]          # [bz, Lq]
     nway_passages: Dict[str, np.ndarray]  # [bz, nway, Lp]
     labels: np.ndarray         # [bz, nway] float32
+    # teacher scores for KD losses (margin-MSE / KL-div); equals ``labels``
+    # when the training file carries no scores, so the train step has one
+    # static signature either way
+    teacher_scores: Optional[np.ndarray] = None  # [bz, nway] float32
 
 
 class NwayDataset:
@@ -49,6 +53,7 @@ class NwayDataset:
         max_query_len: int,
         max_passage_len: int,
         label_mode: str = "3",
+        neg_score_mode: str = "original",
     ):
         self.qid_to_query = qid_to_query
         self.pid_to_passage = pid_to_passage
@@ -57,6 +62,11 @@ class NwayDataset:
         self.max_query_len = max_query_len
         self.max_passage_len = max_passage_len
         self.label_mode = str(label_mode)
+        # teacher-score handling for negatives without scores (the missing
+        # kd trainers' --neg_score_mode={mean,original} flag, SURVEY §2.4):
+        # 'original' keeps given scores (0.0 where absent); 'mean' fills
+        # absent negative scores with the mean relT score minus a margin
+        self.neg_score_mode = neg_score_mode
         self.nway = nway_for(self.label_mode)
         sep = getattr(tokenizer, "sep_token", "[SEP]")
         self._sep = sep
@@ -68,7 +78,7 @@ class NwayDataset:
         ex = self.train_examples[idx]
         qid, relT_pids, neg_pids = ex["qid"], ex["relT_pids"], ex["neg_pids"]
         labels = labels_for(self.label_mode, len(relT_pids), len(neg_pids))
-        return {
+        item = {
             "qid": qid,
             "relT_pids": relT_pids,
             "neg_pids": neg_pids,
@@ -79,6 +89,17 @@ class NwayDataset:
             ],
             "labels": labels,
         }
+        if "relT_scores" in ex:
+            rel_s = list(ex["relT_scores"])
+            neg_s = list(ex.get("neg_scores") or [])
+            if len(neg_s) < len(neg_pids):
+                if self.neg_score_mode == "mean":
+                    fill = float(np.mean(rel_s)) - 1.0 if rel_s else 0.0
+                else:
+                    fill = 0.0
+                neg_s = neg_s + [fill] * (len(neg_pids) - len(neg_s))
+            item["teacher_scores"] = np.asarray(rel_s + neg_s, np.float32)
+        return item
 
     def collate(self, items: Sequence[dict]) -> NwayBatch:
         bz = len(items)
@@ -96,6 +117,11 @@ class NwayDataset:
             if len(items[0]["neg_pids"])
             else np.zeros((bz, 0), np.int64)
         )
+        labels = np.stack([it["labels"] for it in items]).astype(np.float32)
+        if all("teacher_scores" in it for it in items):
+            teacher = np.stack([it["teacher_scores"] for it in items]).astype(np.float32)
+        else:
+            teacher = labels
         return NwayBatch(
             qid=np.asarray([it["qid"] for it in items], np.int64),
             relT_pids=relT,
@@ -103,7 +129,8 @@ class NwayDataset:
             nway_pids=np.concatenate([relT, neg], axis=-1),
             query=queries,
             nway_passages=passages,
-            labels=np.stack([it["labels"] for it in items]).astype(np.float32),
+            labels=labels,
+            teacher_scores=teacher,
         )
 
     # ------------------------------------------------------------ factories
@@ -121,6 +148,7 @@ class NwayDataset:
         fmt: str = "relT_most_semi_hard",
         rank: int = -1,
         nranks: Optional[int] = None,
+        neg_score_mode: str = "original",
     ) -> "NwayDataset":
         """One factory covering the reference's seven ``create_from_*``
         constructors (select the file layout via ``fmt``; shard by
@@ -133,6 +161,7 @@ class NwayDataset:
             max_query_len,
             max_passage_len,
             label_mode,
+            neg_score_mode=neg_score_mode,
         )
 
     # epoch iteration ----------------------------------------------------

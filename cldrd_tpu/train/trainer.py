@@ -66,37 +66,45 @@ class TrainState(struct.PyTreeNode):
 # --------------------------------------------------------------------- loss
 
 
-def make_loss_fn(cfg: TrainConfig) -> Callable[[jax.Array, jax.Array], jax.Array]:
-    """Map ``cfg.loss`` to a ``(logits, labels) -> scalar`` function.
+def make_loss_fn(
+    cfg: TrainConfig,
+) -> Callable[[jax.Array, jax.Array, jax.Array], jax.Array]:
+    """Map ``cfg.loss`` to a ``(logits, labels, teacher_scores) -> scalar``
+    function.
 
-    ``labels`` carry graded relevance for the listwise losses and teacher
-    scores for the KD losses (the missing ``trainer/knowledge_distill/``
-    scripts consume ``*_score.train.json``; SURVEY §2.4)."""
+    Listwise ranking losses consume the graded ``labels``; KD losses
+    (margin_mse / kl_div / the composite 'kd') consume ``teacher_scores``
+    — real teacher scores when the training file carries them
+    (``*_score.train.json``, the missing ``trainer/knowledge_distill/``
+    scripts' input; SURVEY §2.4), otherwise the graded labels."""
     name = cfg.loss
     if name == "lambda_mrr":
-        return lambda logits, labels: L.lambda_mrr_loss(logits, labels)
+        return lambda logits, labels, teacher: L.lambda_mrr_loss(logits, labels)
     if name == "ranknet":
-        return lambda logits, labels: L.ranknet_loss(logits, labels)
+        return lambda logits, labels, teacher: L.ranknet_loss(logits, labels)
     if name == "lambda_loss":
-        return lambda logits, labels: L.lambda_loss(
+        return lambda logits, labels, teacher: L.lambda_loss(
             logits, labels, weighing_scheme=cfg.weighing_scheme
         )
     if name == "kl_div":
-        return lambda logits, labels: L.kl_div_loss(logits, labels, T=cfg.temperature)
+        return lambda logits, labels, teacher: L.kl_div_loss(
+            logits, teacher, T=cfg.temperature
+        )
     if name == "margin_mse":
-        return lambda logits, labels: L.margin_mse_loss(logits, labels)
+        return lambda logits, labels, teacher: L.margin_mse_loss(logits, teacher)
     if name == "weighted_pointwise":
-        return lambda logits, labels: L.weighted_pointwise_loss(
+        return lambda logits, labels, teacher: L.weighted_pointwise_loss(
             logits, labels, T=cfg.temperature
         )
     if name == "kd":
         # Reconstruction of the missing kd trainers' composite objective
         # (scripts/unity/kd_nway_listwise.sh: --kd_mode=ylabel
         # --ylabel_mode=ranknet --T=50 --lambda_weight=10): pairwise ranking
-        # on the label order + temperature-scaled KL on the score simplex.
-        def kd(logits, labels):
+        # on the label order + temperature-scaled KL on the teacher-score
+        # simplex.
+        def kd(logits, labels, teacher):
             return L.ranknet_loss(logits, labels) + cfg.lambda_weight * L.kl_div_loss(
-                logits, labels, T=cfg.temperature
+                logits, teacher, T=cfg.temperature
             )
 
         return kd
@@ -150,14 +158,14 @@ def make_train_step(
                 rngs={"dropout": rng},
             )
             labels = batch["labels"]
+            teacher = batch["teacher_scores"]
             if cfg.in_batch_loss:
                 bz, all_nway = logits.shape
                 n_pad = all_nway - labels.shape[1]
-                labels = jnp.concatenate(
-                    [labels, jnp.full((bz, n_pad), in_batch_pad, labels.dtype)],
-                    axis=-1,
-                )
-            loss = loss_fn(logits, labels)
+                pad = jnp.full((bz, n_pad), in_batch_pad, labels.dtype)
+                labels = jnp.concatenate([labels, pad], axis=-1)
+                teacher = jnp.concatenate([teacher, pad], axis=-1)
+            loss = loss_fn(logits, labels, teacher)
             reg_loss = jnp.float32(0.0)
             if cfg.reg_lambda > 0.0:
                 reg_loss = jnp.linalg.norm(logits.ravel()) * cfg.reg_lambda
@@ -188,6 +196,7 @@ def make_train_step(
         "query": {"input_ids": sharded, "attention_mask": sharded},
         "nway_passages": {"input_ids": sharded, "attention_mask": sharded},
         "labels": sharded,
+        "teacher_scores": sharded,
     }
     return jax.jit(
         step_fn,
@@ -390,8 +399,10 @@ class Trainer:
 
 def _batch_to_pytree(batch: NwayBatch) -> Dict[str, Any]:
     """Device-facing subset of the collated batch (ids stay host-side)."""
+    teacher = batch.teacher_scores if batch.teacher_scores is not None else batch.labels
     return {
         "query": dict(batch.query),
         "nway_passages": dict(batch.nway_passages),
         "labels": batch.labels,
+        "teacher_scores": teacher,
     }

@@ -189,3 +189,70 @@ def test_reranking_dataset_modes(tiny_corpus, tmp_path):
     assert b.query_passage["input_ids"].shape == (4, 32)
     # pair encoding: two SEP tokens present in each valid row
     assert (b.query_passage["input_ids"][0] == 2).sum() == 2
+
+
+def test_teacher_scores_loaded_and_collated(tmp_path):
+    """*_score.train.json files carry teacher scores into NwayBatch."""
+    import json as _json
+
+    import numpy as _np
+
+    from cldrd_tpu.data import NwayDataset
+    from cldrd_tpu.data.tokenization import HashTokenizer
+
+    queries = tmp_path / "q.tsv"
+    queries.write_text("0\tquery zero\n1\tquery one\n")
+    passages = tmp_path / "p.tsv"
+    passages.write_text("".join(f"{p}\tpassage {p}\n" for p in range(12)))
+    train = tmp_path / "t.jsonl"
+    rows = []
+    for q in range(2):
+        rows.append(_json.dumps({
+            "qid": q,
+            "relT_pids": [q * 6],
+            "relT_scores": [9.5 - q],
+            "most_hard_pids": [q * 6 + 1, q * 6 + 2, q * 6 + 3],
+            "most_hard_scores": [3.0, 2.0, 1.0],
+            "semi_hard_pids": [q * 6 + 4, q * 6 + 5],
+            "semi_hard_scores": [0.5, 0.1],
+        }) + "\n")
+    train.write_text("".join(rows))
+
+    ds = NwayDataset.create_from_files(
+        str(queries), str(passages), str(train), HashTokenizer(64),
+        max_query_len=6, max_passage_len=6, label_mode="1",
+    )
+    batch = ds.collate([ds[0], ds[1]])
+    assert batch.teacher_scores is not None
+    _np.testing.assert_allclose(
+        batch.teacher_scores,
+        [[9.5, 3.0, 2.0, 1.0, 0.5, 0.1], [8.5, 3.0, 2.0, 1.0, 0.5, 0.1]],
+    )
+    # labels still follow the label mode, independent of scores
+    _np.testing.assert_allclose(batch.labels[:, 0], [1.0, 1.0])
+
+
+def test_teacher_scores_neg_fill_modes(tmp_path):
+    import json as _json
+
+    from cldrd_tpu.data import NwayDataset
+    from cldrd_tpu.data.tokenization import HashTokenizer
+
+    queries = tmp_path / "q.tsv"
+    queries.write_text("0\tquery zero\n")
+    passages = tmp_path / "p.tsv"
+    passages.write_text("".join(f"{p}\tpassage {p}\n" for p in range(6)))
+    train = tmp_path / "t.jsonl"
+    train.write_text(_json.dumps({
+        "qid": 0, "relT_pids": [0], "relT_scores": [4.0],
+        "most_hard_pids": [1, 2, 3], "semi_hard_pids": [4, 5],
+    }) + "\n")
+
+    for mode, fill in (("original", 0.0), ("mean", 3.0)):
+        ds = NwayDataset.create_from_files(
+            str(queries), str(passages), str(train), HashTokenizer(64),
+            max_query_len=6, max_passage_len=6, label_mode="1",
+            neg_score_mode=mode,
+        )
+        item = ds[0]
+        assert list(item["teacher_scores"]) == [4.0] + [fill] * 5

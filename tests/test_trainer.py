@@ -131,9 +131,23 @@ def test_loss_dispatch_finite_grads(loss):
     fn = make_loss_fn(cfg)
     logits = jnp.asarray([[2.0, 1.0, 0.5, -0.3], [0.1, 0.2, 0.3, 0.4]])
     labels = jnp.asarray([[1.0, 0.5, 0.25, 0.1], [1.0, 0.5, 0.3, 0.2]])
-    val, grad = jax.value_and_grad(lambda lg: fn(lg, labels))(logits)
+    teacher = jnp.asarray([[9.0, 4.0, 2.0, 0.5], [8.0, 3.0, 2.5, 1.0]])
+    val, grad = jax.value_and_grad(lambda lg: fn(lg, labels, teacher))(logits)
     assert np.isfinite(float(val))
     assert np.all(np.isfinite(np.asarray(grad)))
+
+
+def test_kd_losses_use_teacher_scores():
+    """margin_mse / kl_div must depend on teacher_scores, not labels."""
+    logits = jnp.asarray([[2.0, 1.0, 0.5, -0.3]])
+    labels = jnp.asarray([[1.0, 0.5, 0.25, 0.1]])
+    t1 = jnp.asarray([[9.0, 4.0, 2.0, 0.5]])
+    t2 = jnp.asarray([[1.0, 7.0, 3.0, 2.5]])
+    for loss in ("margin_mse", "kl_div"):
+        fn = make_loss_fn(TrainConfig(loss=loss))
+        assert float(fn(logits, labels, t1)) != pytest.approx(
+            float(fn(logits, labels, t2))
+        )
 
 
 # ----------------------------------------------------- end-to-end training
