@@ -1,0 +1,97 @@
+"""Create curriculum training files: candidates -> teacher rerank -> buckets.
+
+The offline teacher-data pipeline the reference consumed but never shipped
+(SURVEY header; Figure 1 of the CL-DRD paper): take top-k candidates per
+training query (a run file from ``cli.retrieve``), score each (query,
+candidate) pair with a cross-encoder teacher, and bucket the teacher ranking
+into the curriculum JSONL stages (5relT_25neg / 10relT_20neg / 20relT_10neg
+/ 30relT) with teacher scores attached.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+from typing import List, Optional
+
+import jax.numpy as jnp
+
+from cldrd_tpu.data import build_curriculum_files, rerank_candidates_with_teacher
+from cldrd_tpu.data.loaders import load_passages, load_queries
+from cldrd_tpu.evaluation import load_run_ranklists, make_cross_encoder_score_fn
+from cldrd_tpu.models import CrossEncoder
+
+from .common import add_model_args, build_tokenizer, model_config_from_args, setup_logging
+
+logger = logging.getLogger("cldrd_tpu.cli.create_training_data")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--candidates-run", required=True,
+                   help="run TSV of retrieval candidates per training query")
+    p.add_argument("--queries", required=True)
+    p.add_argument("--passages", required=True)
+    p.add_argument("--teacher-checkpoint", default=None,
+                   help="cross-encoder teacher weights (.msgpack or HF torch)")
+    p.add_argument("--out-prefix", required=True,
+                   help="output path prefix for <stage>.train.jsonl files")
+    p.add_argument("--max-length", type=int, default=256)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--seed", type=int, default=4680)
+    add_model_args(p)
+    return p
+
+
+def _teacher_params(checkpoint: Optional[str], model, cfg):
+    import jax
+
+    dummy = {
+        "input_ids": jnp.zeros((1, 8), jnp.int32),
+        "attention_mask": jnp.ones((1, 8), jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), dummy)["params"]
+    if checkpoint:
+        if checkpoint.endswith(".msgpack"):
+            from flax import serialization
+
+            restored = serialization.msgpack_restore(open(checkpoint, "rb").read())
+            blob = restored.get("params", restored)
+            params = serialization.from_state_dict(params, blob)
+        else:
+            from cldrd_tpu.models.hf_loader import (
+                cross_encoder_torch_to_flax,
+                load_torch_checkpoint,
+            )
+
+            params = cross_encoder_torch_to_flax(load_torch_checkpoint(checkpoint))
+    return params
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    setup_logging()
+    args = build_parser().parse_args(argv)
+    cfg = model_config_from_args(args)
+    tokenizer = build_tokenizer(args.tokenizer, vocab_size=cfg.vocab_size)
+
+    ranklists = load_run_ranklists(args.candidates_run)
+    qid_to_query = load_queries(args.queries)
+    pid_to_passage = load_passages(args.passages)
+
+    model = CrossEncoder(config=cfg, dtype=jnp.bfloat16)
+    params = _teacher_params(args.teacher_checkpoint, model, cfg)
+    score_fn = make_cross_encoder_score_fn(model, params)
+
+    logger.info("teacher-scoring %d queries x candidates ...", len(ranklists))
+    qid_to_scored = rerank_candidates_with_teacher(
+        ranklists, score_fn, qid_to_query, pid_to_passage, tokenizer,
+        max_len=args.max_length, batch_size=args.batch_size,
+    )
+    paths = build_curriculum_files(qid_to_scored, args.out_prefix, seed=args.seed)
+    print(json.dumps(paths, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -13,6 +13,12 @@ from .loaders import (
     passage_text,
 )
 from .nway_dataset import NwayBatch, NwayDataset
+from .teacher import (
+    CURRICULUM_BUCKETS,
+    bucket_example,
+    build_curriculum_files,
+    rerank_candidates_with_teacher,
+)
 from .reranking_dataset import RerankBatch, RerankingDataset
 from .sequence_dataset import SequenceBatch, SequenceDataset
 from .tokenization import HFTokenizerAdapter, HashTokenizer
@@ -30,6 +36,10 @@ __all__ = [
     "passage_text",
     "NwayBatch",
     "NwayDataset",
+    "CURRICULUM_BUCKETS",
+    "bucket_example",
+    "build_curriculum_files",
+    "rerank_candidates_with_teacher",
     "RerankBatch",
     "RerankingDataset",
     "SequenceBatch",
