@@ -72,6 +72,10 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"    # TPU-native replacement for CUDA AMP fp16
     n_devices: Optional[int] = None    # None = all visible devices
 
+    # observability (SURVEY §5.2: the reference has no NaN handling beyond a
+    # print; here a non-finite loss fails fast by default)
+    nan_policy: str = "raise"          # raise | warn | ignore
+
     def replace(self, **overrides) -> "TrainConfig":
         return dataclasses.replace(self, **overrides)
 

@@ -347,6 +347,16 @@ class Trainer:
                 global_step += 1
 
                 m = {k: float(v) for k, v in metrics.items()}
+                if not (m["loss"] == m["loss"]) or abs(m["loss"]) == float("inf"):
+                    msg = (
+                        f"non-finite loss {m['loss']} at step {global_step} "
+                        f"(grad_norm={m['grad_norm']}); check tokenizer/model "
+                        "vocab agreement and learning rate"
+                    )
+                    if cfg.nan_policy == "raise":
+                        raise FloatingPointError(msg)
+                    if cfg.nan_policy == "warn":
+                        logger.warning(msg)
                 loss_m.update(m["loss"])
                 mrr_m.update(m["mrr"])
                 recall_m.update(m["recall"])
