@@ -3,7 +3,9 @@ from .dual_encoder import NwayDualEncoder, DualEncoder
 from .cross_encoder import CrossEncoder
 from .hf_loader import (
     distilbert_torch_to_flax,
+    distilbert_flax_to_torch,
     dual_encoder_torch_to_flax,
+    dual_encoder_flax_to_torch,
     cross_encoder_torch_to_flax,
     load_torch_checkpoint,
     strip_prefix,
@@ -17,7 +19,9 @@ __all__ = [
     "DualEncoder",
     "CrossEncoder",
     "distilbert_torch_to_flax",
+    "distilbert_flax_to_torch",
     "dual_encoder_torch_to_flax",
+    "dual_encoder_flax_to_torch",
     "cross_encoder_torch_to_flax",
     "load_torch_checkpoint",
     "strip_prefix",

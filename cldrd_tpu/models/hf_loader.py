@@ -123,6 +123,74 @@ def cross_encoder_torch_to_flax(state_dict: Mapping[str, Any]) -> Params:
     return params
 
 
+def _flatten(tree: Mapping[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, Mapping):
+            out.update(_flatten(v, key + "."))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def distilbert_flax_to_torch(params: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`distilbert_torch_to_flax`: one ``DistilBertEncoder``
+    param tree -> HF ``DistilBertModel`` state_dict (numpy values; wrap with
+    ``torch.from_numpy`` to load into torch). Lets models trained here be
+    exported back to the HF/torch ecosystem."""
+    flat = _flatten(params)
+    out: Dict[str, np.ndarray] = {}
+    for key, arr in flat.items():
+        parts = key.split(".")
+        if key == "embeddings.word_embeddings.embedding":
+            out["embeddings.word_embeddings.weight"] = arr
+        elif key == "embeddings.position_embeddings":
+            out["embeddings.position_embeddings.weight"] = arr
+        elif key == "embeddings.LayerNorm.scale":
+            out["embeddings.LayerNorm.weight"] = arr
+        elif key == "embeddings.LayerNorm.bias":
+            out["embeddings.LayerNorm.bias"] = arr
+        elif parts[0].startswith("layer_"):
+            i = int(parts[0][len("layer_"):])
+            base = f"transformer.layer.{i}"
+            if parts[1] == "attention":
+                name, kind = parts[2], parts[3]
+                if kind == "kernel":
+                    out[f"{base}.attention.{name}.weight"] = arr.T
+                else:
+                    out[f"{base}.attention.{name}.bias"] = arr
+            elif parts[1] in ("lin1", "lin2"):
+                kind = parts[2]
+                if kind == "kernel":
+                    out[f"{base}.ffn.{parts[1]}.weight"] = arr.T
+                else:
+                    out[f"{base}.ffn.{parts[1]}.bias"] = arr
+            elif parts[1] in ("sa_layer_norm", "output_layer_norm"):
+                kind = "weight" if parts[2] == "scale" else "bias"
+                out[f"{base}.{parts[1]}.{kind}"] = arr
+    return out
+
+
+def dual_encoder_flax_to_torch(
+    params: Mapping[str, Any], share_weights: bool = False
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`dual_encoder_torch_to_flax`: export a trained
+    ``NwayDualEncoder`` param tree as a reference-layout state_dict
+    (``query_encoder.* / passage_encoder.*`` keys, no ``module.`` prefix)."""
+    if share_weights:
+        enc = distilbert_flax_to_torch(params["encoder"])
+        out = {}
+        for tower in ("query_encoder", "passage_encoder"):
+            out.update({f"{tower}.{k}": v for k, v in enc.items()})
+        return out
+    out = {}
+    for tower in ("query_encoder", "passage_encoder"):
+        enc = distilbert_flax_to_torch(params[tower])
+        out.update({f"{tower}.{k}": v for k, v in enc.items()})
+    return out
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     """Read a reference ``*.pth.tar`` (or plain ``.bin``) checkpoint's
     state_dict on the host. Returns the raw (un-converted) mapping."""

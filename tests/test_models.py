@@ -224,3 +224,47 @@ def test_padding_invariance():
     ids2 = np.where(mask == 0, 7, ids)  # scribble over padding
     out2 = cls_pool(model.apply({"params": params}, jnp.array(ids2), jnp.array(mask)))
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_flax_to_torch_roundtrip():
+    """torch->flax->torch must be the identity on a real HF DistilBertModel
+    state_dict (random-initialized locally; no network)."""
+    torch = pytest.importorskip("torch")
+    from transformers import DistilBertConfig as HFConfig, DistilBertModel
+
+    from cldrd_tpu.models import distilbert_flax_to_torch, distilbert_torch_to_flax
+
+    hf = DistilBertModel(HFConfig(n_layers=2, dim=32, n_heads=4, hidden_dim=64,
+                                  vocab_size=128, max_position_embeddings=64))
+    sd = {k: v for k, v in hf.state_dict().items()}
+    flax_params = distilbert_torch_to_flax(sd)
+    back = distilbert_flax_to_torch(flax_params)
+    orig = {k: v.numpy() for k, v in sd.items()}
+    assert set(back) == set(orig)
+    for k in orig:
+        np.testing.assert_allclose(back[k], orig[k], rtol=1e-6, atol=1e-6)
+
+
+def test_dual_encoder_flax_to_torch_layout():
+    from cldrd_tpu.models import (
+        DistilBertConfig,
+        NwayDualEncoder,
+        dual_encoder_flax_to_torch,
+        dual_encoder_torch_to_flax,
+    )
+
+    cfg = DistilBertConfig.tiny()
+    model = NwayDualEncoder(config=cfg, dtype=jnp.float32)
+    dummy_q = {"input_ids": jnp.zeros((1, 4), jnp.int32),
+               "attention_mask": jnp.ones((1, 4), jnp.int32)}
+    dummy_p = {"input_ids": jnp.zeros((1, 1, 4), jnp.int32),
+               "attention_mask": jnp.ones((1, 1, 4), jnp.int32)}
+    params = model.init(jax.random.PRNGKey(0), dummy_q, dummy_p)["params"]
+    sd = dual_encoder_flax_to_torch(params)
+    assert any(k.startswith("query_encoder.transformer.layer.0.attention.q_lin")
+               for k in sd)
+    # and the exported dict loads back losslessly
+    back = dual_encoder_torch_to_flax(sd)
+    for a, b in zip(jax.tree_util.tree_leaves(back),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
