@@ -34,6 +34,10 @@ Dtype = Any
 Batch = Dict[str, jax.Array]
 
 
+def _l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+
 def _in_batch_neg_indices(bz: int, nway: int, all_in_batch_neg: bool) -> np.ndarray:
     """Static negative-passage index matrix (reference ``:30-41``).
 
@@ -70,6 +74,10 @@ class NwayDualEncoder(nn.Module):
     share_weights: bool = False
     in_batch_loss: bool = False
     all_in_batch_neg: bool = True
+    # cosine scoring (the reference's missing ctof_grained trainers'
+    # --apply_consine_similarity flag, SURVEY §2.4): L2-normalize both
+    # embeddings so logits are cosine similarities instead of dot products
+    apply_cosine_similarity: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -96,6 +104,9 @@ class NwayDualEncoder(nn.Module):
         where nway' is nway, nway*bz, or 2*nway (reference ``:21-48``)."""
         query_reps = self.query_embs(queries, deterministic)  # [bz, D]
         nway_reps = self.nway_passage_embs(nway_passages, deterministic)
+        if self.apply_cosine_similarity:
+            query_reps = _l2_normalize(query_reps)
+            nway_reps = _l2_normalize(nway_reps)
         bz, nway, dim = nway_reps.shape
 
         if self.in_batch_loss:

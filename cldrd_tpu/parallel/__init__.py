@@ -8,6 +8,7 @@ from .mesh import (
     replicated,
     shard_batch_to_devices,
 )
+from .multihost import host_shard, initialize_multihost, is_first_host
 
 __all__ = [
     "DATA_AXIS",
@@ -18,4 +19,7 @@ __all__ = [
     "corpus_sharding",
     "replicated",
     "shard_batch_to_devices",
+    "host_shard",
+    "initialize_multihost",
+    "is_first_host",
 ]

@@ -227,6 +227,7 @@ class Trainer:
             share_weights=cfg.share_weights,
             in_batch_loss=cfg.in_batch_loss,
             all_in_batch_neg=cfg.all_in_batch_neg,
+            apply_cosine_similarity=cfg.apply_cosine_similarity,
             dtype=dtype,
         )
         self.run_dir = os.path.join(cfg.run_folder, cfg.experiment_name)

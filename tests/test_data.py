@@ -256,3 +256,11 @@ def test_teacher_scores_neg_fill_modes(tmp_path):
         )
         item = ds[0]
         assert list(item["teacher_scores"]) == [4.0] + [fill] * 5
+
+
+def test_host_shard_single_process():
+    from cldrd_tpu.parallel import host_shard, is_first_host
+
+    rank, nranks = host_shard()
+    assert rank == -1 and nranks is None  # single-process: no sharding
+    assert is_first_host()

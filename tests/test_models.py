@@ -268,3 +268,28 @@ def test_dual_encoder_flax_to_torch_layout():
     for a, b in zip(jax.tree_util.tree_leaves(back),
                     jax.tree_util.tree_leaves(params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_cosine_similarity_scoring():
+    """apply_cosine_similarity=True bounds logits to [-1, 1] and equals the
+    normalized dot product of the towers' embeddings."""
+    from cldrd_tpu.models import DistilBertConfig, NwayDualEncoder
+
+    cfg = DistilBertConfig.tiny()
+    model_dot = NwayDualEncoder(config=cfg, dtype=jnp.float32)
+    model_cos = NwayDualEncoder(config=cfg, apply_cosine_similarity=True,
+                                dtype=jnp.float32)
+    q = {"input_ids": jax.random.randint(jax.random.PRNGKey(0), (2, 6), 0, cfg.vocab_size),
+         "attention_mask": jnp.ones((2, 6), jnp.int32)}
+    p = {"input_ids": jax.random.randint(jax.random.PRNGKey(1), (2, 3, 8), 0, cfg.vocab_size),
+         "attention_mask": jnp.ones((2, 3, 8), jnp.int32)}
+    params = model_dot.init(jax.random.PRNGKey(2), q, p)["params"]
+    cos = model_cos.apply({"params": params}, q, p)
+    assert np.all(np.abs(np.asarray(cos)) <= 1.0 + 1e-6)
+    # equals dot of normalized embeddings
+    qe = model_dot.apply({"params": params}, q, method=model_dot.query_embs)
+    pe = model_dot.apply({"params": params}, p, method=model_dot.nway_passage_embs)
+    qn = np.asarray(qe) / np.linalg.norm(np.asarray(qe), axis=-1, keepdims=True)
+    pn = np.asarray(pe) / np.linalg.norm(np.asarray(pe), axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(cos), np.einsum("bd,bnd->bn", qn, pn),
+                               atol=1e-5)
