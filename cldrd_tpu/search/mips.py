@@ -160,8 +160,10 @@ def topk_jit(queries, corpus, row_ids, k: int, block_rows: int = 8192):
 # is among the top-k bins ranked by bin max. Hence the true top-k is covered
 # by the contents of the top-k bins — an exact candidate set of k*L items.
 #
-# Defaults (bin_rows=128, extract=8) are the swept optimum on v5e at
-# [B=512, N=1.1M, D=768, k=1000]: 45.7 ms/batch = 11.2k QPS exact.
+# Defaults (bin_rows=128, extract=6) are the swept optimum on v5e at
+# [B=512, N=1.1M, D=768, k=1000]: 41.7 ms/batch = 12.3k QPS exact. A
+# smaller ``extract`` narrows faster but falls back (still exact, slower)
+# more often on corpora where many near-tied items share a bin.
 #
 # The candidate set is then narrowed from k*L to k*m (m << L) by extracting
 # the top-m items of each bin with m rounds of (max, argmax, mask). This
@@ -260,7 +262,7 @@ def topk_binmax(
     row_ids: jax.Array,
     k: int,
     bin_rows: int = 128,
-    extract: int = 8,
+    extract: int = 6,
     segment_rows: int = 2_097_152,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact MIPS top-k via bin-max selection (see block comment above).
@@ -304,6 +306,6 @@ def topk_binmax(
 )
 def topk_binmax_jit(
     queries, corpus, row_ids, k: int,
-    bin_rows: int = 128, extract: int = 8, segment_rows: int = 2_097_152,
+    bin_rows: int = 128, extract: int = 6, segment_rows: int = 2_097_152,
 ):
     return topk_binmax(queries, corpus, row_ids, k, bin_rows, extract, segment_rows)
