@@ -72,15 +72,22 @@ def encode_dataset(
     dataset: SequenceDataset,
     batch_size: int,
     log_every: int = 200,
+    prefetch_depth: int = 4,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Encode every sequence; returns (embeddings fp32 [N, D], ids int64 [N]).
 
+    Tokenization/collation runs ``prefetch_depth`` batches ahead on a
+    background thread so the host pipeline overlaps device compute (JAX
+    dispatch is async; the producer otherwise serializes with it).
+
     NaN count is checked like the reference (``retrieval_utils.py:55``) but
     raises instead of printing-and-continuing."""
+    from cldrd_tpu.data.prefetch import prefetch
+
     emb_chunks, id_chunks = [], []
     t0 = time.perf_counter()
     n_batches = 0
-    for batch in dataset.batches(batch_size):
+    for batch in prefetch(dataset.batches(batch_size), depth=prefetch_depth):
         embs = encode_fn(batch.tokens)
         n = batch.n_valid
         emb_chunks.append(np.asarray(embs)[:n])

@@ -334,11 +334,19 @@ class Trainer:
             cfg.loss, cfg.label_mode, self.mesh.devices.size,
         )
 
+        from cldrd_tpu.data.prefetch import prefetch
+
         first_batch_checked = False
         for epoch in range(start_epoch, cfg.num_train_epochs):
             state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
-            for batch in dataset.batches(
-                cfg.batch_size, shuffle=True, seed=cfg.seed + epoch, drop_last=True
+            # tokenize/collate ahead on a background thread (host pipeline
+            # overlaps the device step; SURVEY §7 throughput requirement)
+            for batch in prefetch(
+                dataset.batches(
+                    cfg.batch_size, shuffle=True, seed=cfg.seed + epoch,
+                    drop_last=True,
+                ),
+                depth=2,
             ):
                 if not first_batch_checked:
                     self._validate_token_range(batch)

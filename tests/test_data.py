@@ -264,3 +264,22 @@ def test_host_shard_single_process():
     rank, nranks = host_shard()
     assert rank == -1 and nranks is None  # single-process: no sharding
     assert is_first_host()
+
+
+def test_prefetch_preserves_order_and_raises():
+    from cldrd_tpu.data.prefetch import prefetch
+
+    assert list(prefetch(range(100), depth=3)) == list(range(100))
+    assert list(prefetch(iter([]), depth=1)) == []
+
+    def boom():
+        yield 1
+        yield 2
+        raise RuntimeError("producer failed")
+
+    import pytest as _pytest
+
+    it = prefetch(boom(), depth=2)
+    assert next(it) == 1 and next(it) == 2
+    with _pytest.raises(RuntimeError, match="producer failed"):
+        list(it)
