@@ -19,7 +19,12 @@ from .teacher import (
     build_curriculum_files,
     rerank_candidates_with_teacher,
 )
-from .reranking_dataset import RerankBatch, RerankingDataset
+from .reranking_dataset import (
+    MsMacroRerankingDataset,
+    MsMarcoRerankingDataset,
+    RerankBatch,
+    RerankingDataset,
+)
 from .sequence_dataset import SequenceBatch, SequenceDataset
 from .tokenization import HFTokenizerAdapter, HashTokenizer
 
@@ -42,6 +47,8 @@ __all__ = [
     "rerank_candidates_with_teacher",
     "RerankBatch",
     "RerankingDataset",
+    "MsMarcoRerankingDataset",
+    "MsMacroRerankingDataset",
     "SequenceBatch",
     "SequenceDataset",
     "HFTokenizerAdapter",

@@ -98,3 +98,11 @@ class RerankingDataset:
                     query=self._pad_tokens(q, batch_size),
                     passage=self._pad_tokens(p, batch_size),
                 )
+
+
+# The reference's missing ``dataset::MsMacroRerankingDataset``
+# (``reranking_evaluator.py:284``, SURVEY §2.4) is the same capability with
+# MS MARCO file layouts; this alias keeps reference-oriented call sites
+# working (sic: the reference spells it "MsMacro").
+MsMarcoRerankingDataset = RerankingDataset
+MsMacroRerankingDataset = RerankingDataset
