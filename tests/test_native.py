@@ -90,10 +90,6 @@ def test_throughput_faster_than_python(tmp_path):
         for pid in range(200_000):
             f.write(f"{pid}\tpassage text with some words repeated {pid % 97}\n")
 
-    t0 = time.perf_counter()
-    native_out = native.parse_id_text_tsv(str(path))
-    t_native = time.perf_counter() - t0
-
     def py_parse(p):
         out = {}
         with open(p, "r", encoding="utf-8") as f:
@@ -102,9 +98,16 @@ def test_throughput_faster_than_python(tmp_path):
                 out[int(i)] = t.strip()
         return out
 
-    t0 = time.perf_counter()
-    py_out = py_parse(str(path))
-    t_py = time.perf_counter() - t0
+    # best-of-2 each to damp scheduler noise (this box may be running TPU
+    # benchmarks concurrently)
+    t_native, t_py = float("inf"), float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        native_out = native.parse_id_text_tsv(str(path))
+        t_native = min(t_native, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        py_out = py_parse(str(path))
+        t_py = min(t_py, time.perf_counter() - t0)
 
     assert native_out == py_out
     assert t_native < t_py, (t_native, t_py)
