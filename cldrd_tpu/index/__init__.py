@@ -1,5 +1,10 @@
 from .flat_index import FlatIPIndex
-from .builder import build_index_from_dataset, encode_dataset, make_encode_fn
+from .builder import (
+    build_index_from_dataset,
+    build_index_on_device,
+    encode_dataset,
+    make_encode_fn,
+)
 from .persistence import (
     index_exists,
     load_index,
@@ -10,6 +15,7 @@ from .persistence import (
 __all__ = [
     "FlatIPIndex",
     "build_index_from_dataset",
+    "build_index_on_device",
     "encode_dataset",
     "make_encode_fn",
     "index_exists",

@@ -16,6 +16,7 @@ passages. Redesign:
 """
 from __future__ import annotations
 
+import functools
 import logging
 import time
 from typing import Callable, Iterable, Optional, Tuple
@@ -130,4 +131,59 @@ def build_index_from_dataset(
         write_embeddings(out_dir, embeddings, ids)
     return FlatIPIndex.build(
         embeddings, ids, mesh=mesh, dtype=dtype, block_rows=block_rows
+    )
+
+
+def build_index_on_device(
+    encode_fn: EncodeFn,
+    dataset: SequenceDataset,
+    batch_size: int,
+    dim: int,
+    dtype=jnp.bfloat16,
+    block_rows: int = 8192,
+    prefetch_depth: int = 4,
+):
+    """Encode straight into the in-HBM index — no host round-trip.
+
+    ``encode_dataset`` + ``FlatIPIndex.build`` moves every embedding
+    device -> host -> device (the reference does the same through numpy,
+    ``retrieval_utils.py:30-58`` then ``index_text.py:91-97``). When the
+    index is only needed in HBM (serving, per-iteration evaluation), this
+    path appends each encoded batch into a preallocated device buffer with
+    a donated ``dynamic_update_slice`` — the embeddings never leave the
+    chip. Single-device (per-process) by design; for the sharded index,
+    each host builds its shard and the mesh assembles via
+    ``jax.make_array_from_single_device_arrays``.
+    """
+    from cldrd_tpu.data.prefetch import prefetch
+
+    from .flat_index import FlatIPIndex, _pad_rows
+
+    n = len(dataset)
+    # the final (ragged) batch writes a full batch_size rows of which the
+    # tail is padding; the buffer must cover that write without clipping
+    n_pad = _pad_rows(_pad_rows(max(n, 1), batch_size), block_rows)
+    buf = jnp.zeros((n_pad, dim), dtype)
+    ids_buf = np.full((n_pad,), -1, np.int64)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def append(buf, embs, offset):
+        return jax.lax.dynamic_update_slice(buf, embs.astype(buf.dtype), (offset, 0))
+
+    offset = 0
+    for batch in prefetch(dataset.batches(batch_size), depth=prefetch_depth):
+        embs = encode_fn(batch.tokens)  # [batch_size, dim] on device
+        buf = append(buf, embs, jnp.asarray(offset, jnp.int32))
+        ids_buf[offset : offset + batch.n_valid] = batch.ids[: batch.n_valid]
+        offset += batch.n_valid
+        if batch.n_valid < batch_size:
+            # padded tail rows were written; ids_buf stays -1 so they are
+            # masked out of every search
+            pass
+    assert offset == n, (offset, n)
+    return FlatIPIndex(
+        embeddings=buf,
+        row_ids=jnp.asarray(ids_buf.astype(np.int32)),
+        mesh=None,
+        block_rows=block_rows,
     )

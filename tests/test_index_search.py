@@ -292,3 +292,38 @@ def test_flat_index_binmax_default(corpus):
     s, i = index.search(q, k=20)
     s_ref, i_ref = _numpy_topk(q, c, ids, 20)
     np.testing.assert_array_equal(i[:, :10], i_ref[:, :10])
+
+
+def test_build_index_on_device_matches_host_path():
+    """Device-side index build (no host round-trip) must produce the same
+    search results as the host-path build, including ragged-tail handling."""
+    import jax.numpy as jnp
+
+    from cldrd_tpu.data.sequence_dataset import SequenceDataset
+    from cldrd_tpu.data.tokenization import HashTokenizer
+    from cldrd_tpu.index import build_index_on_device, encode_dataset, make_encode_fn
+    from cldrd_tpu.models import DistilBertConfig, NwayDualEncoder
+
+    cfg = DistilBertConfig.tiny()
+    model = NwayDualEncoder(config=cfg, dtype=jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        {"input_ids": jnp.zeros((1, 4), jnp.int32), "attention_mask": jnp.ones((1, 4), jnp.int32)},
+        {"input_ids": jnp.zeros((1, 1, 4), jnp.int32), "attention_mask": jnp.ones((1, 1, 4), jnp.int32)},
+    )["params"]
+    # 101 passages: ragged final batch with batch_size 16
+    id_to_seq = {i + 50: f"text number {i} body" for i in range(101)}
+    ds = SequenceDataset(id_to_seq, HashTokenizer(cfg.vocab_size), 8, is_query=False)
+    encode = make_encode_fn(model, params, "passage_embs", dtype=jnp.float32)
+
+    dev_index = build_index_on_device(encode, ds, batch_size=16, dim=cfg.dim,
+                                      dtype=jnp.float32, block_rows=64)
+    embs, ids = encode_dataset(encode, ds, 16)
+    host_index = FlatIPIndex.build(embs, ids, dtype=jnp.float32, block_rows=64)
+
+    q = embs[:5]
+    s_d, i_d = dev_index.search(q, k=10)
+    s_h, i_h = host_index.search(q, k=10)
+    np.testing.assert_allclose(s_d, s_h, rtol=1e-5)
+    np.testing.assert_array_equal(i_d, i_h)
+    assert i_d[0, 0] == ids[0]  # self-retrieval
