@@ -18,13 +18,14 @@ Prints a JSON phase breakdown. Reference baseline for the index-build
 phase: ~2.5 h on an RTX 8000 (reference README.md:20).
 
 Measured on one v5e chip through the development tunnel (2026-08-16):
-index_build 476 s (2,339 passages/s end-to-end including host tokenization
-and first compile; 1/8 of MS MARCO per chip -> the full 8.8M collection
-builds in under 8 min on 8 chips), search+run-file 25 s for all 6,980
-queries. NOTE: in this dev environment host<->device transfers run over a
-slow tunnel, so the query-encode and result-fetch phases here are
-transfer-bound; the marginal device rates are 3,832 passages/s and
-14,213 search QPS (see README).
+index_build 476 s (2,339 passages/s end-to-end including first compile and
+host tokenization — with the lightweight hash tokenizer on short synthetic
+text; real HF subword tokenization of full-length MS MARCO passages does
+more host work, which the prefetch thread must hide behind the 134 ms/batch
+device time), search+run-file 25 s for all 6,980 queries. NOTE: in this dev
+environment host<->device transfers run over a slow tunnel, so the
+query-encode and result-fetch phases here are transfer-bound; the marginal
+device rates are 3,832 passages/s and 14,213 search QPS (see README).
 
 Usage:  python examples/full_scale_demo.py [--n-passages 1114112]
 """
@@ -100,13 +101,16 @@ def main():
             topk=args.topk, batch_size=args.search_batch,
         )
 
+    phases = timer.report()
+    with open(args.out) as f:
+        run_lines = sum(1 for _ in f)
     report = {
         "n_passages": args.n_passages,
         "n_queries": args.n_queries,
-        "phases": timer.report(),
-        "index_passages_per_s": round(args.n_passages / timer._acc["index_build"], 1),
+        "phases": phases,
+        "index_passages_per_s": round(args.n_passages / phases["index_build_s"], 1),
         "search_qps": round(stats["qps"], 1),
-        "run_file_lines": sum(1 for _ in open(args.out)),
+        "run_file_lines": run_lines,
     }
     print(json.dumps(report, indent=2))
 
