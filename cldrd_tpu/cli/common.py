@@ -33,7 +33,9 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--model-size", choices=("full", "tiny"), default="full",
                    help="'tiny' is the hermetic test configuration")
     p.add_argument("--attention-impl", choices=("xla", "pallas"), default="xla")
-    p.add_argument("--share-weights", action="store_true",
+    # default=None so a YAML config's share_weights survives when the flag
+    # is not passed (argparse's store_true default False would clobber it)
+    p.add_argument("--share-weights", action="store_true", default=None,
                    help="one tower for queries and passages (reference --share_weights)")
     p.add_argument("--tokenizer", default="hash",
                    help="'hash' (hermetic) or an HF tokenizer name/path")

@@ -55,8 +55,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         passages_path=args.passages,
         train_fmt=args.train_fmt,
         run_folder=args.run_folder,
-        share_weights=args.share_weights,
     )
+    if args.share_weights is not None:
+        base = base.replace(share_weights=args.share_weights)
     if args.batch_size is not None:
         base = base.replace(batch_size=args.batch_size)
 

@@ -51,6 +51,7 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: Optional[List[str]] = None) -> int:
     setup_logging()
     args = build_parser().parse_args(argv)
+    args.share_weights = bool(args.share_weights)
     cfg = model_config_from_args(args)
     tokenizer = build_tokenizer(args.tokenizer, vocab_size=cfg.vocab_size)
 

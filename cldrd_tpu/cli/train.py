@@ -50,8 +50,6 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         for k, v in vars(args).items()
         if v is not None and hasattr(cfg, k)
     }
-    if args.share_weights:
-        overrides["share_weights"] = True
     return cfg.replace(**overrides)
 
 

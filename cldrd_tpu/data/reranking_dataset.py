@@ -41,14 +41,46 @@ class RerankingDataset:
         query_max_len: Optional[int] = None,
         passage_max_len: Optional[int] = None,
     ):
-        self.pairs: List[Tuple[int, int]] = []
+        pairs: List[Tuple[int, int]] = []
         with open(ranking_path, "r", encoding="utf-8") as f:
             for line in f:
                 a = line.rstrip("\n").split("\t")
                 qid, pid = (int(a[0]), int(a[1])) if query_first else (int(a[1]), int(a[0]))
-                self.pairs.append((qid, pid))
-        self.qid_to_query = load_queries(queries_path)
-        self.pid_to_passage = load_passages(passages_path)
+                pairs.append((qid, pid))
+        self._init_core(
+            pairs, load_queries(queries_path), load_passages(passages_path),
+            tokenizer, is_cross_encoder, max_len, query_max_len, passage_max_len,
+        )
+
+    @classmethod
+    def from_pairs(
+        cls,
+        pairs: List[Tuple[int, int]],
+        qid_to_query: Dict[int, str],
+        pid_to_passage: Dict[int, object],
+        tokenizer,
+        is_cross_encoder: bool,
+        max_len: Optional[int] = None,
+        query_max_len: Optional[int] = None,
+        passage_max_len: Optional[int] = None,
+    ) -> "RerankingDataset":
+        """In-memory (qid, pid) pairs with preloaded text lookups — shares
+        the exact collation contract with the file-based constructor (used
+        by teacher-data creation so the two paths cannot drift)."""
+        obj = cls.__new__(cls)
+        obj._init_core(
+            list(pairs), qid_to_query, pid_to_passage,
+            tokenizer, is_cross_encoder, max_len, query_max_len, passage_max_len,
+        )
+        return obj
+
+    def _init_core(
+        self, pairs, qid_to_query, pid_to_passage, tokenizer,
+        is_cross_encoder, max_len, query_max_len, passage_max_len,
+    ) -> None:
+        self.pairs = pairs
+        self.qid_to_query = qid_to_query
+        self.pid_to_passage = pid_to_passage
         self.tokenizer = tokenizer
         self.is_cross_encoder = is_cross_encoder
         if is_cross_encoder:

@@ -109,36 +109,25 @@ def rerank_candidates_with_teacher(
     """Score every (query, candidate) pair with the teacher and sort.
 
     ``score_fn`` takes a ``RerankBatch`` (cross- or dual-encoder;
-    ``cldrd_tpu.evaluation.make_*_score_fn``)."""
-    from cldrd_tpu.data.loaders import passage_text
-    from cldrd_tpu.data.reranking_dataset import RerankBatch
+    ``cldrd_tpu.evaluation.make_*_score_fn``). Collation is shared with
+    ``RerankingDataset`` (via ``from_pairs``), so evaluation-time and
+    data-creation-time batches are identical by construction."""
+    from cldrd_tpu.data.reranking_dataset import RerankingDataset
 
-    sep = getattr(tokenizer, "sep_token", "[SEP]")
     pairs = [
         (qid, pid) for qid, pids in qid_to_ranklist.items() for pid in pids
     ]
+    dataset = RerankingDataset.from_pairs(
+        pairs, qid_to_query, pid_to_passage, tokenizer,
+        is_cross_encoder=True, max_len=max_len,
+    )
     out: Dict[int, List[Tuple[int, float]]] = {}
-    for start in range(0, len(pairs), batch_size):
-        chunk = pairs[start : start + batch_size]
-        n = len(chunk)
-        queries = [qid_to_query[q] for q, _ in chunk]
-        passages = [passage_text(pid_to_passage[p], sep) for _, p in chunk]
-        qp = tokenizer(queries, max_len, pairs=passages)
-        if n < batch_size:
-            qp = {
-                k: np.concatenate(
-                    [v, np.zeros((batch_size - n, v.shape[1]), v.dtype)]
-                )
-                for k, v in qp.items()
-            }
-        qids = np.full((batch_size,), -1, np.int64)
-        pids = np.full((batch_size,), -1, np.int64)
-        qids[:n] = [q for q, _ in chunk]
-        pids[:n] = [p for _, p in chunk]
-        batch = RerankBatch(qids=qids, pids=pids, n_valid=n, query_passage=qp)
+    for batch in dataset.batches(batch_size):
         scores = score_fn(batch)
-        for i in range(n):
-            out.setdefault(int(qids[i]), []).append((int(pids[i]), float(scores[i])))
+        for i in range(batch.n_valid):
+            out.setdefault(int(batch.qids[i]), []).append(
+                (int(batch.pids[i]), float(scores[i]))
+            )
     return {
         qid: sorted(scored, key=lambda x: -x[1]) for qid, scored in out.items()
     }

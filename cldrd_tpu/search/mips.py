@@ -48,11 +48,26 @@ def topk_dense(
     queries: jax.Array, corpus: jax.Array, row_ids: jax.Array, k: int
 ) -> Tuple[jax.Array, jax.Array]:
     """Single full-matrix top-k (materializes [B, N]); for small corpora
-    and as the correctness oracle for the streaming path."""
+    and as the correctness oracle for the streaming path.
+
+    Handles k > N: results are padded with (-inf, -1) beyond the corpus
+    size (``lax.top_k`` itself rejects k > axis size)."""
+    n = corpus.shape[0]
     scores = _block_scores(queries, corpus)
     scores = jnp.where(row_ids[None, :] >= 0, scores, NEG_INF)
-    top_s, top_idx = jax.lax.top_k(scores, k)
-    return top_s, jnp.take(row_ids, top_idx)
+    k_eff = min(k, n)
+    top_s, top_idx = jax.lax.top_k(scores, k_eff)
+    top_i = jnp.take(row_ids, top_idx)
+    if k_eff < k:
+        bz = queries.shape[0]
+        top_s = jnp.concatenate(
+            [top_s, jnp.full((bz, k - k_eff), NEG_INF, top_s.dtype)], axis=-1
+        )
+        top_i = jnp.concatenate(
+            [top_i, jnp.full((bz, k - k_eff), -1, top_i.dtype)], axis=-1
+        )
+    top_i = jnp.where(jnp.isfinite(top_s), top_i, -1)
+    return top_s, top_i
 
 
 def topk_streaming(
@@ -342,7 +357,11 @@ def _binmax_segment(
         p = jnp.take_along_axis(cand_pos.reshape(bz, kb * bin_rows), sel, axis=-1)
         return v, p
 
-    if kb * m < k:  # not enough narrowed candidates: always take the full set
+    if kb < k or kb * m < k:
+        # kb < k: tau (the kb-th bin max) is NOT a lower bound on the true
+        # k-th score, so the narrowing check is unsound — but then kb ==
+        # nbins and ``cand`` holds the ENTIRE segment, so the slow path is
+        # an exact full top-k. kb*m < k: not enough narrowed candidates.
         v, p = slow(None)
     else:
         v, p = jax.lax.cond(ok, fast, slow, None)
@@ -364,13 +383,15 @@ def topk_binmax(
 
     Materializes fp32 scores one ``segment_rows`` corpus segment at a time
     (B * segment_rows * 4 bytes of HBM scratch), so large corpora stream in
-    exact segment-topk + merge steps. N must be a multiple of ``bin_rows``
-    (the index pads with ``row_id == -1`` rows).
+    exact segment-topk + merge steps. ``bin_rows`` is halved automatically
+    (down to 8) until it divides N; if nothing fits, the dense path runs —
+    the result is exact in every case.
     """
     n, _ = corpus.shape
-    if n <= k or n <= bin_rows * 2:
+    while bin_rows > 8 and n % bin_rows:
+        bin_rows //= 2
+    if n <= k or n <= bin_rows * 2 or n % bin_rows:
         return topk_dense(queries, corpus, row_ids, k)
-    assert n % bin_rows == 0, (n, bin_rows)
     segment_rows = min(segment_rows, n)
     # segments must be bin-aligned
     segment_rows -= segment_rows % bin_rows

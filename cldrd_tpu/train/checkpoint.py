@@ -68,7 +68,6 @@ def load_warm_start_params(path: str, target_params: Any, share_weights: bool = 
     - reference torch ``*.pth.tar`` / ``*.bin`` (converted to flax).
     """
     if path.endswith(".msgpack"):
-        template = {"params": target_params, "opt_state": None, "step": 0, "epoch": 0}
         with open(path, "rb") as f:
             blob = f.read()
         restored: Dict[str, Any] = serialization.msgpack_restore(blob)

@@ -239,7 +239,11 @@ class Trainer:
     # ------------------------------------------------------------- state
 
     def init_state(
-        self, total_steps: int, init_params: Optional[Any] = None, seed: Optional[int] = None
+        self,
+        total_steps: int,
+        init_params: Optional[Any] = None,
+        seed: Optional[int] = None,
+        optimizer: Optional[optax.GradientTransformation] = None,
     ) -> TrainState:
         cfg = self.cfg
         if init_params is None:
@@ -257,7 +261,8 @@ class Trainer:
         init_params = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, jnp.float32), init_params
         )
-        optimizer = self._make_optimizer(total_steps)
+        if optimizer is None:
+            optimizer = self._make_optimizer(total_steps)
         opt_state = optimizer.init(init_params)
         return TrainState(
             params=init_params,
@@ -301,14 +306,24 @@ class Trainer:
         assert steps_per_epoch > 0, "dataset smaller than one batch"
 
         optimizer = self._make_optimizer(total_steps)
-        state = self.init_state(total_steps, init_params)
+        state = self.init_state(total_steps, init_params, optimizer=optimizer)
 
         start_epoch = 0
+        skip_batches = 0
         if cfg.resume:
             assert not cfg.model_checkpoint, "resume and model_checkpoint are exclusive"
             state = load_checkpoint(cfg.resume, state)
-            start_epoch = int(state.epoch)
-            logger.info("resumed from %s at step %d", cfg.resume, int(state.step))
+            # derive the position from the step count: mid-epoch checkpoints
+            # resume at the exact batch (the shuffle is seeded per epoch, so
+            # skipping already-consumed batches replays nothing and the lr
+            # schedule stays aligned with total_steps)
+            steps_done = int(state.step)
+            start_epoch = steps_done // steps_per_epoch
+            skip_batches = steps_done % steps_per_epoch
+            logger.info(
+                "resumed from %s at step %d (epoch %d, skipping %d batches)",
+                cfg.resume, steps_done, start_epoch, skip_batches,
+            )
         elif cfg.model_checkpoint:
             params = load_warm_start_params(
                 cfg.model_checkpoint, state.params, cfg.share_weights
@@ -326,6 +341,7 @@ class Trainer:
         reg_m, aux_ratio_m = AverageMeter(), AverageMeter()
         log_path = os.path.join(self.run_dir, "train_logs.log")
         global_step = int(state.step)
+        pending_metrics: list = []
 
         logger.info(
             "start training: %d examples, %d steps/epoch, %d total steps, lr %g, "
@@ -341,13 +357,15 @@ class Trainer:
             state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
             # tokenize/collate ahead on a background thread (host pipeline
             # overlaps the device step; SURVEY §7 throughput requirement)
-            for batch in prefetch(
+            for batch_idx, batch in enumerate(prefetch(
                 dataset.batches(
                     cfg.batch_size, shuffle=True, seed=cfg.seed + epoch,
                     drop_last=True,
                 ),
                 depth=2,
-            ):
+            )):
+                if epoch == start_epoch and batch_idx < skip_batches:
+                    continue  # consumed before the resume checkpoint
                 if not first_batch_checked:
                     self._validate_token_range(batch)
                     first_batch_checked = True
@@ -355,25 +373,26 @@ class Trainer:
                 state, metrics = step_jit(state, _batch_to_pytree(batch), rng)
                 global_step += 1
 
-                m = {k: float(v) for k, v in metrics.items()}
-                if not (m["loss"] == m["loss"]) or abs(m["loss"]) == float("inf"):
-                    msg = (
-                        f"non-finite loss {m['loss']} at step {global_step} "
-                        f"(grad_norm={m['grad_norm']}); check tokenizer/model "
-                        "vocab agreement and learning rate"
-                    )
-                    if cfg.nan_policy == "raise":
-                        raise FloatingPointError(msg)
-                    if cfg.nan_policy == "warn":
-                        logger.warning(msg)
-                loss_m.update(m["loss"])
-                mrr_m.update(m["mrr"])
-                recall_m.update(m["recall"])
-                if cfg.reg_lambda > 0.0:
-                    reg_m.update(m["reg_loss"])
-                    aux_ratio_m.update(m["reg_loss"] / max(m["loss"], 1e-12))
-                if step_hook is not None:
-                    step_hook(global_step, m)
+                # metrics stay on device until a flush point (logging
+                # boundary, or every step when a hook wants them): a
+                # per-step float() would force a device sync per step and
+                # defeat async dispatch
+                pending_metrics.append((epoch, global_step, metrics))
+                if step_hook is not None or global_step % cfg.logging_steps == 0:
+                    for p_epoch, p_step, p_m in pending_metrics:
+                        m = {k: float(v) for k, v in p_m.items()}
+                        self._check_finite(m, p_step)
+                        loss_m.update(m["loss"])
+                        mrr_m.update(m["mrr"])
+                        recall_m.update(m["recall"])
+                        if cfg.reg_lambda > 0.0:
+                            reg_m.update(m["reg_loss"])
+                            aux_ratio_m.update(
+                                m["reg_loss"] / max(m["loss"], 1e-12)
+                            )
+                        if step_hook is not None:
+                            step_hook(p_step, m)
+                    pending_metrics.clear()
 
                 if global_step % cfg.logging_steps == 0:
                     lr = float(self._schedule(global_step))
@@ -392,9 +411,26 @@ class Trainer:
                 if global_step % cfg.evaluate_steps == 0:
                     save_checkpoint(state, self.run_dir, global_step)
 
+        # flush metrics produced after the last logging boundary
+        for _, p_step, p_m in pending_metrics:
+            self._check_finite({k: float(v) for k, v in p_m.items()}, p_step)
+        pending_metrics.clear()
+
         # end-of-training save (the reference has none — a known gap)
         save_checkpoint(state, self.run_dir, global_step)
         return state
+
+    def _check_finite(self, m: Dict[str, float], step: int) -> None:
+        if not (m["loss"] == m["loss"]) or abs(m["loss"]) == float("inf"):
+            msg = (
+                f"non-finite loss {m['loss']} at step {step} "
+                f"(grad_norm={m['grad_norm']}); check tokenizer/model "
+                "vocab agreement and learning rate"
+            )
+            if self.cfg.nan_policy == "raise":
+                raise FloatingPointError(msg)
+            if self.cfg.nan_policy == "warn":
+                logger.warning(msg)
 
     def _validate_token_range(self, batch: NwayBatch) -> None:
         """Guard against tokenizer/model vocab mismatch: out-of-range token

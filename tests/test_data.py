@@ -283,3 +283,28 @@ def test_prefetch_preserves_order_and_raises():
     assert next(it) == 1 and next(it) == 2
     with _pytest.raises(RuntimeError, match="producer failed"):
         list(it)
+
+
+def test_prefetch_releases_producer_on_early_exit():
+    import threading
+    import time as _time
+
+    from cldrd_tpu.data.prefetch import prefetch
+
+    produced = []
+
+    def slow_gen():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    it = prefetch(slow_gen(), depth=2)
+    assert next(it) == 0
+    it.close()  # consumer abandons
+    _time.sleep(0.5)
+    # the producer must have stopped (bounded queue + stop event), not
+    # raced through all 1000 items nor be stuck forever
+    n_threads = sum(t.name == "cldrd-prefetch" and t.is_alive()
+                    for t in threading.enumerate())
+    assert n_threads == 0, "prefetch producer thread leaked"
+    assert len(produced) < 10

@@ -277,3 +277,34 @@ def test_run_curriculum_hands_off_weights(tmp_path):
     )
     assert calls == [(0, 2), (1, 2)]
     assert os.path.exists(os.path.join(str(tmp_path), "c2", "train_logs.log"))
+
+
+def test_resume_skips_consumed_batches(tmp_path):
+    """Mid-epoch resume must continue from the exact batch (no replay, no
+    schedule overshoot): total optimizer steps across interrupt + resume
+    equals a single uninterrupted run."""
+    dataset = _tiny_dataset()  # 16 examples -> 2 steps/epoch at bz 8
+    mesh = make_mesh(8)
+
+    # run 1: train 2 epochs saving every step; grab the MID-EPOCH ckpt (step 3)
+    cfg1 = _tiny_cfg(tmp_path, experiment_name="r1", num_train_epochs=2,
+                     evaluate_steps=1)
+    t1 = Trainer(cfg1, DistilBertConfig.tiny(), mesh=mesh)
+    s_full = t1.train(dataset)
+    assert int(s_full.step) == 4
+    ckpt3 = os.path.join(t1.run_dir, "checkpoint_3.msgpack")
+    assert os.path.exists(ckpt3)
+
+    # run 2: resume from step 3 -> exactly ONE more step
+    cfg2 = _tiny_cfg(tmp_path, experiment_name="r2", num_train_epochs=2,
+                     evaluate_steps=100, resume=ckpt3)
+    t2 = Trainer(cfg2, DistilBertConfig.tiny(), mesh=mesh)
+    steps_seen = []
+    s_res = t2.train(dataset, step_hook=lambda s, m: steps_seen.append(s))
+    assert steps_seen == [4], steps_seen
+    assert int(s_res.step) == 4
+    # resumed final params == uninterrupted final params (same data order,
+    # same per-step dropout rng folded from global_step)
+    for a, b in zip(jax.tree_util.tree_leaves(s_res.params),
+                    jax.tree_util.tree_leaves(s_full.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
