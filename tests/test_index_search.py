@@ -327,3 +327,57 @@ def test_build_index_on_device_matches_host_path():
     np.testing.assert_allclose(s_d, s_h, rtol=1e-5)
     np.testing.assert_array_equal(i_d, i_h)
     assert i_d[0, 0] == ids[0]  # self-retrieval
+
+
+def test_binmax_nbins_less_than_k_adversarial():
+    """When the corpus has fewer bins than k, the tau narrowing is unsound
+    and must be bypassed (review finding): a one-bin cluster of near-ties
+    must fully appear in the top-k."""
+    from cldrd_tpu.search import topk_binmax
+
+    rng = np.random.default_rng(0)
+    n, d, k = 50_000, 32, 1000  # 391 bins of 128 < k
+    c = rng.standard_normal((n, d)).astype(np.float32) * 0.01
+    q = rng.standard_normal((2, d)).astype(np.float32)
+    boost = q.mean(0) / np.linalg.norm(q.mean(0))
+    c[256:384] = boost[None, :] * np.linspace(5, 6, 128)[:, None]
+    ids = np.arange(n, dtype=np.int64)
+    # pad to a bin multiple like FlatIPIndex does
+    pad = (-n) % 128
+    c = np.concatenate([c, np.zeros((pad, d), np.float32)])
+    ids_p = np.concatenate([ids, np.full(pad, -1)]).astype(np.int32)
+    s, i = jax.jit(lambda q, c, ii: topk_binmax(q, c, ii, k))(
+        jnp.asarray(q), jnp.asarray(c), jnp.asarray(ids_p)
+    )
+    ref = ids[np.argsort(-(q @ c[:n].T), axis=-1)[:, :k]]
+    # sets equal per row (tie order may differ)
+    for b in range(2):
+        assert set(np.asarray(i)[b]) == set(ref[b]), b
+
+
+def test_search_k_larger_than_corpus():
+    """k > N returns -1-padded results instead of crashing (review finding)."""
+    rng = np.random.default_rng(1)
+    c = rng.standard_normal((100, 16)).astype(np.float32)
+    ids = np.arange(100, dtype=np.int64)
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    index = FlatIPIndex.build(c, ids, mesh=None, dtype=jnp.float32, block_rows=512)
+    s, i = index.search(q, k=300)
+    assert i.shape == (3, 300)
+    assert np.all(i[:, 100:] == -1)
+    ref = ids[np.argsort(-(q @ c.T), axis=-1)]
+    np.testing.assert_array_equal(i[:, :100], ref)
+
+
+def test_binmax_block_rows_not_multiple_of_bin_rows():
+    """block_rows=64 pads N to a non-128 multiple; bin_rows must adapt
+    instead of tripping the divisibility assert (review finding)."""
+    rng = np.random.default_rng(2)
+    n, d, k = 2048, 16, 50
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    ids = rng.permutation(n).astype(np.int64)
+    q = rng.standard_normal((4, d)).astype(np.float32)
+    index = FlatIPIndex.build(c, ids, mesh=None, dtype=jnp.float32, block_rows=64)
+    s, i = index.search(q, k)
+    ref = ids[np.argsort(-(q @ c.T), axis=-1)[:, :k]]
+    np.testing.assert_array_equal(i, ref)
