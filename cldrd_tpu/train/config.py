@@ -55,6 +55,7 @@ class TrainConfig:
                                        # kl_div | margin_mse | weighted_pointwise | kd
     reg_lambda: float = 0.0            # L2 logit regularization (reference :348-350)
     weighing_scheme: str = "ndcgLoss1_scheme"  # for loss == lambda_loss
+    loss_at_k: Optional[int] = None    # lambda_loss @k truncation (reference :40-41)
     temperature: float = 1.0           # for kl_div / kd (scripts use T=50)
     lambda_weight: float = 1.0         # kd aux-loss weight (scripts use 10)
     kd_mode: str = "ylabel"            # missing knowledge_distill trainer flag

@@ -84,7 +84,7 @@ def make_loss_fn(
         return lambda logits, labels, teacher: L.ranknet_loss(logits, labels)
     if name == "lambda_loss":
         return lambda logits, labels, teacher: L.lambda_loss(
-            logits, labels, weighing_scheme=cfg.weighing_scheme
+            logits, labels, weighing_scheme=cfg.weighing_scheme, k=cfg.loss_at_k
         )
     if name == "kl_div":
         return lambda logits, labels, teacher: L.kl_div_loss(
