@@ -381,3 +381,23 @@ def test_binmax_block_rows_not_multiple_of_bin_rows():
     s, i = index.search(q, k)
     ref = ids[np.argsort(-(q @ c.T), axis=-1)[:, :k]]
     np.testing.assert_array_equal(i, ref)
+
+
+def test_sharded_stream_method_matches_dense(corpus):
+    """The memory-lean 'stream' sharded path stays exact (the default is
+    'binmax'; this guards the alternative)."""
+    from cldrd_tpu.search import sharded_topk
+
+    q, c, ids = corpus
+    k = 40
+    mesh = make_mesh(8, CORPUS_AXIS)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P(CORPUS_AXIS))
+    c_d = jax.device_put(jnp.asarray(c), sh)
+    ids_d = jax.device_put(jnp.asarray(ids, jnp.int32), sh)
+    s1, i1 = topk_dense(jnp.asarray(q), jnp.asarray(c), jnp.asarray(ids, jnp.int32), k)
+    s2, i2 = sharded_topk(jnp.asarray(q), c_d, ids_d, k, mesh,
+                          block_rows=512, method="stream")
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
