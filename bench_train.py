@@ -1,0 +1,120 @@
+"""Training-step benchmark: the curriculum train step on one TPU chip.
+
+Measures the reference's dominant-FLOPs path (``nway_listwise_1.py:330-367``):
+one full optimization step of the 66M-param dual-encoder at the real
+workload shape — nway=30 passages of 256 tokens + queries of 30 tokens,
+bf16 compute / fp32 params+Adam, lambda_mrr loss, grad clip, in-graph batch
+MRR/Recall — i.e. exactly what ``cldrd_tpu.train.make_train_step`` jits in
+production.
+
+Two batch sizes are reported:
+- bz=8: the reference's *global* batch (4 GPUs x 2), for parity context.
+- bz=32: a TPU-saturating batch (the step is per-chip; a v4-8 data-parallel
+  mesh multiplies examples/s by the chip count at the same per-chip shape).
+
+The reference publishes no train-rate figure, so ``vs_baseline`` is
+examples/s at bz=8 relative to the whole reference 4-GPU setup processing
+its global batch of 8 at the optimistic rate of one step per second
+(~8 ex/s) — a conservative stand-in documented here for transparency.
+
+Timing protocol mirrors bench.py: data staged on device, marginal cost =
+(time(N steps) - time(1 step)) / (N-1) with a scalar fetch, removing the
+fixed tunnel round-trip.
+
+Prints ONE JSON line per batch size: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NWAY, LQ, LP = 30, 30, 256
+MEASURE_ITERS = 8
+BASELINE_EX_PER_S = 8.0
+
+
+def bench_batch_size(bz: int) -> dict:
+    from cldrd_tpu.models import DistilBertConfig
+    from cldrd_tpu.parallel import DATA_AXIS, make_mesh
+    from cldrd_tpu.train import TrainConfig, Trainer, make_train_step
+
+    cfg = TrainConfig(
+        label_mode="8",
+        batch_size=bz,
+        num_train_epochs=1,
+        learning_rate=7e-6,
+        warmup_steps=4000,
+        max_query_len=LQ,
+        max_passage_len=LP,
+        compute_dtype="bfloat16",
+        run_folder="/tmp/cldrd_bench_train",
+        experiment_name=f"bz{bz}",
+    )
+    model_cfg = DistilBertConfig()  # the real 66M-param architecture
+    mesh = make_mesh(1, DATA_AXIS)
+    trainer = Trainer(cfg, model_cfg, mesh=mesh)
+    total_steps = 10_000
+    optimizer = trainer._make_optimizer(total_steps)
+    state = trainer.init_state(total_steps, optimizer=optimizer)
+    step_fn = make_train_step(trainer.model, optimizer, cfg, mesh)
+
+    # mode-8 labels: 1/rank x5, -0.25 x12, -0.5 x13 (nway_dataset.py:62-64)
+    labels_row = np.concatenate([
+        1.0 / np.arange(1, 6), np.full(12, -0.25), np.full(13, -0.5)
+    ]).astype(np.float32)
+
+    key = jax.random.PRNGKey(0)
+    batch = {
+        "query": {
+            "input_ids": jax.random.randint(
+                key, (bz, LQ), 0, model_cfg.vocab_size, jnp.int32),
+            "attention_mask": jnp.ones((bz, LQ), jnp.int32),
+        },
+        "nway_passages": {
+            "input_ids": jax.random.randint(
+                key, (bz, NWAY, LP), 0, model_cfg.vocab_size, jnp.int32),
+            "attention_mask": jnp.ones((bz, NWAY, LP), jnp.int32),
+        },
+        "labels": jnp.tile(labels_row, (bz, 1)),
+        "teacher_scores": jnp.tile(labels_row, (bz, 1)),
+    }
+    _ = np.asarray(batch["labels"][0, 0])  # force staging
+
+    rng = jax.random.PRNGKey(1)
+    state, metrics = step_fn(state, batch, rng)  # compile + first step
+    _ = float(metrics["loss"])
+
+    def run(n, state):
+        m = None
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, m = step_fn(state, batch, rng)
+        _ = float(m["loss"])
+        return time.perf_counter() - t0, state
+
+    t1, state = run(1, state)
+    for _ in range(2):
+        t, state = run(1, state)
+        t1 = min(t1, t)
+    tn, state = run(MEASURE_ITERS, state)
+    per_step = (tn - t1) / (MEASURE_ITERS - 1)
+
+    ex_per_s = bz / per_step
+    return {
+        "metric": f"train_step_examples_per_s_bz{bz}_nway30_q30_p256",
+        "value": round(ex_per_s, 2),
+        "unit": "examples/s",
+        "vs_baseline": round(ex_per_s / BASELINE_EX_PER_S, 3),
+        "steps_per_s": round(1.0 / per_step, 3),
+    }
+
+
+def main():
+    for bz in (8, 32):
+        print(json.dumps(bench_batch_size(bz)))
+
+
+if __name__ == "__main__":
+    main()

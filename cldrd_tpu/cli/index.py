@@ -41,8 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", required=True, help="index output directory")
     p.add_argument("--max-length", type=int, default=256)
     p.add_argument("--batch-size", type=int, default=512)
-    p.add_argument("--store-dtype", default="float16",
-                   choices=("float16", "float32"))
+    p.add_argument("--store-dtype", default="float32",
+                   choices=("float16", "float32"),
+                   help="on-disk embedding dtype; fp32 matches the reference "
+                        "store (fp16 halves disk at a measured near-tie tail "
+                        "cost — see examples/quantization_study.py)")
     add_model_args(p)
     return p
 

@@ -8,8 +8,13 @@ the reference's own memmap shard store
 
 - meta is JSON (human-readable, no pickle trust issues); ids live in one
   ``ids.npy``.
-- embeddings may be stored fp32 or (half-size) fp16 on disk; the in-HBM
-  index is built bf16 either way.
+- embeddings store fp32 by default (matching the reference's fp32 store,
+  ``retrieval_utils.py:60-94``); fp16 is available for a half-size store.
+  The in-HBM index is built bf16 either way, so the fp16 option quantizes
+  twice (fp32 -> fp16 disk -> bf16 HBM). Measured tail cost on a 1M-row
+  clustered near-tie corpus (see ``examples/quantization_study.py``):
+  fp16-disk changes a small fraction of the Recall@1000 tail relative to
+  the fp32-disk default — run the study on your corpus before enabling it.
 """
 from __future__ import annotations
 
@@ -28,7 +33,7 @@ def write_embeddings(
     embeddings: np.ndarray,
     ids: np.ndarray,
     rows_per_shard: int = 500_000,
-    dtype: str = "float16",
+    dtype: str = "float32",
 ) -> None:
     """Write [N, D] embeddings as blocked binary shards + ids + meta."""
     os.makedirs(out_dir, exist_ok=True)

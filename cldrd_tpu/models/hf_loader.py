@@ -191,12 +191,24 @@ def dual_encoder_flax_to_torch(
     return out
 
 
-def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+def load_torch_checkpoint(path: str, trust_pickle: bool = False) -> Dict[str, Any]:
     """Read a reference ``*.pth.tar`` (or plain ``.bin``) checkpoint's
-    state_dict on the host. Returns the raw (un-converted) mapping."""
+    state_dict on the host. Returns the raw (un-converted) mapping.
+
+    Loads with ``weights_only=True`` by default — third-party pickles can
+    execute arbitrary code otherwise. Reference checkpoints bundle an
+    ``argparse.Namespace`` (the saved args), which is allow-listed. Pass
+    ``trust_pickle=True`` only for checkpoints you created yourself if the
+    safe path fails on an exotic pickled object."""
+    import argparse
+
     import torch
 
-    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if trust_pickle:
+        blob = torch.load(path, map_location="cpu", weights_only=False)
+    else:
+        with torch.serialization.safe_globals([argparse.Namespace]):
+            blob = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(blob, dict) and "state_dict" in blob:
         return blob["state_dict"]
     return blob

@@ -4,10 +4,15 @@ Matches the reference's optimization exactly
 (``nway_listwise_1.py:257-266, 355-359``):
 
 - HF ``AdamW`` (decoupled weight decay, bias correction) -> ``optax.adamw``.
-- no-decay parameter groups for biases and LayerNorm weights: the torch
-  name filter ``['bias', 'LayerNorm.weight']`` becomes a pytree mask over
-  leaves named ``bias`` / ``scale`` (flax LayerNorm's weight is ``scale``).
-  Embedding tables *do* get weight decay, as in the reference.
+- no-decay parameter groups: the torch name filter
+  ``['bias', 'LayerNorm.weight']`` (``nway_listwise_1.py:259``) matches by
+  SUBSTRING, so it exempts every bias and the embedding LayerNorm
+  (``embeddings.LayerNorm.weight``) — but NOT the transformer blocks'
+  ``sa_layer_norm.weight`` / ``output_layer_norm.weight``, which therefore
+  DO get weight decay in the reference. Our mask reproduces that exactly
+  (verified step-for-step in ``tests/test_train_parity.py``); flax
+  LayerNorm's weight is named ``scale``. Embedding tables also decay, as
+  in the reference.
 - ``get_linear_schedule_with_warmup``: lr ramps 0 -> peak over
   ``warmup_steps`` then decays linearly to 0 at ``total_steps``.
 - clip-then-step order: ``optax.chain(clip_by_global_norm, adamw)`` is the
@@ -40,14 +45,22 @@ def linear_warmup_schedule(
 
 
 def _decay_mask(params: Any) -> Any:
-    """True for leaves that receive weight decay (everything except biases
-    and LayerNorm scales)."""
+    """True for leaves that receive weight decay: everything except biases
+    and the embedding ``LayerNorm`` scale (see module docstring — the
+    reference's substring filter leaves the block layer norms decayed)."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
+    def key_name(entry) -> str:
+        return getattr(entry, "key", getattr(entry, "name", str(entry)))
+
     def leaf_decays(path) -> bool:
-        last = path[-1]
-        name = getattr(last, "key", getattr(last, "name", str(last)))
-        return name not in ("bias", "scale")
+        name = key_name(path[-1])
+        if name == "bias":
+            return False
+        if name == "scale":
+            parent = key_name(path[-2]) if len(path) > 1 else ""
+            return parent != "LayerNorm"  # embedding LN exempt; block LNs decay
+        return True
 
     mask_flat = [leaf_decays(path) for path, _ in flat]
     treedef = jax.tree_util.tree_structure(params)

@@ -118,18 +118,18 @@ def batch_mrr_recall(
     logits: jax.Array, labels: jax.Array, cutoff: int = 10
 ) -> Tuple[jax.Array, jax.Array]:
     """In-graph batch MRR@cutoff / Recall@cutoff (reference
-    ``nway_listwise_1.py:369-394``): sort labels by logits desc, find the
-    position of the label==1.0 item per row; rows where it lands inside the
-    cutoff contribute 1/(pos+1) to MRR and 1 to recall; denominators count
-    rows that have a label==1 item at all."""
+    ``nway_listwise_1.py:369-394``): sort labels by logits desc, then — like
+    the reference's flattened ``np.where(labels==1)`` — count EVERY
+    label==1.0 occurrence across the batch (label modes 2/4 carry several
+    per row). Occurrences landing inside the cutoff contribute 1/(pos+1) to
+    MRR and 1 to recall; the denominator is the total occurrence count."""
     order = jnp.argsort(-logits, axis=-1, stable=True)
     sorted_labels = jnp.take_along_axis(labels, order, axis=-1)
     is_one = sorted_labels == 1.0
-    has_one = jnp.any(is_one, axis=-1)
-    first_pos = jnp.argmax(is_one, axis=-1)  # 0 if none; masked by has_one
-    within = has_one & (first_pos < cutoff)
-    denom = jnp.maximum(jnp.sum(has_one), 1)
-    mrr = jnp.sum(jnp.where(within, 1.0 / (first_pos + 1.0), 0.0)) / denom
+    pos = jnp.arange(sorted_labels.shape[-1])[None, :]
+    within = is_one & (pos < cutoff)
+    denom = jnp.maximum(jnp.sum(is_one), 1)
+    mrr = jnp.sum(jnp.where(within, 1.0 / (pos + 1.0), 0.0)) / denom
     recall = jnp.sum(within.astype(jnp.float32)) / denom
     return mrr, recall
 
@@ -167,7 +167,9 @@ def make_train_step(
                 teacher = jnp.concatenate([teacher, pad], axis=-1)
             loss = loss_fn(logits, labels, teacher)
             reg_loss = jnp.float32(0.0)
-            if cfg.reg_lambda > 0.0:
+            # reference applies the L2 logit regularizer only on the
+            # non-in_batch_loss branch (nway_listwise_1.py:339-350)
+            if cfg.reg_lambda > 0.0 and not cfg.in_batch_loss:
                 reg_loss = jnp.linalg.norm(logits.ravel()) * cfg.reg_lambda
                 loss = loss + reg_loss
             return loss, (logits, labels, reg_loss)
@@ -343,6 +345,20 @@ class Trainer:
         global_step = int(state.step)
         pending_metrics: list = []
 
+        def flush_pending():
+            for _p_epoch, p_step, p_m in pending_metrics:
+                m = {k: float(v) for k, v in p_m.items()}
+                self._check_finite(m, p_step)
+                loss_m.update(m["loss"])
+                mrr_m.update(m["mrr"])
+                recall_m.update(m["recall"])
+                if cfg.reg_lambda > 0.0:
+                    reg_m.update(m["reg_loss"])
+                    aux_ratio_m.update(m["reg_loss"] / max(m["loss"], 1e-12))
+                if step_hook is not None:
+                    step_hook(p_step, m)
+            pending_metrics.clear()
+
         logger.info(
             "start training: %d examples, %d steps/epoch, %d total steps, lr %g, "
             "loss %s, label_mode %s, devices %d",
@@ -373,26 +389,17 @@ class Trainer:
                 state, metrics = step_jit(state, _batch_to_pytree(batch), rng)
                 global_step += 1
 
-                # metrics stay on device until a flush point (logging
-                # boundary, or every step when a hook wants them): a
-                # per-step float() would force a device sync per step and
-                # defeat async dispatch
+                # metrics stay on device until a flush point (logging or
+                # checkpoint boundary): a per-step float() would force a
+                # device sync per step and defeat async dispatch. The hook
+                # (if any) gets every step's metrics, delivered in batches
+                # at the same boundaries.
                 pending_metrics.append((epoch, global_step, metrics))
-                if step_hook is not None or global_step % cfg.logging_steps == 0:
-                    for p_epoch, p_step, p_m in pending_metrics:
-                        m = {k: float(v) for k, v in p_m.items()}
-                        self._check_finite(m, p_step)
-                        loss_m.update(m["loss"])
-                        mrr_m.update(m["mrr"])
-                        recall_m.update(m["recall"])
-                        if cfg.reg_lambda > 0.0:
-                            reg_m.update(m["reg_loss"])
-                            aux_ratio_m.update(
-                                m["reg_loss"] / max(m["loss"], 1e-12)
-                            )
-                        if step_hook is not None:
-                            step_hook(p_step, m)
-                    pending_metrics.clear()
+                if (
+                    global_step % cfg.logging_steps == 0
+                    or global_step % cfg.evaluate_steps == 0
+                ):
+                    flush_pending()
 
                 if global_step % cfg.logging_steps == 0:
                     lr = float(self._schedule(global_step))
@@ -409,12 +416,13 @@ class Trainer:
                     loss_m.reset(), mrr_m.reset(), recall_m.reset()
 
                 if global_step % cfg.evaluate_steps == 0:
+                    # metrics were flushed (and finite-checked) above, so a
+                    # NaN-corrupted state is never persisted under
+                    # nan_policy='raise'
                     save_checkpoint(state, self.run_dir, global_step)
 
         # flush metrics produced after the last logging boundary
-        for _, p_step, p_m in pending_metrics:
-            self._check_finite({k: float(v) for k, v in p_m.items()}, p_step)
-        pending_metrics.clear()
+        flush_pending()
 
         # end-of-training save (the reference has none — a known gap)
         save_checkpoint(state, self.run_dir, global_step)

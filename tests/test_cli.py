@@ -124,6 +124,22 @@ def test_cli_pipeline(corpus_files, tmp_path):
     rc = cli_evaluate.main(["--qrels", f["qrels"], "--run", run_path])
     assert rc == 0
 
+    # 4b'. TREC graded path end-to-end: space-separated graded qrels
+    #      (0-3, binarization at 2.0) through the same run file via --trec,
+    #      with per-query CSV export
+    trec_qrels = str(tmp_path / "qrels.trec.txt")
+    with open(trec_qrels, "w") as fh:
+        for q in range(16):
+            fh.write(f"{q} 0 {q * 6} 3\n")      # highly relevant
+            fh.write(f"{q} 0 {q * 6 + 1} 1\n")  # below binarization point
+    per_query = str(tmp_path / "per_query.csv")
+    rc = cli_evaluate.main([
+        "--qrels", trec_qrels, "--run", run_path, "--trec",
+        "--per-query", per_query,
+    ])
+    assert rc == 0
+    assert os.path.getsize(per_query) > 0
+
     # 4c. quality: rerank each query's 6 training candidates with the
     #     trained checkpoint — the fitted objective — expect near-perfect MRR
     import jax.numpy as jnp

@@ -329,6 +329,70 @@ def test_build_index_on_device_matches_host_path():
     assert i_d[0, 0] == ids[0]  # self-retrieval
 
 
+def test_build_index_on_device_sharded_matches_host_path():
+    """The SPMD device-resident build (8-device mesh, zero host staging)
+    must return the same search results as the host-path sharded build —
+    row placement interleaves across devices but identity rides row_ids."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from cldrd_tpu.data.sequence_dataset import SequenceDataset
+    from cldrd_tpu.data.tokenization import HashTokenizer
+    from cldrd_tpu.index import build_index_on_device, encode_dataset, make_encode_fn
+    from cldrd_tpu.models import DistilBertConfig, NwayDualEncoder
+    from cldrd_tpu.parallel import CORPUS_AXIS
+
+    cfg = DistilBertConfig.tiny()
+    model = NwayDualEncoder(config=cfg, dtype=jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        {"input_ids": jnp.zeros((1, 4), jnp.int32), "attention_mask": jnp.ones((1, 4), jnp.int32)},
+        {"input_ids": jnp.zeros((1, 1, 4), jnp.int32), "attention_mask": jnp.ones((1, 1, 4), jnp.int32)},
+    )["params"]
+    mesh = Mesh(np.asarray(jax.devices()[:8]), (CORPUS_AXIS,))
+
+    # 101 passages: ragged final batch with batch_size 16 (2 rows/device)
+    id_to_seq = {i + 50: f"text number {i} body" for i in range(101)}
+    ds = SequenceDataset(id_to_seq, HashTokenizer(cfg.vocab_size), 8, is_query=False)
+    encode_sharded = make_encode_fn(
+        model, params, "passage_embs", mesh=mesh, axis_name=CORPUS_AXIS,
+        dtype=jnp.float32,
+    )
+    encode = make_encode_fn(model, params, "passage_embs", dtype=jnp.float32)
+
+    dev_index = build_index_on_device(
+        encode_sharded, ds, batch_size=16, dim=cfg.dim,
+        dtype=jnp.float32, block_rows=16, mesh=mesh, axis_name=CORPUS_AXIS,
+    )
+    assert dev_index.mesh is mesh
+    assert dev_index.n_vectors == 101
+    embs, ids = encode_dataset(encode, ds, 16)
+    host_index = FlatIPIndex.build(
+        embs, ids, mesh=mesh, dtype=jnp.float32, block_rows=16
+    )
+
+    q = embs[:7]
+    s_d, i_d = dev_index.search(q, k=10)
+    s_h, i_h = host_index.search(q, k=10)
+    np.testing.assert_allclose(s_d, s_h, rtol=1e-5)
+    # the sharded and unsharded encode programs compile differently, so
+    # embeddings (and hence scores) differ at the ~1e-6 fp32 level, which
+    # can reorder near-ties; validate membership above a tolerance band and
+    # per-id scores against the oracle score map instead of exact id order
+    oracle = {int(i): row for i, row in zip(ids, (q @ embs.T).T)}
+    for b in range(q.shape[0]):
+        boundary = s_h[b, -1]
+        # every clearly-above-boundary id must agree between the builds
+        assert set(i_d[b][s_d[b] > boundary + 1e-4]) == set(
+            i_h[b][s_h[b] > boundary + 1e-4]
+        ), b
+        # and every returned id really scores what the search reported
+        for rank in range(10):
+            true = oracle[int(i_d[b, rank])][b]
+            np.testing.assert_allclose(s_d[b, rank], true, rtol=1e-4, atol=1e-5)
+    assert i_d[0, 0] == ids[0]  # self-retrieval
+
+
 def test_binmax_nbins_less_than_k_adversarial():
     """When the corpus has fewer bins than k, the tau narrowing is unsound
     and must be bypassed (review finding): a one-bin cluster of near-ties

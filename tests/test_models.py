@@ -293,3 +293,104 @@ def test_cosine_similarity_scoring():
     pn = np.asarray(pe) / np.linalg.norm(np.asarray(pe), axis=-1, keepdims=True)
     np.testing.assert_allclose(np.asarray(cos), np.einsum("bd,bnd->bn", qn, pn),
                                atol=1e-5)
+
+
+# ------------------------------------------------------ full-size fidelity
+
+
+@pytest.mark.slow
+def test_full_size_hf_fidelity():
+    """SURVEY §7 'HF weight fidelity' hard part: per-layer conversion error
+    must not compound over the REAL architecture — 6 layers, dim 768, 12
+    heads, 30522 vocab (66M params, random-init locally; the published
+    TAS-B checkpoint is the same graph with different numbers, so exact
+    parity here is exact parity there)."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    from cldrd_tpu.models import distilbert_flax_to_torch
+
+    full = DistilBertConfig()  # the real thing
+    hf_cfg = transformers.DistilBertConfig()  # defaults match exactly
+    torch.manual_seed(0)
+    hf = transformers.DistilBertModel(hf_cfg).eval()
+
+    rng = np.random.default_rng(0)
+    ids, mask = _rand_batch(rng, bz=3, seq_len=30, vocab=full.vocab_size)
+    with torch.no_grad():
+        ref = hf(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+        ).last_hidden_state.numpy()
+
+    params = distilbert_torch_to_flax(hf.state_dict())
+    enc = DistilBertEncoder(full, dtype=jnp.float32)
+    out = np.asarray(enc.apply({"params": params}, jnp.array(ids), jnp.array(mask)))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+    # and the inverse conversion round-trips losslessly at full size
+    back = distilbert_flax_to_torch(params)
+    orig = {k: v.numpy() for k, v in hf.state_dict().items()}
+    assert set(back) == set(orig)
+    for k in orig:
+        np.testing.assert_array_equal(back[k], orig[k])
+
+
+@pytest.mark.slow
+def test_full_size_pth_tar_checkpoint_load(tmp_path):
+    """A reference-layout dual-encoder checkpoint_<step>.pth.tar (full-size
+    towers, module. prefixes, bundled args Namespace — exactly what
+    nway_listwise_1.py:61-65,418-426 writes) must load through
+    load_torch_checkpoint (safe weights_only path) + conversion and
+    reproduce the torch towers' CLS embeddings."""
+    import argparse
+
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    from cldrd_tpu.models import load_torch_checkpoint
+
+    full = DistilBertConfig()
+    torch.manual_seed(1)
+    q_tower = transformers.DistilBertModel(transformers.DistilBertConfig()).eval()
+    torch.manual_seed(2)
+    p_tower = transformers.DistilBertModel(transformers.DistilBertConfig()).eval()
+
+    sd = {}
+    for k, v in q_tower.state_dict().items():
+        sd[f"module.query_encoder.{k}"] = v
+    for k, v in p_tower.state_dict().items():
+        sd[f"module.passage_encoder.{k}"] = v
+    path = str(tmp_path / "checkpoint_300000.pth.tar")
+    torch.save(
+        {
+            "epoch": 3,
+            "global_step": 300000,
+            "state_dict": sd,
+            "args": argparse.Namespace(seed=4680),
+        },
+        path,
+    )
+
+    loaded = load_torch_checkpoint(path)
+    params = dual_encoder_torch_to_flax(loaded, share_weights=False)
+
+    rng = np.random.default_rng(3)
+    ids, mask = _rand_batch(rng, bz=2, seq_len=30, vocab=full.vocab_size)
+    with torch.no_grad():
+        ref_q = q_tower(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+        ).last_hidden_state[:, 0, :].numpy()
+        ref_p = p_tower(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+        ).last_hidden_state[:, 0, :].numpy()
+
+    enc = DistilBertEncoder(full, dtype=jnp.float32)
+    out_q = np.asarray(cls_pool(enc.apply(
+        {"params": params["query_encoder"]}, jnp.array(ids), jnp.array(mask))))
+    out_p = np.asarray(cls_pool(enc.apply(
+        {"params": params["passage_encoder"]}, jnp.array(ids), jnp.array(mask))))
+    np.testing.assert_allclose(out_q, ref_q, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(out_p, ref_p, atol=1e-5, rtol=1e-5)

