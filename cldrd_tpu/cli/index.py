@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="on-disk embedding dtype; fp32 matches the reference "
                         "store (fp16 halves disk at a measured near-tie tail "
                         "cost — see examples/quantization_study.py)")
+    p.add_argument("--token-cache", default=None,
+                   help="directory for the pre-tokenized corpus cache: "
+                        "built on first use, then streamed at memmap speed "
+                        "on every rebuild (the curriculum re-encodes the "
+                        "same collection after each iteration)")
     add_model_args(p)
     return p
 
@@ -64,9 +69,22 @@ def main(argv: Optional[List[str]] = None) -> int:
         args.checkpoint, model, cfg, args.share_weights,
         max_passage_len=args.max_length,
     )
-    dataset = SequenceDataset.create_from_seqs_file(
-        args.collection, tokenizer, args.max_length, is_query=False
-    )
+    if args.token_cache:
+        from cldrd_tpu.data import (
+            TokenCacheDataset, token_cache_exists, write_token_cache,
+        )
+
+        if not token_cache_exists(args.token_cache):
+            logger.info("building token cache at %s ...", args.token_cache)
+            src = SequenceDataset.create_from_seqs_file(
+                args.collection, tokenizer, args.max_length, is_query=False
+            )
+            write_token_cache(src, args.token_cache)
+        dataset = TokenCacheDataset(args.token_cache)
+    else:
+        dataset = SequenceDataset.create_from_seqs_file(
+            args.collection, tokenizer, args.max_length, is_query=False
+        )
     encode = make_encode_fn(model, params, "passage_embs")
     t0 = time.perf_counter()
     embeddings, ids = encode_dataset(encode, dataset, args.batch_size)

@@ -26,7 +26,12 @@ from .reranking_dataset import (
     RerankingDataset,
 )
 from .sequence_dataset import SequenceBatch, SequenceDataset
-from .tokenization import HFTokenizerAdapter, HashTokenizer
+from .token_cache import TokenCacheDataset, token_cache_exists, write_token_cache
+from .tokenization import (
+    HFTokenizerAdapter,
+    HashTokenizer,
+    train_wordpiece_tokenizer,
+)
 
 __all__ = [
     "CURRICULUM_MODES",
@@ -51,6 +56,10 @@ __all__ = [
     "MsMacroRerankingDataset",
     "SequenceBatch",
     "SequenceDataset",
+    "TokenCacheDataset",
+    "token_cache_exists",
+    "write_token_cache",
     "HFTokenizerAdapter",
     "HashTokenizer",
+    "train_wordpiece_tokenizer",
 ]

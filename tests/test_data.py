@@ -308,3 +308,68 @@ def test_prefetch_releases_producer_on_early_exit():
                     for t in threading.enumerate())
     assert n_threads == 0, "prefetch producer thread leaked"
     assert len(produced) < 10
+
+
+# ------------------------------------------------------------- token cache
+
+
+def test_token_cache_roundtrip(tmp_path):
+    """TokenCacheDataset must reproduce SequenceDataset's batches exactly
+    (ids, input_ids, attention_mask, ragged-tail padding)."""
+    from cldrd_tpu.data import (
+        SequenceDataset, TokenCacheDataset, token_cache_exists,
+        write_token_cache,
+    )
+    from cldrd_tpu.data.tokenization import HashTokenizer
+
+    id_to_seq = {i + 10: f"text number {i} body words {i % 7}" for i in range(53)}
+    tok = HashTokenizer(500)
+    ds = SequenceDataset(id_to_seq, tok, max_length=12, is_query=False)
+
+    cache_dir = str(tmp_path / "cache")
+    assert not token_cache_exists(cache_dir)
+    write_token_cache(ds, cache_dir, batch_size=16)
+    assert token_cache_exists(cache_dir)
+
+    cds = TokenCacheDataset(cache_dir)
+    assert len(cds) == len(ds)
+    for direct, cached in zip(ds.batches(16), cds.batches(16)):
+        assert direct.n_valid == cached.n_valid
+        np.testing.assert_array_equal(direct.ids, cached.ids)
+        np.testing.assert_array_equal(
+            direct.tokens["input_ids"], cached.tokens["input_ids"]
+        )
+        np.testing.assert_array_equal(
+            direct.tokens["attention_mask"], cached.tokens["attention_mask"]
+        )
+
+
+def test_token_cache_feeds_encoder(tmp_path):
+    """The cached dataset is a drop-in for encode_dataset."""
+    import jax
+    import jax.numpy as jnp
+
+    from cldrd_tpu.data import SequenceDataset, TokenCacheDataset, write_token_cache
+    from cldrd_tpu.data.tokenization import HashTokenizer
+    from cldrd_tpu.index import encode_dataset, make_encode_fn
+    from cldrd_tpu.models import DistilBertConfig, NwayDualEncoder
+
+    cfg = DistilBertConfig.tiny()
+    model = NwayDualEncoder(config=cfg, dtype=jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        {"input_ids": jnp.zeros((1, 4), jnp.int32),
+         "attention_mask": jnp.ones((1, 4), jnp.int32)},
+        {"input_ids": jnp.zeros((1, 1, 4), jnp.int32),
+         "attention_mask": jnp.ones((1, 1, 4), jnp.int32)},
+    )["params"]
+    id_to_seq = {i: f"passage {i} stuff" for i in range(21)}
+    ds = SequenceDataset(id_to_seq, HashTokenizer(cfg.vocab_size), 8, is_query=False)
+    cache_dir = str(tmp_path / "cache")
+    write_token_cache(ds, cache_dir, batch_size=8)
+
+    enc = make_encode_fn(model, params, "passage_embs", dtype=jnp.float32)
+    e1, i1 = encode_dataset(enc, ds, 8)
+    e2, i2 = encode_dataset(enc, TokenCacheDataset(cache_dir), 8)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(e1, e2, rtol=1e-6)
