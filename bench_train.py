@@ -35,7 +35,7 @@ MEASURE_ITERS = 8
 BASELINE_EX_PER_S = 8.0
 
 
-def bench_batch_size(bz: int) -> dict:
+def bench_batch_size(bz: int, remat: bool = False) -> dict:
     from cldrd_tpu.models import DistilBertConfig
     from cldrd_tpu.parallel import DATA_AXIS, make_mesh
     from cldrd_tpu.train import TrainConfig, Trainer, make_train_step
@@ -49,6 +49,7 @@ def bench_batch_size(bz: int) -> dict:
         max_query_len=LQ,
         max_passage_len=LP,
         compute_dtype="bfloat16",
+        remat=remat,
         run_folder="/tmp/cldrd_bench_train",
         experiment_name=f"bz{bz}",
     )
@@ -102,8 +103,9 @@ def bench_batch_size(bz: int) -> dict:
     per_step = (tn - t1) / (MEASURE_ITERS - 1)
 
     ex_per_s = bz / per_step
+    tag = "_remat" if remat else ""
     return {
-        "metric": f"train_step_examples_per_s_bz{bz}_nway30_q30_p256",
+        "metric": f"train_step_examples_per_s_bz{bz}{tag}_nway30_q30_p256",
         "value": round(ex_per_s, 2),
         "unit": "examples/s",
         "vs_baseline": round(ex_per_s / BASELINE_EX_PER_S, 3),
@@ -112,8 +114,10 @@ def bench_batch_size(bz: int) -> dict:
 
 
 def main():
-    for bz in (8, 32):
-        print(json.dumps(bench_batch_size(bz)))
+    # bz=8: reference global batch. bz=32: 960 sequences/step exceeds one
+    # chip's HBM without rematerialization -> remat=True.
+    print(json.dumps(bench_batch_size(8)))
+    print(json.dumps(bench_batch_size(32, remat=True)))
 
 
 if __name__ == "__main__":

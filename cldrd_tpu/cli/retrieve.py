@@ -43,6 +43,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-length", type=int, default=30)
     p.add_argument("--encode-batch-size", type=int, default=512)
     p.add_argument("--search-batch-size", type=int, default=128)
+    p.add_argument("--hbm-dtype", default="bfloat16",
+                   choices=("bfloat16", "float32"),
+                   help="in-HBM corpus dtype (float32 doubles HBM)")
+    p.add_argument("--precision", default="default",
+                   choices=("default", "high", "highest"),
+                   help="score matmul precision: 'default' = MXU-native "
+                        "bf16 inputs (fastest, 14.4k QPS/chip); 'highest' "
+                        "with --hbm-dtype float32 = FAISS-fp32-parity "
+                        "scoring (8.4k QPS/chip); see "
+                        "examples/quantization_study.py")
     add_model_args(p)
     return p
 
@@ -67,7 +77,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     encode = make_encode_fn(model, params, "query_embs")
     q_embs, qids = encode_dataset(encode, dataset, args.encode_batch_size)
 
-    index = load_index(args.index)
+    index = load_index(
+        args.index,
+        dtype=jnp.float32 if args.hbm_dtype == "float32" else jnp.bfloat16,
+        precision=args.precision,
+    )
     stats = retrieve_to_run_file(
         index, q_embs, qids, args.run,
         topk=args.topk, batch_size=args.search_batch_size,

@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument(f"--{field.replace('_', '-')}", dest=field, type=float, default=None)
     p.add_argument("--in-batch-loss", action="store_true", default=None)
     p.add_argument("--all-in-batch-neg", action="store_true", default=None)
+    p.add_argument("--remat", action="store_true", default=None,
+                   help="rematerialize transformer blocks in backward "
+                        "(~1/3 more FLOPs for O(layers) less HBM; enables "
+                        "large nway*batch shapes per chip)")
     return p
 
 

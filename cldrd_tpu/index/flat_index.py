@@ -40,6 +40,12 @@ class FlatIPIndex:
     axis_name: str = CORPUS_AXIS
     block_rows: int = 8192
     method: str = "binmax"  # 'binmax' (fast exact) | 'stream' (memory-lean exact)
+    # score matmul precision: 'default' (MXU-native bf16 inputs, fastest),
+    # 'high' (bf16x3, near-fp32), 'highest' (bf16x6 == fp32-exact; with an
+    # fp32 HBM corpus this reproduces FAISS fp32 scoring). XLA's DEFAULT
+    # rounds even fp32 inputs to bf16 — measured tail cost 3.2% of top-1000
+    # ONLY on adversarially near-tied corpora (examples/quantization_study.py)
+    precision: str = "default"
 
     @property
     def dim(self) -> int:
@@ -59,6 +65,7 @@ class FlatIPIndex:
         dtype=jnp.bfloat16,
         block_rows: int = 8192,
         method: str = "binmax",
+        precision: str = "default",
     ) -> "FlatIPIndex":
         """Pad rows to (n_devices * block_rows) multiples and device-put
         sharded (or unsharded when ``mesh`` is None)."""
@@ -82,7 +89,8 @@ class FlatIPIndex:
         else:
             dev_embs = jnp.asarray(embs, dtype=dtype)
             dev_ids = jnp.asarray(row_ids)
-        return cls(dev_embs, dev_ids, mesh, axis_name, block_rows, method)
+        return cls(dev_embs, dev_ids, mesh, axis_name, block_rows, method,
+                   precision)
 
     def search(self, queries, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """queries [B, D] (host or device) -> (scores [B, k], ids [B, k]).
@@ -100,11 +108,14 @@ class FlatIPIndex:
                 self.axis_name,
                 self.block_rows,
                 method=self.method,
+                precision=self.precision,
             )
         elif self.method == "binmax":
-            s, i = topk_binmax_jit(q, self.embeddings, self.row_ids, k)
+            s, i = topk_binmax_jit(q, self.embeddings, self.row_ids, k,
+                                   precision=self.precision)
         else:
-            s, i = topk_jit(q, self.embeddings, self.row_ids, k, self.block_rows)
+            s, i = topk_jit(q, self.embeddings, self.row_ids, k,
+                            self.block_rows, self.precision)
         return np.asarray(s), np.asarray(i)
 
     def search_batched(

@@ -10,11 +10,13 @@ the reference's own memmap shard store
   ``ids.npy``.
 - embeddings store fp32 by default (matching the reference's fp32 store,
   ``retrieval_utils.py:60-94``); fp16 is available for a half-size store.
-  The in-HBM index is built bf16 either way, so the fp16 option quantizes
-  twice (fp32 -> fp16 disk -> bf16 HBM). Measured tail cost on a 1M-row
-  clustered near-tie corpus (see ``examples/quantization_study.py``):
-  fp16-disk changes a small fraction of the Recall@1000 tail relative to
-  the fp32-disk default — run the study on your corpus before enabling it.
+  Measured on a 1M-row clustered near-tie corpus
+  (``examples/quantization_study.py``, v5e 2026-08-16): disk dtype (fp32 vs
+  fp16) and HBM dtype (fp32 vs bf16) make NO difference to the top-1000 —
+  the MXU's bf16 rounding of matmul inputs dominates all of them (tie-aware
+  Recall@1000 = 0.968 vs a true-fp32 oracle on that adversarial corpus,
+  1.0 on separated corpora). For FAISS-fp32-exact scoring use fp32 disk +
+  fp32 HBM + ``FlatIPIndex(precision='highest')`` (8.4k QPS/chip).
 """
 from __future__ import annotations
 
@@ -90,6 +92,7 @@ def load_index(
     mesh=None,
     dtype=None,
     block_rows: int = 8192,
+    precision: str = "default",
 ):
     """Read an embedding store and stand up the in-HBM ``FlatIPIndex``."""
     import jax.numpy as jnp
@@ -103,4 +106,5 @@ def load_index(
         mesh=mesh,
         dtype=dtype or jnp.bfloat16,
         block_rows=block_rows,
+        precision=precision,
     )

@@ -33,7 +33,8 @@ class CrossEncoder(nn.Module):
     def __call__(self, pairs: Batch, deterministic: bool = True) -> jax.Array:
         cfg = self.config
         hidden = DistilBertEncoder(cfg, self.dtype, name="encoder")(
-            pairs["input_ids"], pairs["attention_mask"], deterministic
+            pairs["input_ids"], pairs["attention_mask"], deterministic,
+            cls_only=True,  # only the CLS position feeds the heads
         )
         pooled = cls_pool(hidden)
         pooled = nn.Dense(

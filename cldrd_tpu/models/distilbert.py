@@ -53,6 +53,11 @@ class DistilBertConfig:
     initializer_range: float = 0.02
     # 'xla' = einsum attention (XLA fuses); 'pallas' = fused Pallas kernel.
     attention_impl: str = "xla"
+    # rematerialize each transformer block in the backward pass
+    # (jax.checkpoint): trades ~1/3 more FLOPs for O(layers) less activation
+    # memory — enables large nway*batch training shapes (e.g. bz=32, nway=30,
+    # L=256 = 960 sequences/step) that otherwise exceed a single chip's HBM
+    remat: bool = False
 
     @classmethod
     def tiny(cls, **overrides) -> "DistilBertConfig":
@@ -114,7 +119,12 @@ class MultiHeadSelfAttention(nn.Module):
         hidden: jax.Array,
         attention_mask: jax.Array,
         deterministic: bool,
+        cls_only: bool = False,
     ) -> jax.Array:
+        """``cls_only``: compute attention output only for position 0 (the
+        CLS token) — q/out projections, scores and context shrink from L
+        rows to 1 with identical position-0 math. Used by the final
+        block when the consumer is CLS pooling (all CL-DRD paths)."""
         cfg = self.config
         bsz, seq_len, _ = hidden.shape
         head_dim = cfg.dim // cfg.n_heads
@@ -125,15 +135,19 @@ class MultiHeadSelfAttention(nn.Module):
             kernel_init=nn.initializers.normal(cfg.initializer_range),
             name=name,
         )
-        q = dense("q_lin")(hidden).reshape(bsz, seq_len, cfg.n_heads, head_dim)
+        q_in = hidden[:, :1, :] if cls_only else hidden
+        q_len = q_in.shape[1]
+        q = dense("q_lin")(q_in).reshape(bsz, q_len, cfg.n_heads, head_dim)
         k = dense("k_lin")(hidden).reshape(bsz, seq_len, cfg.n_heads, head_dim)
         v = dense("v_lin")(hidden).reshape(bsz, seq_len, cfg.n_heads, head_dim)
 
-        # The fused Pallas kernel does not implement attention-probs dropout;
-        # use it only when dropout is a no-op (inference / encode paths, or
-        # attention_dropout == 0) so train/eval numerics stay faithful.
-        use_pallas = cfg.attention_impl == "pallas" and (
-            deterministic or cfg.attention_dropout == 0.0
+        # The fused Pallas kernel does not implement attention-probs dropout
+        # or the cls_only row-slice; use it only when both are no-ops so
+        # train/eval numerics stay faithful.
+        use_pallas = (
+            cfg.attention_impl == "pallas"
+            and not cls_only
+            and (deterministic or cfg.attention_dropout == 0.0)
         )
         if use_pallas:
             from cldrd_tpu.ops.attention import flash_attention
@@ -153,7 +167,7 @@ class MultiHeadSelfAttention(nn.Module):
             )
             context = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
-        context = context.reshape(bsz, seq_len, cfg.dim)
+        context = context.reshape(bsz, q_len, cfg.dim)
         return dense("out_lin")(context)
 
 
@@ -167,6 +181,7 @@ class TransformerBlock(nn.Module):
         hidden: jax.Array,
         attention_mask: jax.Array,
         deterministic: bool,
+        cls_only: bool = False,
     ) -> jax.Array:
         cfg = self.config
         ln = lambda name: nn.LayerNorm(  # noqa: E731
@@ -176,10 +191,11 @@ class TransformerBlock(nn.Module):
             name=name,
         )
         sa_out = MultiHeadSelfAttention(cfg, self.dtype, name="attention")(
-            hidden, attention_mask, deterministic
+            hidden, attention_mask, deterministic, cls_only=cls_only
         )
         sa_out = nn.Dropout(cfg.dropout)(sa_out, deterministic=deterministic)
-        hidden = ln("sa_layer_norm")(sa_out + hidden)
+        residual = hidden[:, :1, :] if cls_only else hidden
+        hidden = ln("sa_layer_norm")(sa_out + residual)
 
         ffn = nn.Dense(
             cfg.hidden_dim,
@@ -213,13 +229,27 @@ class DistilBertEncoder(nn.Module):
         input_ids: jax.Array,
         attention_mask: jax.Array,
         deterministic: bool = True,
+        cls_only: bool = False,
     ) -> jax.Array:
+        """``cls_only``: the FINAL block computes only the CLS position —
+        its attention q/out projections and the whole last FFN shrink from
+        L rows to 1 (~15% fewer encoder FLOPs at L=256), with numerically identical
+        position-0 math (up to op-scheduling ulps). Exact for every CL-DRD consumer, which all
+        CLS-pool (reference ``nway_dual_encoder.py:52,56,64``). Returns
+        [B, 1, D] instead of [B, L, D]."""
         hidden = Embeddings(self.config, self.dtype, name="embeddings")(
             input_ids, deterministic
         )
-        for i in range(self.config.n_layers):
-            hidden = TransformerBlock(self.config, self.dtype, name=f"layer_{i}")(
-                hidden, attention_mask, deterministic
+        block_cls = TransformerBlock
+        if self.config.remat:
+            # deterministic and cls_only are Python bools -> static
+            # (argnum 0 is the module instance in flax lifted transforms)
+            block_cls = nn.remat(TransformerBlock, static_argnums=(3, 4))
+        n = self.config.n_layers
+        for i in range(n):
+            hidden = block_cls(self.config, self.dtype, name=f"layer_{i}")(
+                hidden, attention_mask, deterministic,
+                cls_only and i == n - 1,
             )
         return hidden
 

@@ -125,14 +125,18 @@ class NwayDualEncoder(nn.Module):
         return logits
 
     def query_embs(self, queries: Batch, deterministic: bool = True) -> jax.Array:
+        # cls_only: every consumer CLS-pools, so the final block computes
+        # only position 0 (~15% fewer encoder FLOPs at L=256, same position-0 math)
         hidden = self._query_encoder(
-            queries["input_ids"], queries["attention_mask"], deterministic
+            queries["input_ids"], queries["attention_mask"], deterministic,
+            cls_only=True,
         )
         return cls_pool(hidden)
 
     def passage_embs(self, passages: Batch, deterministic: bool = True) -> jax.Array:
         hidden = self._passage_encoder(
-            passages["input_ids"], passages["attention_mask"], deterministic
+            passages["input_ids"], passages["attention_mask"], deterministic,
+            cls_only=True,
         )
         return cls_pool(hidden)
 

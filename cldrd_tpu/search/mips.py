@@ -34,18 +34,36 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 NEG_INF = jnp.float32(-jnp.inf)
 
 
-def _block_scores(queries: jax.Array, corpus_blk: jax.Array) -> jax.Array:
+# Matmul precision for the score computation. On TPU, XLA's DEFAULT
+# precision rounds even fp32 matmul inputs to bf16 (one MXU pass);
+# 'high' = bf16x3 (near-fp32), 'highest' = bf16x6 (fp32-exact). With an
+# fp32 in-HBM corpus, precision='highest' reproduces FAISS fp32 scoring
+# bit-for-bit-grade; measured tail cost of DEFAULT on an adversarially
+# near-tied corpus: 3.2% of the top-1000 (examples/quantization_study.py) —
+# zero on well-separated corpora.
+_PRECISIONS = {
+    "default": None,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def _block_scores(
+    queries: jax.Array, corpus_blk: jax.Array, precision: str = "default"
+) -> jax.Array:
     """[B, D] x [blk, D] -> [B, blk] fp32 scores on the MXU."""
     return jax.lax.dot_general(
         queries,
         corpus_blk,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_PRECISIONS[precision],
     )
 
 
 def topk_dense(
-    queries: jax.Array, corpus: jax.Array, row_ids: jax.Array, k: int
+    queries: jax.Array, corpus: jax.Array, row_ids: jax.Array, k: int,
+    precision: str = "default",
 ) -> Tuple[jax.Array, jax.Array]:
     """Single full-matrix top-k (materializes [B, N]); for small corpora
     and as the correctness oracle for the streaming path.
@@ -53,7 +71,7 @@ def topk_dense(
     Handles k > N: results are padded with (-inf, -1) beyond the corpus
     size (``lax.top_k`` itself rejects k > axis size)."""
     n = corpus.shape[0]
-    scores = _block_scores(queries, corpus)
+    scores = _block_scores(queries, corpus, precision)
     scores = jnp.where(row_ids[None, :] >= 0, scores, NEG_INF)
     k_eff = min(k, n)
     top_s, top_idx = jax.lax.top_k(scores, k_eff)
@@ -76,6 +94,7 @@ def topk_streaming(
     row_ids: jax.Array,
     k: int,
     block_rows: int = 8192,
+    precision: str = "default",
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming blocked top-k: corpus [N, D] walked in ``block_rows`` chunks.
 
@@ -86,7 +105,7 @@ def topk_streaming(
     n, d = corpus.shape
     bz = queries.shape[0]
     if n <= block_rows:
-        return topk_dense(queries, corpus, row_ids, k)
+        return topk_dense(queries, corpus, row_ids, k, precision)
     assert n % block_rows == 0, (n, block_rows)
     nblocks = n // block_rows
     blocks = corpus.reshape(nblocks, block_rows, d)
@@ -95,7 +114,7 @@ def topk_streaming(
     def body(carry, blk):
         top_s, top_i = carry
         c_blk, i_blk = blk
-        s = _block_scores(queries, c_blk)
+        s = _block_scores(queries, c_blk, precision)
         s = jnp.where(i_blk[None, :] >= 0, s, NEG_INF)
         cat_s = jnp.concatenate([top_s, s], axis=-1)
         cat_i = jnp.concatenate(
@@ -122,6 +141,7 @@ def sharded_topk(
     axis_name: str = "corpus",
     block_rows: int = 8192,
     method: str = "binmax",
+    precision: str = "default",
 ) -> Tuple[jax.Array, jax.Array]:
     """Corpus-sharded exact top-k under ``shard_map``.
 
@@ -135,9 +155,11 @@ def sharded_topk(
 
     def shard_fn(q, c_shard, id_shard):
         if method == "binmax":
-            local_s, local_i = topk_binmax(q, c_shard, id_shard, k)
+            local_s, local_i = topk_binmax(q, c_shard, id_shard, k,
+                                           precision=precision)
         else:
-            local_s, local_i = topk_streaming(q, c_shard, id_shard, k, block_rows)
+            local_s, local_i = topk_streaming(q, c_shard, id_shard, k,
+                                              block_rows, precision)
         all_s = jax.lax.all_gather(local_s, axis_name)  # [ndev, B, k]
         all_i = jax.lax.all_gather(local_i, axis_name)
         ndev = all_s.shape[0]
@@ -160,9 +182,10 @@ def sharded_topk(
     return fn(queries, corpus, row_ids)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_rows"))
-def topk_jit(queries, corpus, row_ids, k: int, block_rows: int = 8192):
-    return topk_streaming(queries, corpus, row_ids, k, block_rows)
+@functools.partial(jax.jit, static_argnames=("k", "block_rows", "precision"))
+def topk_jit(queries, corpus, row_ids, k: int, block_rows: int = 8192,
+             precision: str = "default"):
+    return topk_streaming(queries, corpus, row_ids, k, block_rows, precision)
 
 
 # --------------------------------------------------------------------------
@@ -242,13 +265,17 @@ def _scores_and_binmax(
     segment: jax.Array,
     seg_row_ids: jax.Array,
     bin_rows: int,
+    precision: str = "default",
 ) -> Tuple[jax.Array, jax.Array]:
-    """(scores [B, n] fp32 masked, bin maxima [B, nbins] fp32)."""
+    """(scores [B, n] fp32 masked, bin maxima [B, nbins] fp32).
+
+    Non-default precision bypasses the fused Pallas kernel (whose in-kernel
+    dot runs at MXU-native bf16 input precision)."""
     bz = queries.shape[0]
     n = segment.shape[0]
     nbins = n // bin_rows
-    if not _fused_eligible(bz, n, bin_rows):
-        scores = _block_scores(queries, segment)
+    if precision != "default" or not _fused_eligible(bz, n, bin_rows):
+        scores = _block_scores(queries, segment, precision)
         scores = jnp.where(seg_row_ids[None, :] >= 0, scores, NEG_INF)
         return scores, jnp.max(scores.reshape(bz, nbins, bin_rows), axis=-1)
 
@@ -290,6 +317,7 @@ def _binmax_segment(
     k: int,
     bin_rows: int,
     extract: int,
+    precision: str = "default",
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k of one corpus segment via bin-max selection.
 
@@ -306,7 +334,8 @@ def _binmax_segment(
     assert n % bin_rows == 0, (n, bin_rows)
     nbins = n // bin_rows
 
-    scores, bmax = _scores_and_binmax(queries, segment, seg_row_ids, bin_rows)
+    scores, bmax = _scores_and_binmax(queries, segment, seg_row_ids, bin_rows,
+                                      precision)
     sb = scores.reshape(bz, nbins, bin_rows)
 
     kb = min(k, nbins)
@@ -378,6 +407,7 @@ def topk_binmax(
     bin_rows: int = 128,
     extract: int = 6,
     segment_rows: int = 2_097_152,
+    precision: str = "default",
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact MIPS top-k via bin-max selection (see block comment above).
 
@@ -391,7 +421,7 @@ def topk_binmax(
     while bin_rows > 8 and n % bin_rows:
         bin_rows //= 2
     if n <= k or n <= bin_rows * 2 or n % bin_rows:
-        return topk_dense(queries, corpus, row_ids, k)
+        return topk_dense(queries, corpus, row_ids, k, precision)
     segment_rows = min(segment_rows, n)
     # segments must be bin-aligned
     segment_rows -= segment_rows % bin_rows
@@ -400,13 +430,14 @@ def topk_binmax(
         end = min(start + segment_rows, n)
         if end - start <= k:  # tiny tail: dense
             seg_results.append(
-                topk_dense(queries, corpus[start:end], row_ids[start:end], k)
+                topk_dense(queries, corpus[start:end], row_ids[start:end], k,
+                           precision)
             )
         else:
             seg_results.append(
                 _binmax_segment(
                     queries, corpus[start:end], row_ids[start:end],
-                    k, bin_rows, extract,
+                    k, bin_rows, extract, precision,
                 )
             )
     if len(seg_results) == 1:
@@ -418,10 +449,13 @@ def topk_binmax(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "bin_rows", "extract", "segment_rows")
+    jax.jit,
+    static_argnames=("k", "bin_rows", "extract", "segment_rows", "precision"),
 )
 def topk_binmax_jit(
     queries, corpus, row_ids, k: int,
     bin_rows: int = 128, extract: int = 6, segment_rows: int = 2_097_152,
+    precision: str = "default",
 ):
-    return topk_binmax(queries, corpus, row_ids, k, bin_rows, extract, segment_rows)
+    return topk_binmax(queries, corpus, row_ids, k, bin_rows, extract,
+                       segment_rows, precision)

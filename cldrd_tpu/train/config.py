@@ -72,6 +72,10 @@ class TrainConfig:
     # precision / parallelism
     compute_dtype: str = "bfloat16"    # TPU-native replacement for CUDA AMP fp16
     n_devices: Optional[int] = None    # None = all visible devices
+    remat: bool = False                # per-block activation rematerialization
+                                       # (jax.checkpoint): ~1/3 more FLOPs for
+                                       # O(layers) less HBM; enables large
+                                       # nway*batch shapes per chip
 
     # observability (SURVEY §5.2: the reference has no NaN handling beyond a
     # print; here a non-finite loss fails fast by default)

@@ -221,6 +221,10 @@ class Trainer:
         mesh: Optional[Mesh] = None,
     ):
         self.cfg = cfg
+        if cfg.remat and not model_config.remat:
+            import dataclasses
+
+            model_config = dataclasses.replace(model_config, remat=True)
         self.model_config = model_config
         self.mesh = mesh or make_mesh(cfg.n_devices, DATA_AXIS)
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32

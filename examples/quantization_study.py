@@ -5,8 +5,11 @@ bf16) cost in exact-top-1000 agreement on a corpus engineered to be
 quantization-hostile: clustered near-ties (many rows within ~1e-3 of each
 other in score space), where rounding reorders the tail.
 
-Pipelines compared against the fp32-everywhere truth:
-  A  fp32 disk -> fp32 HBM      (truth)
+Pipelines compared against the true-fp32 oracle:
+  T  fp32 scores at precision=HIGHEST (bf16x6 passes == fp32-exact — the
+     FAISS-equivalent scoring; NOTE: a plain fp32 matmul is NOT fp32 on
+     TPU, XLA's default precision rounds fp32 matmul inputs to bf16)
+  A  fp32 disk -> fp32 HBM, default precision
   B  fp32 disk -> bf16 HBM      (the production default)
   C  fp16 disk -> bf16 HBM      (half-size store; double quantization)
 
@@ -26,6 +29,7 @@ k=1000, 512 clusters (see persistence.py docstring for the conclusion):
 results recorded in the repo README / commit message of this file.
 """
 import argparse
+import functools
 import json
 import os
 import sys
@@ -59,15 +63,24 @@ def tie_aware_quality(corpus_dev, queries, got_ids, k):
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def stats(q, ids):
-        true_scores = q @ corpus_dev.T  # [b, N] fp32
-        kth = -jax.lax.top_k(true_scores, k)[0][:, -1:]  # [b, 1] (neg for >=)
+    # corpus passed as an ARGUMENT: closing over a large device array turns
+    # it into an embedded constant and sends XLA constant folding into a
+    # multi-minute compile (same gotcha as bench.py).
+    # precision=HIGHEST: TPU default precision rounds fp32 matmul inputs to
+    # bf16 — HIGHEST (bf16x6) is the fp32-exact FAISS-equivalent oracle.
+    @functools.partial(jax.jit, static_argnames=("k_",))
+    def stats(corpus, q, ids, k_):
+        true_scores = jax.lax.dot_general(
+            q, corpus,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # [b, N] fp32-exact
+        top = jax.lax.top_k(true_scores, k_)[0]
+        kth = top[:, -1:]
         got_true = jnp.take_along_axis(true_scores, ids.astype(jnp.int32), axis=1)
-        correct = jnp.sum(got_true >= -kth - 1e-12, axis=1)
-        regret = jnp.sum(jax.lax.top_k(true_scores, k)[0], axis=1) - jnp.sum(
-            got_true, axis=1
-        )
+        correct = jnp.sum(got_true >= kth - 1e-12, axis=1)
+        regret = jnp.sum(top, axis=1) - jnp.sum(got_true, axis=1)
         return jnp.sum(correct), jnp.sum(regret)
 
     total_correct, total_regret = 0.0, 0.0
@@ -75,7 +88,7 @@ def tie_aware_quality(corpus_dev, queries, got_ids, k):
     for start in range(0, queries.shape[0], bq):
         q = jnp.asarray(queries[start : start + bq], jnp.float32)
         ids = jnp.asarray(got_ids[start : start + bq])
-        c, r = stats(q, ids)
+        c, r = stats(corpus_dev, q, ids, k)
         total_correct += float(c)
         total_regret += float(r)
     n_q = queries.shape[0]
@@ -123,7 +136,7 @@ def main():
 
     results = {}
 
-    def run(tag, disk_dtype, hbm_dtype):
+    def run(tag, disk_dtype, hbm_dtype, precision="default"):
         if args.use_disk:
             from cldrd_tpu.index.persistence import (
                 read_embeddings, write_embeddings,
@@ -133,7 +146,8 @@ def main():
                 write_embeddings(tmp, np.asarray(corpus_dev), ids,
                                  dtype=disk_dtype)
                 embs, rids = read_embeddings(tmp)
-            index = FlatIPIndex.build(embs, rids, dtype=hbm_dtype)
+            index = FlatIPIndex.build(embs, rids, dtype=hbm_dtype,
+                                      precision=precision)
         else:
             # disk fp16 == cast fp32->fp16->fp32 (lossless read-back)
             cast = jax.jit(
@@ -144,6 +158,7 @@ def main():
             index = FlatIPIndex(
                 embeddings=cast(corpus_dev),
                 row_ids=jnp.asarray(ids.astype(np.int32)),
+                precision=precision,
             )
         s, i = index.search_batched(queries, k=args.k, batch_size=128)
         del index
@@ -153,6 +168,9 @@ def main():
     truth = run("A_fp32disk_fp32hbm", "float32", jnp.float32)
     run("B_fp32disk_bf16hbm", "float32", jnp.bfloat16)
     run("C_fp16disk_bf16hbm", "float16", jnp.bfloat16)
+    # FAISS-parity mode: fp32 HBM + fp32-exact (bf16x6) score matmuls
+    run("D_fp32hbm_precision_highest", "float32", jnp.float32,
+        precision="highest")
 
     report = {
         "rows": args.rows,

@@ -394,3 +394,44 @@ def test_full_size_pth_tar_checkpoint_load(tmp_path):
         {"params": params["passage_encoder"]}, jnp.array(ids), jnp.array(mask))))
     np.testing.assert_allclose(out_q, ref_q, atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(out_p, ref_p, atol=1e-5, rtol=1e-5)
+
+
+def test_cls_only_last_block_exact():
+    """cls_only=True must reproduce the full forward's CLS representation
+    (position-0 math is identical; only rows 1..L-1 are skipped — up to
+    last-ulp op-scheduling differences between the two compiled shapes) on
+    the encoder and through the dual-encoder pooling paths."""
+    model = DistilBertEncoder(TINY, dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    ids, mask = _rand_batch(rng, 5, 14, TINY.vocab_size, min_len=4)
+    params = model.init(jax.random.PRNGKey(0), jnp.array(ids), jnp.array(mask))["params"]
+    full = model.apply({"params": params}, jnp.array(ids), jnp.array(mask))
+    cls = model.apply({"params": params}, jnp.array(ids), jnp.array(mask),
+                      cls_only=True)
+    assert cls.shape == (5, 1, TINY.dim)
+    np.testing.assert_allclose(np.asarray(cls[:, 0, :]),
+                               np.asarray(full[:, 0, :]), rtol=2e-6, atol=2e-6)
+
+
+def test_dual_encoder_forward_unchanged_by_cls_only():
+    """The n-way forward (which uses cls_only internally) must match
+    manually CLS-pooled full encoder outputs."""
+    model = NwayDualEncoder(config=TINY, dtype=jnp.float32)
+    rng = np.random.default_rng(12)
+    q_ids, q_mask = _rand_batch(rng, 3, 8, TINY.vocab_size)
+    p_ids = rng.integers(0, TINY.vocab_size, (3, 4, 10)).astype(np.int32)
+    p_mask = np.ones((3, 4, 10), np.int32)
+    queries = {"input_ids": jnp.array(q_ids), "attention_mask": jnp.array(q_mask)}
+    passages = {"input_ids": jnp.array(p_ids), "attention_mask": jnp.array(p_mask)}
+    params = model.init(jax.random.PRNGKey(1), queries, passages)["params"]
+    logits = model.apply({"params": params}, queries, passages)
+
+    enc = DistilBertEncoder(TINY, dtype=jnp.float32)
+    q_full = enc.apply({"params": params["query_encoder"]},
+                       queries["input_ids"], queries["attention_mask"])[:, 0, :]
+    p_flat = enc.apply({"params": params["passage_encoder"]},
+                       jnp.array(p_ids.reshape(12, 10)),
+                       jnp.array(p_mask.reshape(12, 10)))[:, 0, :]
+    expected = np.einsum("bd,bnd->bn", np.asarray(q_full),
+                         np.asarray(p_flat).reshape(3, 4, -1))
+    np.testing.assert_allclose(np.asarray(logits), expected, rtol=1e-6, atol=1e-6)

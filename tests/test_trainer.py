@@ -350,3 +350,27 @@ def test_resume_skips_consumed_batches(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(s_res.params),
                     jax.tree_util.tree_leaves(s_full.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_remat_training_matches_no_remat(tmp_path):
+    """remat=True recomputes the forward in backward — same math, possibly
+    different op scheduling. Losses must coincide tightly; parameters stay
+    within Adam sign-noise bounds (near-zero-gradient elements amplify
+    last-ulp gradient differences to O(lr))."""
+    results = {}
+    for remat in (False, True):
+        cfg = _tiny_cfg(
+            tmp_path, experiment_name=f"remat_{remat}", num_train_epochs=1,
+            remat=remat,
+        )
+        trainer = Trainer(cfg, DistilBertConfig.tiny(), mesh=make_mesh(8))
+        assert trainer.model_config.remat is remat
+        metrics = []
+        state = trainer.train(_tiny_dataset(), step_hook=lambda s, m: metrics.append(m))
+        results[remat] = ([m["loss"] for m in metrics], state.params)
+    np.testing.assert_allclose(results[False][0], results[True][0], rtol=1e-5)
+    lr = _tiny_cfg(tmp_path).learning_rate
+    for a, b in zip(jax.tree_util.tree_leaves(results[False][1]),
+                    jax.tree_util.tree_leaves(results[True][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=4 * lr)
