@@ -17,17 +17,27 @@ real workload; only the bytes differ):
 Prints a JSON phase breakdown. Reference baseline for the index-build
 phase: ~2.5 h on an RTX 8000 (reference README.md:20).
 
-Measured on one v5e chip through the development tunnel (2026-08-16):
-index_build 476 s (2,339 passages/s end-to-end including first compile and
-host tokenization — with the lightweight hash tokenizer on short synthetic
-text; real HF subword tokenization of full-length MS MARCO passages does
-more host work, which the prefetch thread must hide behind the 134 ms/batch
-device time), search+run-file 25 s for all 6,980 queries. NOTE: in this dev
-environment host<->device transfers run over a slow tunnel, so the
-query-encode and result-fetch phases here are transfer-bound; the marginal
-device rates are 3,832 passages/s and 14,213 search QPS (see README).
+Measured on one v5e chip through the development tunnel (2026-08-16,
+production path: --tokenizer wordpiece --words-per-passage 60
+--token-cache): REAL WordPiece tokenization of all 1.1M 60-word passages
+into the uint16 cache took 262 s (one core; amortized to zero across the
+curriculum's 3 re-builds), index_build from the cache 385 s (2,892
+passages/s e2e), search+run-file 21 s for all 6,980 queries x top-1000.
+NOTE: in this dev environment host<->device transfers run over a ~5 MB/s
+tunnel, so the e2e build/query phases are transfer-bound (1 MB of tokens
+per encode batch; 56 MB of results); the marginal device rates are 4,387
+passages/s (CLS-only final block) and 14,379 search QPS (see README) —
+on real hosts PCIe/DMA makes the device rate the binding constraint.
 
 Usage:  python examples/full_scale_demo.py [--n-passages 1114112]
+        [--tokenizer {hash,wordpiece}] [--token-cache DIR]
+        [--words-per-passage N]
+
+--tokenizer wordpiece trains a real WordPiece vocab locally (HF tokenizers,
+Rust) and tokenizes full-length passages — the honest host-cost profile.
+--token-cache tokenizes once into a uint16 memmap and streams it on the
+build (the production path: the CL-DRD curriculum re-encodes the SAME
+collection after every iteration, so builds 2+ pay zero tokenization).
 """
 import argparse
 import json
@@ -45,6 +55,11 @@ def main():
     p.add_argument("--encode-batch", type=int, default=512)
     p.add_argument("--search-batch", type=int, default=512)
     p.add_argument("--out", default="/tmp/full_scale_demo.run")
+    p.add_argument("--tokenizer", default="hash", choices=("hash", "wordpiece"))
+    p.add_argument("--words-per-passage", type=int, default=8,
+                   help="use ~60 with --tokenizer wordpiece for realism")
+    p.add_argument("--token-cache", default=None,
+                   help="directory for a pre-tokenized cache (built if absent)")
     args = p.parse_args()
 
     import jax
@@ -60,7 +75,6 @@ def main():
 
     timer = PhaseTimer()
     cfg = DistilBertConfig()
-    tok = HashTokenizer(cfg.vocab_size)
     rng = np.random.default_rng(0)
 
     with timer.phase("synthesize_text"):
@@ -68,8 +82,17 @@ def main():
         def make_texts(n, length):
             picks = rng.integers(0, len(words), (n, length))
             return {i: " ".join(words[row]) for i, row in enumerate(picks)}
-        passages = make_texts(args.n_passages, 8)
+        passages = make_texts(args.n_passages, args.words_per_passage)
         queries = make_texts(args.n_queries, 5)
+
+    if args.tokenizer == "wordpiece":
+        from cldrd_tpu.data.tokenization import train_wordpiece_tokenizer
+
+        with timer.phase("train_wordpiece_vocab"):
+            sample = [passages[i] for i in range(min(len(passages), 200_000))]
+            tok = train_wordpiece_tokenizer(sample, cfg.vocab_size)
+    else:
+        tok = HashTokenizer(cfg.vocab_size)
 
     model = NwayDualEncoder(config=cfg, dtype=jnp.bfloat16)
     with timer.phase("init_params"):
@@ -81,8 +104,19 @@ def main():
              "attention_mask": jnp.ones((1, 1, 8), jnp.int32)},
         )["params"]
 
+    pds = SequenceDataset(passages, tok, 256, is_query=False)
+    if args.token_cache:
+        from cldrd_tpu.data import (
+            TokenCacheDataset, token_cache_exists, write_token_cache,
+        )
+
+        if not token_cache_exists(args.token_cache):
+            with timer.phase("token_cache_build"):
+                write_token_cache(pds, args.token_cache,
+                                  batch_size=args.encode_batch)
+        pds = TokenCacheDataset(args.token_cache)
+
     with timer.phase("index_build"):
-        pds = SequenceDataset(passages, tok, 256, is_query=False)
         enc_p = make_encode_fn(model, params, "passage_embs")
         index = build_index_on_device(
             enc_p, pds, batch_size=args.encode_batch, dim=cfg.dim,
