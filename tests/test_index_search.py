@@ -492,3 +492,79 @@ def test_precision_highest_resolves_sub_bf16_gaps():
     # evidence that DEFAULT's bf16 input rounding loses tail items on
     # randomly-clustered near-ties is examples/quantization_study.py —
     # 3.2% of the top-1000 at noise 1e-3 vs the precision='highest' oracle.)
+
+
+class TestFusedExtractPath:
+    """The fused scores+extraction Pallas kernel path (``mips._binmax_segment_
+    extract``): [B, N] scores never reach HBM; per-bin top-(R-1) values and
+    positions are extracted in VMEM and the candidate gather runs as a
+    bit-exact one-hot matmul at Precision.HIGHEST. Run here in interpret
+    mode (the eligibility gate requires a real TPU otherwise)."""
+
+    @pytest.fixture(autouse=True)
+    def _interpret(self, monkeypatch):
+        from cldrd_tpu.search import mips
+        monkeypatch.setattr(mips, "_INTERPRET", True)
+
+    def _oracle(self, q, c, k):
+        s = q @ c.T
+        idx = np.argsort(-s, axis=1)[:, :k]
+        return np.take_along_axis(s, idx, axis=1), idx
+
+    def test_exact_vs_numpy(self):
+        from cldrd_tpu.search import mips
+        rng = np.random.default_rng(0)
+        bz, n, d, k = 128, 4096, 64, 50
+        q = rng.standard_normal((bz, d)).astype(np.float32)
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        ids = jnp.arange(n, dtype=jnp.int32)
+        assert mips._extract_eligible(bz, n, 128)
+        v, i = mips._binmax_segment_extract(
+            jnp.asarray(q), jnp.asarray(c), ids, k, 128)
+        ref_v, ref_i = self._oracle(q, c, k)
+        np.testing.assert_array_equal(np.asarray(i), ref_i)
+        np.testing.assert_allclose(np.asarray(v), ref_v, rtol=1e-5)
+
+    def test_padding_rows_masked(self):
+        from cldrd_tpu.search import mips
+        rng = np.random.default_rng(1)
+        bz, n, d, k = 128, 2048, 32, 20
+        q = rng.standard_normal((bz, d)).astype(np.float32)
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        ids = jnp.arange(n, dtype=jnp.int32).at[n // 2:].set(-1)
+        v, i = mips._binmax_segment_extract(
+            jnp.asarray(q), jnp.asarray(c), ids, k, 128)
+        ref_v, ref_i = self._oracle(q, c[: n // 2], k)
+        np.testing.assert_array_equal(np.asarray(i), ref_i)
+        np.testing.assert_allclose(np.asarray(v), ref_v, rtol=1e-5)
+
+    def test_clustered_ties_fall_back_exactly(self):
+        from cldrd_tpu.search import mips
+        bz, n, d, k = 128, 2048, 32, 20
+        # >R-1 top-k items in one 128-row bin: the remainder bound cannot
+        # certify the narrowing, so the streaming fallback must run
+        c = np.zeros((n, d), np.float32)
+        c[:, 0] = 0.001
+        c[256:276, 0] = np.linspace(5.0, 6.0, 20)  # one bin holds all of top-20
+        q = np.zeros((bz, d), np.float32)
+        q[:, 0] = 1.0
+        ids = jnp.arange(n, dtype=jnp.int32)
+        v, i = mips._binmax_segment_extract(
+            jnp.asarray(q), jnp.asarray(c), ids, k, 128)
+        ref_v, ref_i = self._oracle(q, c, k)
+        np.testing.assert_array_equal(np.asarray(i), ref_i)
+        np.testing.assert_allclose(np.asarray(v), ref_v, rtol=1e-5)
+
+    def test_dispatched_from_topk_binmax(self):
+        from cldrd_tpu.search import mips
+        rng = np.random.default_rng(2)
+        bz, n, d, k = 128, 2048, 32, 30
+        q = rng.standard_normal((bz, d)).astype(np.float32)
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        ids = jnp.arange(n, dtype=jnp.int32)
+        v, i = jax.jit(
+            lambda q, c, i: mips.topk_binmax(q, c, i, k)
+        )(jnp.asarray(q), jnp.asarray(c), ids)
+        ref_v, ref_i = self._oracle(q, c, k)
+        np.testing.assert_array_equal(np.asarray(i), ref_i)
+        np.testing.assert_allclose(np.asarray(v), ref_v, rtol=1e-5)
