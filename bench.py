@@ -57,7 +57,10 @@ def main():
     # device arrays turns them into embedded constants and sends XLA constant
     # folding into a multi-minute compile.
     def search(q, corpus, ids):
-        s, i = topk_binmax_jit(q, corpus, ids, K)
+        # positions mode = the production path (FlatIPIndex.search): the
+        # device returns row positions; the external-id lookup is a ~1 ms
+        # host-side np.take that overlaps the next batch's dispatch
+        s, i = topk_binmax_jit(q, corpus, ids, K, return_positions=True)
         # scalar-reduce so the host fetch is O(1) bytes
         return jnp.sum(s[:, -1]) + jnp.sum(i[:, -1].astype(jnp.float32))
 

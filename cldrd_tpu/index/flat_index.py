@@ -92,12 +92,26 @@ class FlatIPIndex:
         return cls(dev_embs, dev_ids, mesh, axis_name, block_rows, method,
                    precision)
 
+    def _host_ids(self) -> np.ndarray:
+        """Host copy of the row-id array (cached) for positions -> ids."""
+        ids = getattr(self, "_host_ids_cache", None)
+        if ids is None:
+            ids = np.asarray(self.row_ids)
+            object.__setattr__(self, "_host_ids_cache", ids)
+        return ids
+
     def search(self, queries, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """queries [B, D] (host or device) -> (scores [B, k], ids [B, k]).
 
         Exact top-k; ids are the external int ids; -1 fills ranks beyond the
-        corpus size."""
+        corpus size.
+
+        The binmax path searches in POSITIONS mode — the device returns row
+        positions and the external-id lookup is a host-side ``np.take``
+        (a device gather of [B, k] ids costs ~3.7 ms at B=512/k=1000; the
+        host map is ~1 ms of overlappable numpy)."""
         q = jnp.asarray(queries, self.embeddings.dtype)
+        positions = self.method == "binmax"
         if self.mesh is not None:
             s, i = sharded_topk(
                 q,
@@ -109,14 +123,20 @@ class FlatIPIndex:
                 self.block_rows,
                 method=self.method,
                 precision=self.precision,
+                return_positions=positions,
             )
         elif self.method == "binmax":
             s, i = topk_binmax_jit(q, self.embeddings, self.row_ids, k,
-                                   precision=self.precision)
+                                   precision=self.precision,
+                                   return_positions=True)
         else:
             s, i = topk_jit(q, self.embeddings, self.row_ids, k,
                             self.block_rows, self.precision)
-        return np.asarray(s), np.asarray(i)
+        s, i = np.asarray(s), np.asarray(i)
+        if positions:
+            ids = self._host_ids()
+            i = np.where(i >= 0, ids[np.maximum(i, 0)], -1)
+        return s, i
 
     def search_batched(
         self, queries: np.ndarray, k: int, batch_size: int = 128

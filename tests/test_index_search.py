@@ -568,3 +568,49 @@ class TestFusedExtractPath:
         ref_v, ref_i = self._oracle(q, c, k)
         np.testing.assert_array_equal(np.asarray(i), ref_i)
         np.testing.assert_allclose(np.asarray(v), ref_v, rtol=1e-5)
+
+
+def test_return_positions_and_host_id_mapping(corpus):
+    """``return_positions=True`` must return corpus ROW POSITIONS (skipping
+    the slow device id-gather); FlatIPIndex maps them to external ids on
+    host. Verified with scrambled, non-contiguous external ids."""
+    from cldrd_tpu.search import topk_binmax
+
+    q, c, _ = corpus
+    n = c.shape[0]
+    k = 40
+    rng = np.random.default_rng(7)
+    ext_ids = rng.permutation(np.arange(10_000, 10_000 + n)).astype(np.int64)
+
+    s_ref = np.asarray(q @ c.T)
+    ref_pos = np.argsort(-s_ref, axis=1)[:, :k]
+
+    s, p = jax.jit(
+        lambda q, c, i: topk_binmax(q, c, i, k, bin_rows=16, extract=4,
+                                    return_positions=True)
+    )(jnp.asarray(q), jnp.asarray(c),
+      jnp.asarray(ext_ids, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(p), ref_pos)
+
+    index = FlatIPIndex.build(c, ext_ids, dtype=jnp.float32)
+    s2, i2 = index.search(q, k=k)
+    np.testing.assert_array_equal(i2, ext_ids[ref_pos])
+
+
+def test_sharded_return_positions_ids(corpus):
+    """Sharded search in positions mode: per-shard positions offset by the
+    shard base, merged over the mesh, host-mapped to external ids."""
+    q, c, _ = corpus
+    n = c.shape[0]
+    k = 25
+    rng = np.random.default_rng(8)
+    ext_ids = rng.permutation(np.arange(5_000, 5_000 + n)).astype(np.int64)
+    mesh = make_mesh(8, CORPUS_AXIS)
+    index = FlatIPIndex.build(c, ext_ids, mesh=mesh, dtype=jnp.float32,
+                              block_rows=16)
+    s, i = index.search(q, k=k)
+    s_ref = np.asarray(q @ c.T)
+    ref_pos = np.argsort(-s_ref, axis=1)[:, :k]
+    np.testing.assert_array_equal(i, ext_ids[ref_pos])
+    np.testing.assert_allclose(s, np.take_along_axis(s_ref, ref_pos, 1),
+                               rtol=1e-5)
