@@ -111,19 +111,17 @@ class FlatIPIndex:
         (a device gather of [B, k] ids costs ~3.7 ms at B=512/k=1000; the
         host map is ~1 ms of overlappable numpy)."""
         q = jnp.asarray(queries, self.embeddings.dtype)
+        return self._resolve(*self._search_device(q, k))
+
+    def _search_device(self, q: jax.Array, k: int):
+        """Dispatch one device search; returns device arrays (scores,
+        positions-or-ids, is_positions) WITHOUT forcing a host fetch."""
         positions = self.method == "binmax"
         if self.mesh is not None:
             s, i = sharded_topk(
-                q,
-                self.embeddings,
-                self.row_ids,
-                k,
-                self.mesh,
-                self.axis_name,
-                self.block_rows,
-                method=self.method,
-                precision=self.precision,
-                return_positions=positions,
+                q, self.embeddings, self.row_ids, k, self.mesh,
+                self.axis_name, self.block_rows, method=self.method,
+                precision=self.precision, return_positions=positions,
             )
         elif self.method == "binmax":
             s, i = topk_binmax_jit(q, self.embeddings, self.row_ids, k,
@@ -132,6 +130,9 @@ class FlatIPIndex:
         else:
             s, i = topk_jit(q, self.embeddings, self.row_ids, k,
                             self.block_rows, self.precision)
+        return s, i, positions
+
+    def _resolve(self, s, i, positions) -> Tuple[np.ndarray, np.ndarray]:
         s, i = np.asarray(s), np.asarray(i)
         if positions:
             ids = self._host_ids()
@@ -139,14 +140,28 @@ class FlatIPIndex:
         return s, i
 
     def search_batched(
-        self, queries: np.ndarray, k: int, batch_size: int = 128
+        self, queries: np.ndarray, k: int, batch_size: int = 128,
+        max_in_flight: int = 4,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Fixed-shape batched search over many queries (reference
         ``index_retrieve`` batching, ``retrieval_utils.py:131-153``). The
-        final ragged batch is padded to ``batch_size`` to avoid a recompile."""
+        final ragged batch is padded to ``batch_size`` to avoid a recompile.
+
+        Batches are PIPELINED: up to ``max_in_flight`` device searches stay
+        dispatched (JAX async dispatch) while earlier results are fetched
+        and host-mapped to ids, so host work and transfers overlap device
+        compute instead of serializing with it."""
         nq, d = queries.shape
         out_s = np.empty((nq, k), np.float32)
         out_i = np.empty((nq, k), np.int64)
+        pending: list = []  # (start, n, s_dev, i_dev, positions)
+
+        def drain_one():
+            start, n, s_dev, i_dev, positions = pending.pop(0)
+            s, i = self._resolve(s_dev, i_dev, positions)
+            out_s[start : start + n] = s[:n]
+            out_i[start : start + n] = i[:n]
+
         for start in range(0, nq, batch_size):
             chunk = queries[start : start + batch_size]
             n = chunk.shape[0]
@@ -154,7 +169,10 @@ class FlatIPIndex:
                 chunk = np.concatenate(
                     [chunk, np.zeros((batch_size - n, d), chunk.dtype)]
                 )
-            s, i = self.search(chunk, k)
-            out_s[start : start + n] = s[:n]
-            out_i[start : start + n] = i[:n]
+            q = jnp.asarray(chunk, self.embeddings.dtype)
+            pending.append((start, n) + self._search_device(q, k))
+            if len(pending) > max_in_flight:
+                drain_one()
+        while pending:
+            drain_one()
         return out_s, out_i
