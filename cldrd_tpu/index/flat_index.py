@@ -109,9 +109,21 @@ class FlatIPIndex:
         The binmax path searches in POSITIONS mode — the device returns row
         positions and the external-id lookup is a host-side ``np.take``
         (a device gather of [B, k] ids costs ~3.7 ms at B=512/k=1000; the
-        host map is ~1 ms of overlappable numpy)."""
+        host map is ~1 ms of overlappable numpy).
+
+        Query batches are padded up to a multiple of 128 so the fused
+        extraction kernel's batch-on-lanes eligibility always holds (an
+        89-query batch would otherwise silently take the ~2x-slower
+        portable path)."""
         q = jnp.asarray(queries, self.embeddings.dtype)
-        return self._resolve(*self._search_device(q, k))
+        b = q.shape[0]
+        b_pad = -(-b // 128) * 128
+        if b_pad != b:
+            q = jnp.concatenate(
+                [q, jnp.zeros((b_pad - b, q.shape[1]), q.dtype)]
+            )
+        s, i = self._resolve(*self._search_device(q, k))
+        return s[:b], i[:b]
 
     def _search_device(self, q: jax.Array, k: int):
         """Dispatch one device search; returns device arrays (scores,
@@ -152,6 +164,7 @@ class FlatIPIndex:
         and host-mapped to ids, so host work and transfers overlap device
         compute instead of serializing with it."""
         nq, d = queries.shape
+        batch_size = -(-batch_size // 128) * 128  # fused-kernel eligibility
         out_s = np.empty((nq, k), np.float32)
         out_i = np.empty((nq, k), np.int64)
         pending: list = []  # (start, n, s_dev, i_dev, positions)

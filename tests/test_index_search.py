@@ -614,3 +614,16 @@ def test_sharded_return_positions_ids(corpus):
     np.testing.assert_array_equal(i, ext_ids[ref_pos])
     np.testing.assert_allclose(s, np.take_along_axis(s_ref, ref_pos, 1),
                                rtol=1e-5)
+
+
+def test_search_odd_batch_padding(corpus):
+    """search()/search_batched() pad query batches to a multiple of 128 so
+    the fused kernel's eligibility always holds; padded rows never leak."""
+    q, c, ids = corpus
+    index = FlatIPIndex.build(c, ids, dtype=jnp.float32)
+    s_all, i_all = index.search(q, 10)
+    s_odd, i_odd = index.search(q[:5], 10)
+    np.testing.assert_array_equal(i_odd, i_all[:5])
+    np.testing.assert_allclose(s_odd, s_all[:5], rtol=1e-6)
+    s_b, i_b = index.search_batched(q, 10, batch_size=3)
+    np.testing.assert_array_equal(i_b, i_all)
