@@ -358,7 +358,7 @@ _EXTRACT_ROUNDS = 7   # level 1: 6 candidates + 1 remainder bound per bin
 # tail = 8e-7 per query -> ~4e-4 per 512-query batch; measured +7.4% QPS
 # over depth 7. The certificate is sound at ANY depth — bin-level
 # exclusions are bounded by rem1 — so depth only tunes fallback frequency.)
-_SUPER_TILES = 2      # tiles accumulated per level-2 super-block (2048 rows)
+_SUPER_ROWS = 2048    # rows per level-2 super-block
 # Level-2 depth is sized by the Poisson tail of "top-k items landing in one
 # super-block": at k=1000, N=1.1M, S=2048 rows, lambda = k*S/N = 1.84 and
 # P(Pois >= 16) ~ 1.3e-10 — times 544 super-blocks x 512 queries that is a
@@ -369,8 +369,17 @@ _SUPER_ROUNDS = 16    # level 2: 15 candidates + 1 remainder bound per block
 _INTERPRET = False  # tests flip this to run the kernel on CPU
 
 
+def _tile_plan(bz: int):
+    """(tile_rows, tiles_per_super_block): one 2048-row tile when the
+    [t, B] f32 score tile fits the VMEM budget (bz <= 512; measured +2%
+    over two accumulated 1024-row tiles), else two tiles with scratch
+    accumulation."""
+    tile_rows = _SUPER_ROWS if bz <= 512 else _SUPER_ROWS // 2
+    return tile_rows, _SUPER_ROWS // tile_rows
+
+
 def _extract_kernel_factory(bins_t: int, bin_rows: int, bz: int,
-                            tile_rows: int):
+                            tile_rows: int, s_tiles: int):
     from jax.experimental import pallas as pl
 
     R = _EXTRACT_ROUNDS
@@ -418,25 +427,30 @@ def _extract_kernel_factory(bins_t: int, bin_rows: int, bz: int,
         cand_v = jnp.stack(vs, axis=1).reshape(cw, bz)
         cand_p = jnp.stack(ps, axis=1).reshape(cw, bz)
 
-        # accumulate level-1 candidates across _SUPER_TILES grid steps in
-        # VMEM scratch; the output blocks (indexed i // _SUPER_TILES) stay
+        # accumulate level-1 candidates across s_tiles grid steps in
+        # VMEM scratch; the output blocks (indexed i // s_tiles) stay
         # resident across those steps
-        first = i % _SUPER_TILES == 0
-
-        @pl.when(first)
-        def _():
+        if s_tiles == 1:
             v_sc[0:cw, :] = cand_v
             p_sc[0:cw, :] = cand_p
             rem1_ref[:] = tile_rem
+        else:
+            first = i % s_tiles == 0
 
-        @pl.when(jnp.logical_not(first))
-        def _():
-            v_sc[cw : 2 * cw, :] = cand_v
-            p_sc[cw : 2 * cw, :] = cand_p
-            rem1_ref[:] = jnp.maximum(rem1_ref[:], tile_rem)
+            @pl.when(first)
+            def _():
+                v_sc[0:cw, :] = cand_v
+                p_sc[0:cw, :] = cand_p
+                rem1_ref[:] = tile_rem
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                v_sc[cw : 2 * cw, :] = cand_v
+                p_sc[cw : 2 * cw, :] = cand_p
+                rem1_ref[:] = jnp.maximum(rem1_ref[:], tile_rem)
 
         # level 2 on the super-block's accumulated candidates, last step only
-        @pl.when(i % _SUPER_TILES == _SUPER_TILES - 1)
+        @pl.when(i % s_tiles == s_tiles - 1)
         def _():
             v2 = v_sc[:]
             p2 = p_sc[:]
@@ -457,10 +471,10 @@ def _extract_kernel_factory(bins_t: int, bin_rows: int, bz: int,
 
 
 def _extract_eligible(bz: int, n: int, bin_rows: int) -> bool:
-    t = _FUSED_TILE_ROWS
+    t, _ = _tile_plan(bz)
     return (
         (jax.default_backend() == "tpu" or _INTERPRET)
-        and n % (t * _SUPER_TILES) == 0
+        and n % _SUPER_ROWS == 0
         and t % bin_rows == 0
         and bz % 128 == 0  # batch rides the lane axis
         and bz <= 1024  # VMEM budget for the [T, B] f32 score tile
@@ -493,13 +507,13 @@ def _binmax_segment_extract(
     R2 = _SUPER_ROUNDS
     m2 = R2 - 1
 
-    t = _FUSED_TILE_ROWS
+    t, s_tiles = _tile_plan(bz)
     bins_t = t // bin_rows
     ntiles = n // t
-    nsup = ntiles // _SUPER_TILES
+    nsup = ntiles // s_tiles
     cw = bins_t * (R - 1)
     sup_v, sup_p, rem1 = pl.pallas_call(
-        _extract_kernel_factory(bins_t, bin_rows, bz, t),
+        _extract_kernel_factory(bins_t, bin_rows, bz, t, s_tiles),
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec((bz, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -507,11 +521,11 @@ def _binmax_segment_extract(
             pl.BlockSpec((t, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, R2, bz), lambda i: (i // _SUPER_TILES, 0, 0),
+            pl.BlockSpec((1, R2, bz), lambda i: (i // s_tiles, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R2, bz), lambda i: (i // _SUPER_TILES, 0, 0),
+            pl.BlockSpec((1, R2, bz), lambda i: (i // s_tiles, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, bz), lambda i: (i // _SUPER_TILES, 0, 0),
+            pl.BlockSpec((1, 8, bz), lambda i: (i // s_tiles, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -520,8 +534,8 @@ def _binmax_segment_extract(
             jax.ShapeDtypeStruct((nsup, 8, bz), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_SUPER_TILES * cw, bz), jnp.float32),
-            pltpu.VMEM((_SUPER_TILES * cw, bz), jnp.int32),
+            pltpu.VMEM((s_tiles * cw, bz), jnp.float32),
+            pltpu.VMEM((s_tiles * cw, bz), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * bz * n * d,
