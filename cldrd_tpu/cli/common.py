@@ -24,6 +24,21 @@ def setup_logging(verbose: bool = True) -> None:
 
 
 def model_config_from_args(args: argparse.Namespace) -> DistilBertConfig:
+    spec = getattr(args, "model_config", None)
+    if spec:
+        # JSON file path or inline JSON dict of DistilBertConfig overrides
+        import json
+        import os
+
+        if os.path.exists(spec):
+            with open(spec) as f:
+                overrides = json.load(f)
+        else:
+            overrides = json.loads(spec)
+        overrides.setdefault(
+            "attention_impl", getattr(args, "attention_impl", "xla")
+        )
+        return DistilBertConfig(**overrides)
     if getattr(args, "model_size", "full") == "tiny":
         return DistilBertConfig.tiny()
     return DistilBertConfig(attention_impl=getattr(args, "attention_impl", "xla"))
@@ -32,6 +47,9 @@ def model_config_from_args(args: argparse.Namespace) -> DistilBertConfig:
 def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--model-size", choices=("full", "tiny"), default="full",
                    help="'tiny' is the hermetic test configuration")
+    p.add_argument("--model-config", default=None,
+                   help="DistilBertConfig overrides as a JSON file path or "
+                        "inline JSON (takes precedence over --model-size)")
     p.add_argument("--attention-impl", choices=("xla", "pallas"), default="xla")
     # default=None so a YAML config's share_weights survives when the flag
     # is not passed (argparse's store_true default False would clobber it)

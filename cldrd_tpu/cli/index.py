@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="on-disk embedding dtype; fp32 matches the reference "
                         "store (fp16 halves disk at a measured near-tie tail "
                         "cost — see examples/quantization_study.py)")
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=("bfloat16", "float32"),
+                   help="encoder activation dtype; float32 for bit-parity "
+                        "runs against fp32 oracles")
     p.add_argument("--token-cache", default=None,
                    help="directory for the pre-tokenized corpus cache: "
                         "built on first use, then streamed at memmap speed "
@@ -62,8 +66,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     cfg = model_config_from_args(args)
     tokenizer = build_tokenizer(args.tokenizer, vocab_size=cfg.vocab_size)
 
+    compute_dtype = (
+        jnp.float32 if args.compute_dtype == "float32" else jnp.bfloat16
+    )
     model = NwayDualEncoder(
-        config=cfg, share_weights=args.share_weights, dtype=jnp.bfloat16
+        config=cfg, share_weights=args.share_weights, dtype=compute_dtype
     )
     params = load_dual_encoder_params(
         args.checkpoint, model, cfg, args.share_weights,

@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-length", type=int, default=30)
     p.add_argument("--encode-batch-size", type=int, default=512)
     p.add_argument("--search-batch-size", type=int, default=128)
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=("bfloat16", "float32"),
+                   help="encoder activation dtype; float32 for bit-parity "
+                        "runs against fp32 oracles")
     p.add_argument("--hbm-dtype", default="bfloat16",
                    choices=("bfloat16", "float32"),
                    help="in-HBM corpus dtype (float32 doubles HBM)")
@@ -64,8 +68,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     cfg = model_config_from_args(args)
     tokenizer = build_tokenizer(args.tokenizer, vocab_size=cfg.vocab_size)
 
+    compute_dtype = (
+        jnp.float32 if args.compute_dtype == "float32" else jnp.bfloat16
+    )
     model = NwayDualEncoder(
-        config=cfg, share_weights=args.share_weights, dtype=jnp.bfloat16
+        config=cfg, share_weights=args.share_weights, dtype=compute_dtype
     )
     params = load_dual_encoder_params(
         args.checkpoint, model, cfg, args.share_weights,

@@ -35,14 +35,29 @@ class HFTokenizerAdapter:
     def __init__(self, tokenizer):
         self.tokenizer = tokenizer
         self.sep_token = tokenizer.sep_token or "[SEP]"
-        self._backend = getattr(tokenizer, "backend_tokenizer", None)
+        # Work on a CLONE of the Rust backend: enable_padding/enable_truncation
+        # persist on the tokenizer object, and mutating the shared instance
+        # would silently change behavior for every other user of it.
+        shared = getattr(tokenizer, "backend_tokenizer", None)
+        self._backend = None
+        if shared is not None:
+            try:
+                import tokenizers as _tk
+                self._backend = _tk.Tokenizer.from_str(shared.to_str())
+            except Exception:  # clone unavailable: fall back to slow path
+                self._backend = None
         self._backend_len = None
 
     def _encode_backend(
         self, texts, max_length: int, pairs=None
     ) -> TokenBatch:
         if self._backend_len != max_length:
-            pad_id = self.tokenizer.pad_token_id or 0
+            pad_id = self.tokenizer.pad_token_id
+            if pad_id is None:
+                raise ValueError(
+                    "tokenizer has no pad_token_id; set one before using "
+                    "the fixed-shape fast path"
+                )
             self._backend.enable_padding(
                 length=max_length, pad_id=pad_id,
                 pad_token=self.tokenizer.pad_token or "[PAD]",

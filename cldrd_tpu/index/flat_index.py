@@ -114,13 +114,17 @@ class FlatIPIndex:
         Query batches are padded up to a multiple of 128 so the fused
         extraction kernel's batch-on-lanes eligibility always holds (an
         89-query batch would otherwise silently take the ~2x-slower
-        portable path)."""
+        portable path). Pad rows REPLICATE the first real query rather
+        than zero-fill: an all-zero query scores 0.0 on every row, so the
+        strict ``rem < vk`` exactness certificate (which reduces over the
+        whole batch) could never pass and every ragged batch would take
+        the slow re-scan path after the fused kernel already ran."""
         q = jnp.asarray(queries, self.embeddings.dtype)
         b = q.shape[0]
         b_pad = -(-b // 128) * 128
         if b_pad != b:
             q = jnp.concatenate(
-                [q, jnp.zeros((b_pad - b, q.shape[1]), q.dtype)]
+                [q, jnp.broadcast_to(q[:1], (b_pad - b, q.shape[1]))]
             )
         s, i = self._resolve(*self._search_device(q, k))
         return s[:b], i[:b]
@@ -179,12 +183,13 @@ class FlatIPIndex:
             chunk = queries[start : start + batch_size]
             n = chunk.shape[0]
             if n < batch_size:
+                # replicate a real query into the pad rows (see search())
                 chunk = np.concatenate(
-                    [chunk, np.zeros((batch_size - n, d), chunk.dtype)]
+                    [chunk, np.broadcast_to(chunk[:1], (batch_size - n, d))]
                 )
             q = jnp.asarray(chunk, self.embeddings.dtype)
             pending.append((start, n) + self._search_device(q, k))
-            if len(pending) > max_in_flight:
+            if len(pending) >= max_in_flight:
                 drain_one()
         while pending:
             drain_one()

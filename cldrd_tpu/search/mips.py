@@ -556,8 +556,10 @@ def _binmax_segment_extract(
     finfo_min = f32(jnp.finfo(jnp.float32).min)
     width = nsup * m2
     if width < k:
-        # not enough super-block candidates to cover k: exact fallback
-        return topk_streaming(queries, segment, seg_row_ids, k)
+        # not enough super-block candidates to cover k: exact fallback.
+        # block_rows must divide n; the extract path only guarantees
+        # n % _SUPER_ROWS == 0, so pass that rather than the 8192 default.
+        return topk_streaming(queries, segment, seg_row_ids, k, _SUPER_ROWS)
 
     kept_v = jnp.concatenate(
         [sup_v[:, r, :].T for r in range(m2)], axis=1)  # [B, nsup*m2]
@@ -595,10 +597,13 @@ def _binmax_segment_extract(
         return jnp.where(empty, NEG_INF, v), jnp.where(empty, -1, p)
 
     def slow(_):
-        # positions-as-ids substitution keeps the fallback gather-free too
+        # positions-as-ids substitution keeps the fallback gather-free too.
+        # lax.cond traces BOTH branches, so the streaming block size must
+        # divide n unconditionally: the extract path guarantees only
+        # n % _SUPER_ROWS == 0 (not the 8192 default).
         lpos = jnp.where(seg_row_ids >= 0,
                          jnp.arange(n, dtype=seg_row_ids.dtype), -1)
-        return topk_streaming(queries, segment, lpos, k)
+        return topk_streaming(queries, segment, lpos, k, _SUPER_ROWS)
 
     return jax.lax.cond(ok, fast, slow, None)
 

@@ -24,6 +24,14 @@ import jax  # noqa: E402  (sitecustomize may have imported it already)
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite compiles dozens of SPMD programs;
+# caching them across runs cuts the full suite from ~12 min toward ~3 min.
+_CACHE_DIR = os.path.expanduser("~/.cache/cldrd_tpu_jax_cache")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import sys  # noqa: E402
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

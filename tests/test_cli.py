@@ -190,21 +190,36 @@ def test_cli_pipeline(corpus_files, tmp_path):
 
 
 def test_cli_curriculum(corpus_files, tmp_path):
+    """3 curriculum iterations with per-iteration retrieval evaluation (the
+    reference's between-stage ``continue_rerank_evaluator`` workflow,
+    ``scripts/unity/continue_rerank_evaluator.sh:4`` + SURVEY §3.5): each
+    iteration must produce a run file and a metrics row."""
     f = corpus_files
+    cur = tmp_path / "cur"
     rc = cli_curriculum.main([
         "--queries", f["queries"], "--passages", f["passages"],
-        "--training-paths", f["train"], f["train"],
-        "--label-modes", "1", "1",
-        "--learning-rates", "2e-3", "1e-3",
-        "--epochs", "2", "2",
+        "--training-paths", f["train"], f["train"], f["train"],
+        "--label-modes", "1", "1", "1",
+        "--learning-rates", "2e-3", "1e-3", "1e-3",
+        "--epochs", "2", "1", "1",
         "--model-size", "tiny", "--tokenizer", "hash",
         "--batch-size", "8",
-        "--run-folder", str(tmp_path / "cur"),
+        "--run-folder", str(cur),
         "--config", _tiny_yaml(tmp_path),
+        "--eval-queries", f["queries"], "--eval-qrels", f["qrels"],
+        "--eval-topk", "5", "--eval-batch-size", "16",
     ])
     assert rc == 0
-    for name in ("curriculum_iter1", "curriculum_iter2"):
-        assert os.path.exists(tmp_path / "cur" / name / "train_logs.log")
+    for name in ("curriculum_iter1", "curriculum_iter2", "curriculum_iter3"):
+        assert os.path.exists(cur / name / "train_logs.log")
+        assert os.path.getsize(cur / f"{name}.run.tsv") > 0
+    # metrics table: header + one row per iteration, with an MRR column
+    rows = open(cur / "curriculum_eval.tsv").read().splitlines()
+    assert len(rows) == 1 + 3, rows
+    header = rows[0].split("\t")
+    assert any("MRR" in c for c in header), header
+    steps = [r.split("\t")[0] for r in rows[1:]]
+    assert steps == ["1", "2", "3"], steps
 
 
 def _tiny_yaml(tmp_path):
@@ -212,7 +227,7 @@ def _tiny_yaml(tmp_path):
 
     cfg = TrainConfig(max_query_len=12, max_passage_len=16,
                       compute_dtype="float32", warmup_steps=2,
-                      logging_steps=4, evaluate_steps=100)
+                      logging_steps=2, evaluate_steps=100)
     path = str(tmp_path / "base.yaml")
     cfg.save_yaml(path)
     return path
