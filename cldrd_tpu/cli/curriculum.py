@@ -11,10 +11,21 @@ index/retrieve/evaluate — SURVEY §3.5) with a single invocation:
 
 Weights hand forward in memory between iterations; each iteration still
 writes resumable checkpoints under ``<run-folder>/curriculum_iterN``.
+
+With ``--eval-queries``/``--eval-qrels``, every iteration is followed by a
+full retrieval evaluation (the reference's between-stage
+``continue_rerank_evaluator`` workflow, ``scripts/unity/
+continue_rerank_evaluator.sh:4`` + SURVEY §3.5): the just-trained passage
+tower encodes the collection straight into a device-resident flat index (no
+host round-trip), the query tower encodes the eval queries, top-k retrieval
+writes ``curriculum_iterN.run.tsv``, and ``RankingEvaluator`` metrics are
+appended to ``<run-folder>/curriculum_eval.tsv``.
 """
 from __future__ import annotations
 
 import argparse
+import logging
+import os
 import sys
 from typing import List, Optional
 
@@ -22,6 +33,8 @@ from cldrd_tpu.data.nway_dataset import NwayDataset
 from cldrd_tpu.train import TrainConfig, run_curriculum
 
 from .common import add_model_args, build_tokenizer, model_config_from_args, setup_logging
+
+logger = logging.getLogger("cldrd_tpu.cli.curriculum")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -39,12 +52,71 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--model-checkpoint", default=None,
                    help="warm start for iteration 1 (e.g. converted TAS-B)")
+    p.add_argument("--eval-queries", default=None,
+                   help="qid\\ttext TSV: run index+retrieve+evaluate after "
+                        "each iteration (requires --eval-qrels)")
+    p.add_argument("--eval-qrels", default=None)
+    p.add_argument("--eval-topk", type=int, default=1000)
+    p.add_argument("--eval-trec", action="store_true")
+    p.add_argument("--eval-batch-size", type=int, default=128,
+                   help="encode + search batch size for per-iteration eval")
     add_model_args(p)
     return p
 
 
+def _make_eval_hook(args, base: TrainConfig, model_config, tokenizer):
+    """Per-iteration index-build + retrieval + metric evaluation."""
+    import numpy as np
+
+    from cldrd_tpu.data.sequence_dataset import SequenceDataset
+    from cldrd_tpu.evaluation import RankingEvaluator
+    from cldrd_tpu.index import (
+        build_index_on_device, encode_dataset, make_encode_fn,
+    )
+    from cldrd_tpu.search import retrieve_to_run_file
+    from cldrd_tpu.utils import MetricMonitor
+
+    evaluator = RankingEvaluator(args.eval_qrels, is_trec=args.eval_trec)
+    passages_ds = SequenceDataset.create_from_seqs_file(
+        args.passages, tokenizer, base.max_passage_len, is_query=False
+    )
+    queries_ds = SequenceDataset.create_from_seqs_file(
+        args.eval_queries, tokenizer, base.max_query_len, is_query=True
+    )
+    monitor = MetricMonitor()
+    table_path = os.path.join(base.run_folder, "curriculum_eval.tsv")
+
+    def hook(i, state, trainer):
+        p_encode = make_encode_fn(trainer.model, state.params, "passage_embs")
+        index = build_index_on_device(
+            p_encode, passages_ds, args.eval_batch_size, dim=model_config.dim
+        )
+        q_encode = make_encode_fn(trainer.model, state.params, "query_embs")
+        q_embs, qids = encode_dataset(q_encode, queries_ds, args.eval_batch_size)
+        run_path = os.path.join(
+            base.run_folder, f"curriculum_iter{i + 1}.run.tsv"
+        )
+        retrieve_to_run_file(
+            index, q_embs, qids, run_path,
+            topk=args.eval_topk, batch_size=args.eval_batch_size,
+        )
+        metrics = evaluator.compute_metrics(run_path)
+        monitor.update(i + 1, **{
+            k: float(v) for k, v in metrics.items()
+            if isinstance(v, (int, float, np.integer, np.floating))
+        })
+        monitor.write(table_path)
+        logger.info("iteration %d eval: %s", i + 1, metrics)
+
+    return hook
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     setup_logging()
+    # pod bring-up must precede any backend-touching JAX call
+    from cldrd_tpu.parallel import initialize_multihost
+
+    initialize_multihost()
     args = build_parser().parse_args(argv)
     n_iter = len(args.training_paths)
     assert len(args.label_modes) == len(args.learning_rates) == len(args.epochs) == n_iter
@@ -83,7 +155,15 @@ def main(argv: Optional[List[str]] = None) -> int:
             cfg.label_mode, fmt=cfg.train_fmt,
         )
 
-    run_curriculum(iterations, model_config_from_args(args), dataset_factory)
+    hook = None
+    if args.eval_queries or args.eval_qrels:
+        if not (args.eval_queries and args.eval_qrels):
+            raise SystemExit("--eval-queries and --eval-qrels go together")
+        os.makedirs(base.run_folder, exist_ok=True)
+        hook = _make_eval_hook(args, base, model_config, tokenizer)
+
+    run_curriculum(iterations, model_config, dataset_factory,
+                   after_iteration=hook)
     return 0
 
 

@@ -59,6 +59,12 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
 
 def main(argv: Optional[List[str]] = None) -> int:
     setup_logging()
+    # must run before ANY backend-touching JAX call (device queries, jit):
+    # on a pod this brings up the DCN cluster, single-host it no-ops
+    from cldrd_tpu.parallel import host_shard, initialize_multihost
+
+    initialize_multihost()
+    rank, nranks = host_shard()
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     model_config = model_config_from_args(args)
@@ -67,6 +73,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         cfg.queries_path, cfg.passages_path, cfg.training_path,
         tokenizer, cfg.max_query_len, cfg.max_passage_len,
         cfg.label_mode, fmt=cfg.train_fmt, neg_score_mode=cfg.neg_score_mode,
+        rank=rank, nranks=nranks,
     )
     trainer = Trainer(cfg, model_config)
     trainer.train(dataset)
