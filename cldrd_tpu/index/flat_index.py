@@ -129,24 +129,38 @@ class FlatIPIndex:
         s, i = self._resolve(*self._search_device(q, k))
         return s[:b], i[:b]
 
+    def _device_pos_ids(self) -> jax.Array:
+        """Device array of position-substituted ids (-1 keeps padding),
+        cached — lets every search path run in positions mode (no device
+        id-gather anywhere; external ids resolve host-side)."""
+        pos = getattr(self, "_device_pos_ids_cache", None)
+        if pos is None:
+            pos = jnp.where(
+                self.row_ids >= 0,
+                jnp.arange(self.row_ids.shape[0], dtype=jnp.int32), -1,
+            )
+            object.__setattr__(self, "_device_pos_ids_cache", pos)
+        return pos
+
     def _search_device(self, q: jax.Array, k: int):
         """Dispatch one device search; returns device arrays (scores,
-        positions-or-ids, is_positions) WITHOUT forcing a host fetch."""
-        positions = self.method == "binmax"
+        positions, is_positions=True) WITHOUT forcing a host fetch. Every
+        path searches in POSITIONS mode: the ~3.7 ms [B=512, k=1000]
+        device id-gather is replaced by a ~1 ms overlappable host np.take."""
         if self.mesh is not None:
             s, i = sharded_topk(
                 q, self.embeddings, self.row_ids, k, self.mesh,
                 self.axis_name, self.block_rows, method=self.method,
-                precision=self.precision, return_positions=positions,
+                precision=self.precision, return_positions=True,
             )
         elif self.method == "binmax":
             s, i = topk_binmax_jit(q, self.embeddings, self.row_ids, k,
                                    precision=self.precision,
                                    return_positions=True)
         else:
-            s, i = topk_jit(q, self.embeddings, self.row_ids, k,
+            s, i = topk_jit(q, self.embeddings, self._device_pos_ids(), k,
                             self.block_rows, self.precision)
-        return s, i, positions
+        return s, i, True
 
     def _resolve(self, s, i, positions) -> Tuple[np.ndarray, np.ndarray]:
         s, i = np.asarray(s), np.asarray(i)

@@ -153,25 +153,30 @@ def sharded_topk(
     ``top_k`` picks the global winners. k candidates per shard always cover
     the global top-k, so the result is exact.
 
-    ``return_positions=True`` (binmax only) returns GLOBAL row positions
-    into the sharded corpus instead of external ids — the per-shard
-    position -> global position conversion is pure arithmetic (shard index
-    times shard rows), so no device gather runs anywhere.
+    ``return_positions=True`` returns GLOBAL row positions into the
+    sharded corpus instead of external ids — the per-shard position ->
+    global position conversion is pure arithmetic (shard index times shard
+    rows), so no device gather runs anywhere (for 'stream' the scan's id
+    buffer simply carries local positions instead of external ids).
     """
-
-    assert not (return_positions and method != "binmax"), method
 
     def shard_fn(q, c_shard, id_shard):
         if method == "binmax":
             local_s, local_i = topk_binmax(
                 q, c_shard, id_shard, k, precision=precision,
                 return_positions=return_positions)
-            if return_positions:
-                offset = jax.lax.axis_index(axis_name) * c_shard.shape[0]
-                local_i = jnp.where(local_i >= 0, local_i + offset, -1)
         else:
-            local_s, local_i = topk_streaming(q, c_shard, id_shard, k,
+            ids_or_pos = id_shard
+            if return_positions:
+                ids_or_pos = jnp.where(
+                    id_shard >= 0,
+                    jnp.arange(c_shard.shape[0], dtype=jnp.int32), -1,
+                )
+            local_s, local_i = topk_streaming(q, c_shard, ids_or_pos, k,
                                               block_rows, precision)
+        if return_positions:
+            offset = jax.lax.axis_index(axis_name) * c_shard.shape[0]
+            local_i = jnp.where(local_i >= 0, local_i + offset, -1)
         all_s = jax.lax.all_gather(local_s, axis_name)  # [ndev, B, k]
         all_i = jax.lax.all_gather(local_i, axis_name)
         ndev = all_s.shape[0]
