@@ -33,9 +33,38 @@ import numpy as np
 NWAY, LQ, LP = 30, 30, 256
 MEASURE_ITERS = 8
 BASELINE_EX_PER_S = 8.0
+PEAK_BF16_TFLOPS = 197.0  # TPU v5e chip
 
 
-def bench_batch_size(bz: int, remat: bool = False) -> dict:
+def train_step_flops(cfg, bz: int, remat: bool, remat_policy: str = "full") -> float:
+    """Analytic FLOPs for one optimization step (fwd + bwd [+ remat fwd]).
+
+    Per token, per layer: weight matmuls = 2 * (4*D^2 + 2*D*H) MACs·2;
+    attention scores+AV = 2 * 2 * L * D. Backward ~= 2x forward; full
+    block remat adds one extra forward; 'dots' remat re-runs only the
+    attention-score/softmax part of the forward (weight-matmul outputs are
+    saved). Embeddings/pool/loss are negligible (<1%)."""
+    D, H, L_layers = cfg.dim, cfg.hidden_dim, cfg.n_layers
+
+    def encoder_flops(n_seq, L):
+        tokens = n_seq * L
+        matmul = 2.0 * tokens * (4 * D * D + 2 * D * H) * L_layers
+        attn = 2.0 * 2 * tokens * L * D * L_layers
+        fwd = matmul + attn
+        mult = 3.0  # fwd + bwd(2x)
+        if remat:
+            if remat_policy == "dots":
+                mult += attn / fwd  # only attention recomputed
+            else:
+                mult += 1.0  # full extra forward
+        return fwd * mult
+
+    # per step: bz queries (L=30) + bz*NWAY passages (L=256)
+    return encoder_flops(bz, LQ) + encoder_flops(bz * NWAY, LP)
+
+
+def bench_batch_size(bz: int, remat: bool = False,
+                     remat_policy: str = "full") -> dict:
     from cldrd_tpu.models import DistilBertConfig
     from cldrd_tpu.parallel import DATA_AXIS, make_mesh
     from cldrd_tpu.train import TrainConfig, Trainer, make_train_step
@@ -53,7 +82,7 @@ def bench_batch_size(bz: int, remat: bool = False) -> dict:
         run_folder="/tmp/cldrd_bench_train",
         experiment_name=f"bz{bz}",
     )
-    model_cfg = DistilBertConfig()  # the real 66M-param architecture
+    model_cfg = DistilBertConfig(remat_policy=remat_policy)  # real 66M arch
     mesh = make_mesh(1, DATA_AXIS)
     trainer = Trainer(cfg, model_cfg, mesh=mesh)
     total_steps = 10_000
@@ -103,21 +132,41 @@ def bench_batch_size(bz: int, remat: bool = False) -> dict:
     per_step = (tn - t1) / (MEASURE_ITERS - 1)
 
     ex_per_s = bz / per_step
+    flops = train_step_flops(model_cfg, bz, remat, remat_policy)
+    mfu = flops / per_step / (PEAK_BF16_TFLOPS * 1e12)
     tag = "_remat" if remat else ""
+    if remat and remat_policy != "full":
+        tag += f"_{remat_policy}"
     return {
         "metric": f"train_step_examples_per_s_bz{bz}{tag}_nway30_q30_p256",
         "value": round(ex_per_s, 2),
         "unit": "examples/s",
         "vs_baseline": round(ex_per_s / BASELINE_EX_PER_S, 3),
         "steps_per_s": round(1.0 / per_step, 3),
+        "mfu_pct": round(100 * mfu, 1),
     }
 
 
 def main():
-    # bz=8: reference global batch. bz=32: 960 sequences/step exceeds one
-    # chip's HBM without rematerialization -> remat=True.
-    print(json.dumps(bench_batch_size(8)))
-    print(json.dumps(bench_batch_size(32, remat=True)))
+    # bz=8/16: fit without rematerialization; bz=24/32 (720/960 sequences
+    # per step) exceed one chip's HBM -> full-block remat; 'dots' remat
+    # (save weight-matmul outputs, recompute attention internals) is the
+    # selective alternative measured at bz=32.
+    for bz, remat, policy in [
+        (8, False, "full"),
+        (16, False, "full"),
+        (24, True, "full"),
+        (32, True, "full"),
+        (32, True, "dots"),
+    ]:
+        try:
+            print(json.dumps(bench_batch_size(bz, remat=remat,
+                                              remat_policy=policy)))
+        except Exception as e:  # e.g. OOM on a configuration that no longer fits
+            print(json.dumps({
+                "metric": f"train_step_bz{bz}_remat{int(remat)}_{policy}",
+                "error": f"{type(e).__name__}: {str(e)[:200]}",
+            }))
 
 
 if __name__ == "__main__":

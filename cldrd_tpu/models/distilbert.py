@@ -58,6 +58,12 @@ class DistilBertConfig:
     # memory — enables large nway*batch training shapes (e.g. bz=32, nway=30,
     # L=256 = 960 sequences/step) that otherwise exceed a single chip's HBM
     remat: bool = False
+    # remat policy: "full" recomputes everything inside each block;
+    # "dots" saves weight-matmul outputs (jax.checkpoint_policies.
+    # dots_with_no_batch_dims_saveable) and recomputes only attention
+    # scores/softmax and elementwise ops — less recompute, more memory
+    # (selective remat, benchmarked in bench_train.py)
+    remat_policy: str = "full"
 
     @classmethod
     def tiny(cls, **overrides) -> "DistilBertConfig":
@@ -242,9 +248,14 @@ class DistilBertEncoder(nn.Module):
         )
         block_cls = TransformerBlock
         if self.config.remat:
+            policy = None
+            if self.config.remat_policy == "dots":
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
             # deterministic and cls_only are Python bools -> static
             # (argnum 0 is the module instance in flax lifted transforms)
-            block_cls = nn.remat(TransformerBlock, static_argnums=(3, 4))
+            block_cls = nn.remat(
+                TransformerBlock, static_argnums=(3, 4), policy=policy
+            )
         n = self.config.n_layers
         for i in range(n):
             hidden = block_cls(self.config, self.dtype, name=f"layer_{i}")(
