@@ -69,6 +69,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     compute_dtype = (
         jnp.float32 if args.compute_dtype == "float32" else jnp.bfloat16
     )
+    if args.compute_dtype == "float32":
+        # XLA's DEFAULT TPU precision rounds even fp32 matmul inputs to
+        # bf16; fp32 parity runs need true-fp32 (bf16x6) encoder matmuls
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", "highest")
     model = NwayDualEncoder(
         config=cfg, share_weights=args.share_weights, dtype=compute_dtype
     )

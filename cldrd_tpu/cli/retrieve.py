@@ -71,6 +71,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     compute_dtype = (
         jnp.float32 if args.compute_dtype == "float32" else jnp.bfloat16
     )
+    if args.compute_dtype == "float32":
+        # see cli/index.py: fp32 parity runs need true-fp32 encoder matmuls
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", "highest")
     model = NwayDualEncoder(
         config=cfg, share_weights=args.share_weights, dtype=compute_dtype
     )
