@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-trec", action="store_true")
     p.add_argument("--eval-batch-size", type=int, default=128,
                    help="encode + search batch size for per-iteration eval")
+    p.add_argument("--eval-bucket-lengths", type=int, nargs="*", default=None,
+                   help="length-bucketed passage encoding for the "
+                        "per-iteration index build (empty list = default "
+                        "ladder); identical embeddings, ~token-proportional "
+                        "encode time")
     add_model_args(p)
     return p
 
@@ -89,7 +94,8 @@ def _make_eval_hook(args, base: TrainConfig, model_config, tokenizer):
     def hook(i, state, trainer):
         p_encode = make_encode_fn(trainer.model, state.params, "passage_embs")
         index = build_index_on_device(
-            p_encode, passages_ds, args.eval_batch_size, dim=model_config.dim
+            p_encode, passages_ds, args.eval_batch_size, dim=model_config.dim,
+            bucket_lengths=args.eval_bucket_lengths,
         )
         q_encode = make_encode_fn(trainer.model, state.params, "query_embs")
         q_embs, qids = encode_dataset(q_encode, queries_ds, args.eval_batch_size)

@@ -50,6 +50,13 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("bfloat16", "float32"),
                    help="encoder activation dtype; float32 for bit-parity "
                         "runs against fp32 oracles")
+    p.add_argument("--bucket-lengths", type=int, nargs="*", default=None,
+                   help="enable length-bucketed encoding: pad each passage "
+                        "only to the smallest listed bucket that fits it "
+                        "(empty list = default 32/64/128/... ladder). "
+                        "Identical embeddings, ~token-proportional encode "
+                        "time; index row order becomes length-grouped "
+                        "(immaterial: identity rides on the id map)")
     p.add_argument("--token-cache", default=None,
                    help="directory for the pre-tokenized corpus cache: "
                         "built on first use, then streamed at memmap speed "
@@ -100,7 +107,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
     encode = make_encode_fn(model, params, "passage_embs")
     t0 = time.perf_counter()
-    embeddings, ids = encode_dataset(encode, dataset, args.batch_size)
+    embeddings, ids = encode_dataset(
+        encode, dataset, args.batch_size,
+        bucket_lengths=args.bucket_lengths,
+    )
     elapsed = time.perf_counter() - t0
     logger.info(
         "encoded %d passages in %.1fs (%.0f passages/s)",

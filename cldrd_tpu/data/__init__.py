@@ -12,6 +12,12 @@ from .loaders import (
     load_train_examples,
     passage_text,
 )
+from .bucketing import (
+    BucketSpec,
+    bucket_specs,
+    bucketize,
+    default_bucket_lengths,
+)
 from .nway_dataset import NwayBatch, NwayDataset
 from .teacher import (
     CURRICULUM_BUCKETS,
@@ -44,6 +50,10 @@ __all__ = [
     "load_queries",
     "load_train_examples",
     "passage_text",
+    "BucketSpec",
+    "bucket_specs",
+    "bucketize",
+    "default_bucket_lengths",
     "NwayBatch",
     "NwayDataset",
     "CURRICULUM_BUCKETS",

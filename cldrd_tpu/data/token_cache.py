@@ -115,3 +115,36 @@ class TokenCacheDataset:
                 ids=ids_out,
                 n_valid=nv,
             )
+
+    def batches_bucketed(self, specs) -> Iterator[SequenceBatch]:
+        """Length-bucketed batches (see ``data/bucketing.py``): the cache
+        knows every row's length up front, so each bucket's rows stream
+        contiguously with at most ONE partial batch per bucket — the
+        minimum possible padding for the ladder. Row order changes
+        (grouped by bucket); identity rides on ``ids`` as always."""
+        specs = sorted(specs, key=lambda s: s.length)
+        cut = np.asarray([s.length for s in specs])
+        if self.n and int(self.lengths.max()) > cut[-1]:
+            raise ValueError(
+                f"row length {int(self.lengths.max())} exceeds largest "
+                f"bucket {cut[-1]}"
+            )
+        bidx = np.searchsorted(cut, self.lengths)
+        for b, spec in enumerate(specs):
+            rows = np.nonzero(bidx == b)[0]
+            L, bz = spec.length, spec.batch_size
+            arange = np.arange(L)[None, :]
+            for start in range(0, len(rows), bz):
+                sel = rows[start : start + bz]
+                nv = len(sel)
+                ids_out = np.full((bz,), -1, np.int64)
+                ids_out[:nv] = self.ids[sel]
+                input_ids = np.zeros((bz, L), np.int32)
+                input_ids[:nv] = self.tokens[sel, :L]
+                mask = np.zeros((bz, L), np.int32)
+                mask[:nv] = arange < self.lengths[sel, None]
+                yield SequenceBatch(
+                    tokens={"input_ids": input_ids, "attention_mask": mask},
+                    ids=ids_out,
+                    n_valid=nv,
+                )

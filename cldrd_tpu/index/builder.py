@@ -33,6 +33,41 @@ logger = logging.getLogger(__name__)
 EncodeFn = Callable[[dict], jax.Array]  # tokens {input_ids, attention_mask} -> [B, D]
 
 
+def _batch_stream(
+    dataset,
+    batch_size: int,
+    bucket_lengths,
+    batch_multiple: int = 1,
+):
+    """Resolve the batch iterator: flat fixed-shape batches, or
+    length-bucketed ones (``data/bucketing.py`` — rows regrouped by valid
+    length so short passages stop paying max_length FLOPs; identical
+    numerics, ~proportional-to-token-count encode time).
+
+    Returns ``(iterator, max_batch_rows, emitted_rows_bound)`` — the latter
+    two size device append buffers (bucketed batches vary in row count and
+    pad at most one partial batch per bucket)."""
+    if bucket_lengths is None:
+        n_batches = -(-max(len(dataset), 1) // batch_size)
+        return dataset.batches(batch_size), batch_size, n_batches * batch_size
+    from cldrd_tpu.data.bucketing import (
+        bucket_specs, bucketize, max_emitted_rows,
+    )
+
+    # () / [] selects the default power-of-two ladder; None (handled
+    # above) means no bucketing at all
+    specs = bucket_specs(
+        dataset.max_length, batch_size, list(bucket_lengths) or None,
+        batch_multiple,
+    )
+    if hasattr(dataset, "batches_bucketed"):
+        it = dataset.batches_bucketed(specs)  # sorted: minimal padding
+    else:
+        it = bucketize(dataset.batches(batch_size), specs)
+    max_bz = max(s.batch_size for s in specs)
+    return it, max_bz, max_emitted_rows(len(dataset), specs)
+
+
 def make_encode_fn(
     model,
     params,
@@ -50,8 +85,27 @@ def make_encode_fn(
     bound_method = getattr(model, method)
 
     def encode(tokens):
+        # device-side widen of host-compacted inputs (see _compact_tokens)
+        tokens = {
+            "input_ids": tokens["input_ids"].astype(jnp.int32),
+            "attention_mask": tokens["attention_mask"].astype(jnp.int32),
+        }
         out = model.apply({"params": params}, tokens, method=bound_method)
         return out.astype(jnp.float32)
+
+    def _compact_tokens(tokens):
+        # host->device payload compaction: WordPiece ids fit uint16 and the
+        # mask is 0/1, so ship 3 bytes/token instead of 8 and widen to
+        # int32 on device — identical numerics, 2.7x less transfer (the
+        # encode pipeline is transfer-bound on thin host links)
+        ids = tokens["input_ids"]
+        if ids.dtype != np.uint16 and ids.size and ids.max() < (1 << 16) \
+                and ids.min() >= 0:
+            ids = ids.astype(np.uint16)
+        return {
+            "input_ids": ids,
+            "attention_mask": tokens["attention_mask"].astype(np.uint8),
+        }
 
     if mesh is not None:
         shard = NamedSharding(mesh, P(axis_name))
@@ -59,13 +113,13 @@ def make_encode_fn(
 
         def fn(tokens):
             tokens = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, shard), tokens
+                lambda x: jax.device_put(x, shard), _compact_tokens(tokens)
             )
             return jit_encode(tokens)
 
         return fn
     jit_encode = jax.jit(encode)
-    return lambda tokens: jit_encode(tokens)
+    return lambda tokens: jit_encode(_compact_tokens(tokens))
 
 
 def encode_dataset(
@@ -74,6 +128,7 @@ def encode_dataset(
     batch_size: int,
     log_every: int = 200,
     prefetch_depth: int = 4,
+    bucket_lengths=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Encode every sequence; returns (embeddings fp32 [N, D], ids int64 [N]).
 
@@ -81,14 +136,20 @@ def encode_dataset(
     background thread so the host pipeline overlaps device compute (JAX
     dispatch is async; the producer otherwise serializes with it).
 
+    ``bucket_lengths``: enable length-bucketed encoding (a sequence of
+    bucket lengths, or ``()`` for the default power-of-two ladder) — rows
+    come back GROUPED BY LENGTH, not in dataset order; pair embeddings
+    with the returned ``ids``, never with the input row order.
+
     NaN count is checked like the reference (``retrieval_utils.py:55``) but
     raises instead of printing-and-continuing."""
     from cldrd_tpu.data.prefetch import prefetch
 
+    batches, _, _ = _batch_stream(dataset, batch_size, bucket_lengths)
     emb_chunks, id_chunks = [], []
     t0 = time.perf_counter()
     n_batches = 0
-    for batch in prefetch(dataset.batches(batch_size), depth=prefetch_depth):
+    for batch in prefetch(batches, depth=prefetch_depth):
         embs = encode_fn(batch.tokens)
         n = batch.n_valid
         emb_chunks.append(np.asarray(embs)[:n])
@@ -144,6 +205,7 @@ def build_index_on_device(
     prefetch_depth: int = 4,
     mesh: Optional[Mesh] = None,
     axis_name: str = "corpus",
+    bucket_lengths=None,
 ):
     """Encode straight into the in-HBM index — no host round-trip.
 
@@ -169,7 +231,7 @@ def build_index_on_device(
     if mesh is not None:
         return _build_index_on_device_sharded(
             encode_fn, dataset, batch_size, dim, dtype, block_rows,
-            prefetch_depth, mesh, axis_name,
+            prefetch_depth, mesh, axis_name, bucket_lengths,
         )
 
     from cldrd_tpu.data.prefetch import prefetch
@@ -177,9 +239,11 @@ def build_index_on_device(
     from .flat_index import FlatIPIndex, _pad_rows
 
     n = len(dataset)
-    # the final (ragged) batch writes a full batch_size rows of which the
-    # tail is padding; the buffer must cover that write without clipping
-    n_pad = _pad_rows(_pad_rows(max(n, 1), batch_size), block_rows)
+    batches, max_bz, _ = _batch_stream(dataset, batch_size, bucket_lengths)
+    # every batch writes its full (possibly bucket-specific) row count of
+    # which the tail is padding; the buffer must cover the largest write at
+    # the largest offset (<= n) without clipping
+    n_pad = _pad_rows(max(n, 1) + max_bz, block_rows)
     buf = jnp.zeros((n_pad, dim), dtype)
     ids_buf = np.full((n_pad,), -1, np.int64)
 
@@ -188,15 +252,15 @@ def build_index_on_device(
         return jax.lax.dynamic_update_slice(buf, embs.astype(buf.dtype), (offset, 0))
 
     offset = 0
-    for batch in prefetch(dataset.batches(batch_size), depth=prefetch_depth):
-        embs = encode_fn(batch.tokens)  # [batch_size, dim] on device
+    for batch in prefetch(batches, depth=prefetch_depth):
+        embs = encode_fn(batch.tokens)  # [bz, dim] on device
         buf = append(buf, embs, jnp.asarray(offset, jnp.int32))
         ids_buf[offset : offset + batch.n_valid] = batch.ids[: batch.n_valid]
+        # padded tail rows (ids stay -1, masked out of every search) are
+        # overwritten by the next batch's write at offset + n_valid —
+        # except after the stream's final batch, where they persist as
+        # masked rows
         offset += batch.n_valid
-        if batch.n_valid < batch_size:
-            # padded tail rows were written; ids_buf stays -1 so they are
-            # masked out of every search
-            pass
     assert offset == n, (offset, n)
     return FlatIPIndex(
         embeddings=buf,
@@ -216,6 +280,7 @@ def _build_index_on_device_sharded(
     prefetch_depth: int,
     mesh: Mesh,
     axis_name: str,
+    bucket_lengths=None,
 ):
     """SPMD device-resident build: every device appends its slice of each
     encoded batch into its own index shard at the same local offset."""
@@ -227,11 +292,14 @@ def _build_index_on_device_sharded(
 
     ndev = mesh.devices.size
     assert batch_size % ndev == 0, (batch_size, ndev)
-    per_dev = batch_size // ndev
 
     n = len(dataset)
-    n_batches = -(-max(n, 1) // batch_size)
-    local_rows = _pad_rows(n_batches * per_dev, block_rows)
+    # bucketed batch sizes are forced to multiples of ndev so every batch
+    # row-shards evenly; emitted_bound covers valid rows + pad tails
+    batches, _, emitted_bound = _batch_stream(
+        dataset, batch_size, bucket_lengths, batch_multiple=ndev
+    )
+    local_rows = _pad_rows(-(-max(emitted_bound, 1) // ndev), block_rows)
     n_pad = local_rows * ndev
 
     shard = NamedSharding(mesh, P(axis_name))
@@ -259,13 +327,15 @@ def _build_index_on_device_sharded(
     )
 
     local_offset = 0
-    for batch in prefetch(dataset.batches(batch_size), depth=prefetch_depth):
-        embs = encode_fn(batch.tokens)  # [batch_size, dim], row-sharded
+    for batch in prefetch(batches, depth=prefetch_depth):
+        bz = batch.tokens["input_ids"].shape[0]
+        per_dev = bz // ndev
+        embs = encode_fn(batch.tokens)  # [bz, dim], row-sharded
         buf = append(buf, embs, jnp.asarray(local_offset, jnp.int32))
         # host-side id bookkeeping: device j's shard covers global rows
         # [j*local_rows, (j+1)*local_rows); batch rows [j*per_dev,
         # (j+1)*per_dev) land at its local_offset
-        batch_ids = np.full((batch_size,), -1, np.int64)
+        batch_ids = np.full((bz,), -1, np.int64)
         batch_ids[: batch.n_valid] = batch.ids[: batch.n_valid]
         for j in range(ndev):
             dst = j * local_rows + local_offset

@@ -116,9 +116,15 @@ class FlatIPIndex:
         89-query batch would otherwise silently take the ~2x-slower
         portable path). Pad rows REPLICATE the first real query rather
         than zero-fill: an all-zero query scores 0.0 on every row, so the
-        strict ``rem < vk`` exactness certificate (which reduces over the
-        whole batch) could never pass and every ragged batch would take
-        the slow re-scan path after the fused kernel already ran."""
+        strict ``rem < vk`` exactness certificate could never pass and
+        ragged batches would always look like certificate misses.
+
+        Certificate misses recover PER QUERY: the binmax path runs in
+        ``on_miss='flag'`` mode (no in-graph whole-batch fallback), and
+        the rare queries whose certificate failed re-run through the
+        exact streaming scan in small host-dispatched batches — one
+        adversarial query costs one 128-query re-scan, not a 512-query
+        slow path (measured cliff: examples/bench_cliff.py)."""
         q = jnp.asarray(queries, self.embeddings.dtype)
         b = q.shape[0]
         b_pad = -(-b // 128) * 128
@@ -126,7 +132,7 @@ class FlatIPIndex:
             q = jnp.concatenate(
                 [q, jnp.broadcast_to(q[:1], (b_pad - b, q.shape[1]))]
             )
-        s, i = self._resolve(*self._search_device(q, k))
+        s, i = self._recover_resolve(q, k, b, *self._search_device(q, k))
         return s[:b], i[:b]
 
     def _device_pos_ids(self) -> jax.Array:
@@ -144,26 +150,67 @@ class FlatIPIndex:
 
     def _search_device(self, q: jax.Array, k: int):
         """Dispatch one device search; returns device arrays (scores,
-        positions, is_positions=True) WITHOUT forcing a host fetch. Every
-        path searches in POSITIONS mode: the ~3.7 ms [B=512, k=1000]
-        device id-gather is replaced by a ~1 ms overlappable host np.take."""
+        positions, is_positions=True, ok_or_None) WITHOUT forcing a host
+        fetch. Every path searches in POSITIONS mode: the ~3.7 ms
+        [B=512, k=1000] device id-gather is replaced by a ~1 ms
+        overlappable host np.take. The single-device binmax path also
+        returns the per-query exactness certificate (``ok``) so misses
+        recover per query instead of per batch."""
         if self.mesh is not None:
             s, i = sharded_topk(
                 q, self.embeddings, self.row_ids, k, self.mesh,
                 self.axis_name, self.block_rows, method=self.method,
                 precision=self.precision, return_positions=True,
             )
+            ok = None
         elif self.method == "binmax":
-            s, i = topk_binmax_jit(q, self.embeddings, self.row_ids, k,
-                                   precision=self.precision,
-                                   return_positions=True)
+            s, i, ok = topk_binmax_jit(q, self.embeddings, self.row_ids, k,
+                                       precision=self.precision,
+                                       return_positions=True, on_miss="flag")
         else:
             s, i = topk_jit(q, self.embeddings, self._device_pos_ids(), k,
                             self.block_rows, self.precision)
-        return s, i, True
+            ok = None
+        return s, i, True, ok
 
-    def _resolve(self, s, i, positions) -> Tuple[np.ndarray, np.ndarray]:
+    # fixed re-scan batch: one compile, small enough that a single
+    # adversarial query costs ~a quarter of a fast-path batch
+    _RESCAN_BATCH = 128
+
+    def _rescan_exact(self, q: np.ndarray, k: int):
+        """Exact streaming re-scan (positions mode) for queries whose
+        binmax certificate failed; fixed-batch jit, replicated padding."""
+        fb = self._RESCAN_BATCH
+        out_s, out_p = [], []
+        for s0 in range(0, len(q), fb):
+            chunk = q[s0 : s0 + fb]
+            n = len(chunk)
+            if n < fb:
+                chunk = np.concatenate(
+                    [chunk, np.broadcast_to(chunk[:1], (fb - n, q.shape[1]))]
+                )
+            v, p = topk_jit(
+                jnp.asarray(chunk, self.embeddings.dtype), self.embeddings,
+                self._device_pos_ids(), k, self.block_rows, self.precision,
+            )
+            out_s.append(np.asarray(v)[:n])
+            out_p.append(np.asarray(p)[:n])
+        return np.concatenate(out_s), np.concatenate(out_p)
+
+    def _recover_resolve(
+        self, q: jax.Array, k: int, n_valid: int, s, i, positions, ok
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Fetch device results, re-run certificate-miss queries exactly
+        (first ``n_valid`` rows only — pad rows are sliced off anyway),
+        and map positions to external ids host-side."""
         s, i = np.asarray(s), np.asarray(i)
+        if ok is not None:
+            bad = np.nonzero(~np.asarray(ok)[:n_valid])[0]
+            if bad.size:
+                rs, rp = self._rescan_exact(np.asarray(q)[bad], k)
+                s = s.copy(); i = i.copy()
+                s[bad] = rs
+                i[bad] = rp
         if positions:
             ids = self._host_ids()
             i = np.where(i >= 0, ids[np.maximum(i, 0)], -1)
@@ -185,11 +232,12 @@ class FlatIPIndex:
         batch_size = -(-batch_size // 128) * 128  # fused-kernel eligibility
         out_s = np.empty((nq, k), np.float32)
         out_i = np.empty((nq, k), np.int64)
-        pending: list = []  # (start, n, s_dev, i_dev, positions)
+        pending: list = []  # (start, n, q_dev, s_dev, i_dev, positions, ok)
 
         def drain_one():
-            start, n, s_dev, i_dev, positions = pending.pop(0)
-            s, i = self._resolve(s_dev, i_dev, positions)
+            start, n, q_dev, s_dev, i_dev, positions, ok = pending.pop(0)
+            s, i = self._recover_resolve(q_dev, k, n, s_dev, i_dev,
+                                         positions, ok)
             out_s[start : start + n] = s[:n]
             out_i[start : start + n] = i[:n]
 
@@ -202,7 +250,7 @@ class FlatIPIndex:
                     [chunk, np.broadcast_to(chunk[:1], (batch_size - n, d))]
                 )
             q = jnp.asarray(chunk, self.embeddings.dtype)
-            pending.append((start, n) + self._search_device(q, k))
+            pending.append((start, n, q) + self._search_device(q, k))
             if len(pending) >= max_in_flight:
                 drain_one()
         while pending:

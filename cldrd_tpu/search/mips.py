@@ -493,7 +493,8 @@ def _binmax_segment_extract(
     seg_row_ids: jax.Array,
     k: int,
     bin_rows: int,
-) -> Tuple[jax.Array, jax.Array]:
+    on_miss: str = "fallback",
+):
     """Exact segment top-k via the fused scores+two-level-extraction kernel.
 
     Same contract as ``_binmax_segment``. Each 2048-row super-block emits
@@ -502,7 +503,16 @@ def _binmax_segment_extract(
     itself against its own k-th value (always a sound lower bound on the
     true k-th score, because candidates are a subset of all items). Falls
     back to ``topk_streaming`` (memory-lean, exact) whenever a bound cannot
-    certify the narrowing."""
+    certify the narrowing.
+
+    ``on_miss``: 'fallback' (default) re-scans IN-GRAPH when the
+    whole-batch certificate fails — one adversarial query drags all B
+    queries through the slow path (the certificate is ``jnp.all`` over the
+    batch because a jit program cannot compact a dynamic subset). 'flag'
+    returns ``(values, positions, ok [B] bool)`` instead, never tracing
+    the slow path: rows with ``ok=False`` MAY be inexact and the caller
+    re-runs just those queries (see ``FlatIPIndex`` per-query recovery —
+    the whole-batch cliff becomes a per-query surcharge)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -564,7 +574,14 @@ def _binmax_segment_extract(
         # not enough super-block candidates to cover k: exact fallback.
         # block_rows must divide n; the extract path only guarantees
         # n % _SUPER_ROWS == 0, so pass that rather than the 8192 default.
-        return topk_streaming(queries, segment, seg_row_ids, k, _SUPER_ROWS)
+        # Contract: this function returns SEGMENT-LOCAL POSITIONS, so feed
+        # the scan position-substituted ids, not the external ones.
+        lpos = jnp.where(seg_row_ids >= 0,
+                         jnp.arange(n, dtype=seg_row_ids.dtype), -1)
+        v, p = topk_streaming(queries, segment, lpos, k, _SUPER_ROWS)
+        if on_miss == "flag":
+            return v, p, jnp.ones((bz,), jnp.bool_)  # streaming is exact
+        return v, p
 
     kept_v = jnp.concatenate(
         [sup_v[:, r, :].T for r in range(m2)], axis=1)  # [B, nsup*m2]
@@ -579,10 +596,11 @@ def _binmax_segment_extract(
     # item not in the candidate set (bounded by rem1/rem2) scores below vk,
     # nothing was dropped and the result is exact; otherwise fall back.
     vk = v[:, k - 1]
-    ok = jnp.all(
+    okq = (
         ((rem1 < vk) | (rem1 == NEG_INF))
         & ((rem2 < vk) | (rem2 == NEG_INF))
-    )
+    )  # [B] per-query certificate
+    ok = jnp.all(okq)
 
     def fast(_):
         # resolve winner positions with a one-hot matmul (bit-exact at
@@ -610,6 +628,9 @@ def _binmax_segment_extract(
                          jnp.arange(n, dtype=seg_row_ids.dtype), -1)
         return topk_streaming(queries, segment, lpos, k, _SUPER_ROWS)
 
+    if on_miss == "flag":
+        fv, fp = fast(None)
+        return fv, fp, okq
     return jax.lax.cond(ok, fast, slow, None)
 
 
@@ -621,11 +642,15 @@ def _binmax_segment(
     bin_rows: int,
     extract: int,
     precision: str = "default",
-) -> Tuple[jax.Array, jax.Array]:
+    on_miss: str = "fallback",
+):
     """Exact top-k of one corpus segment via bin-max selection.
 
     Returns (scores [B, k] fp32, SEGMENT-LOCAL positions [B, k], -1 for
-    empty slots). Segment rows must be a multiple of ``bin_rows``.
+    empty slots) — plus a per-query ``ok [B]`` certificate when
+    ``on_miss='flag'`` (see ``_binmax_segment_extract``: flagged rows may
+    be inexact and the caller re-runs them; nothing slow is traced).
+    Segment rows must be a multiple of ``bin_rows``.
 
     Performance note: candidate *positions* are derived arithmetically
     (``bin_base + argmax_lane``) during the extraction rounds — TPU gathers
@@ -640,7 +665,7 @@ def _binmax_segment(
     if precision == "default" and _extract_eligible(bz, n, bin_rows):
         # fast path: fused scores+extraction kernel, no [B, N] score tensor
         return _binmax_segment_extract(queries, segment, seg_row_ids, k,
-                                       bin_rows)
+                                       bin_rows, on_miss)
 
     scores, bmax = _scores_and_binmax(queries, segment, seg_row_ids, bin_rows,
                                       precision)
@@ -672,7 +697,8 @@ def _binmax_segment(
 
     # exact unless some non-extracted item could still reach tau
     # (ties included conservatively; all -inf rem is always fine)
-    ok = jnp.all((rem_max < tau) | (rem_max == NEG_INF))
+    okq = (rem_max < tau) | (rem_max == NEG_INF)  # [B] per-query
+    ok = jnp.all(okq)
 
     def fast(_):
         v, sel = jax.lax.top_k(kept_v, k)
@@ -700,9 +726,15 @@ def _binmax_segment(
         # nbins and ``cand`` holds the ENTIRE segment, so the slow path is
         # an exact full top-k. kb*m < k: not enough narrowed candidates.
         v, p = slow(None)
+        okq = jnp.ones((bz,), jnp.bool_)  # slow covers all candidates
+    elif on_miss == "flag":
+        v, p = fast(None)
     else:
         v, p = jax.lax.cond(ok, fast, slow, None)
-    return v, jnp.where(jnp.isfinite(v), p, -1)
+    p = jnp.where(jnp.isfinite(v), p, -1)
+    if on_miss == "flag":
+        return v, p, okq
+    return v, p
 
 
 def topk_binmax(
@@ -715,7 +747,8 @@ def topk_binmax(
     segment_rows: int = 2_097_152,
     precision: str = "default",
     return_positions: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
+    on_miss: str = "fallback",
+):
     """Exact MIPS top-k via bin-max selection (see block comment above).
 
     Materializes fp32 scores one ``segment_rows`` corpus segment at a time
@@ -728,7 +761,15 @@ def topk_binmax(
     external ids, skipping the final device gather (~3.7 ms at
     [B=512, k=1000] — TPU gathers are slow); callers map positions to ids
     with a host-side ``np.take`` (see ``FlatIPIndex.search``).
+
+    ``on_miss='flag'`` returns ``(scores, ids_or_positions, ok [B] bool)``
+    and never runs the in-graph exact re-scan: rows whose certificate
+    failed in ANY segment have ``ok=False`` and may be inexact — the
+    caller re-runs exactly those queries (per-query recovery replaces the
+    whole-batch fallback cliff; see ``FlatIPIndex.search``). Rows with
+    ``ok=True`` are exact, unconditionally.
     """
+    assert on_miss in ("fallback", "flag"), on_miss
     n, _ = corpus.shape
     while bin_rows > 8 and n % bin_rows:
         bin_rows //= 2
@@ -738,14 +779,20 @@ def topk_binmax(
     pos_ids = jnp.where(row_ids >= 0,
                         jnp.arange(n, dtype=jnp.int32), jnp.int32(-1))
 
-    def finish(v, p):
-        if return_positions:
-            return v, p
-        ids = jnp.take(row_ids, jnp.maximum(p, 0))
-        return v, jnp.where(p >= 0, ids, -1)
+    bz = queries.shape[0]
+    ok_all = jnp.ones((bz,), jnp.bool_)
+
+    def finish(v, p, ok):
+        if not return_positions:
+            ids = jnp.take(row_ids, jnp.maximum(p, 0))
+            v, p = v, jnp.where(p >= 0, ids, -1)
+        if on_miss == "flag":
+            return v, p, ok
+        return v, p
 
     if n <= k or n <= bin_rows * 2 or n % bin_rows:
-        return finish(*topk_dense(queries, corpus, pos_ids, k, precision))
+        v, p = topk_dense(queries, corpus, pos_ids, k, precision)
+        return finish(v, p, ok_all)  # dense is exact
     segment_rows = min(segment_rows, n)
     # segments must be bin-aligned
     segment_rows -= segment_rows % bin_rows
@@ -758,28 +805,36 @@ def topk_binmax(
             # pos_ids slices already carry GLOBAL positions
             seg_results.append((v, p))
         else:
-            v, p = _binmax_segment(
+            res = _binmax_segment(
                 queries, corpus[start:end], row_ids[start:end],
-                k, bin_rows, extract, precision,
+                k, bin_rows, extract, precision, on_miss,
             )
+            if on_miss == "flag":
+                v, p, seg_ok = res
+                # a query is exact only if EVERY segment certified it
+                ok_all = ok_all & seg_ok
+            else:
+                v, p = res
             seg_results.append((v, jnp.where(p >= 0, p + start, -1)))
     if len(seg_results) == 1:
-        return finish(*seg_results[0])
+        v, p = seg_results[0]
+        return finish(v, p, ok_all)
     all_v = jnp.concatenate([v for v, _ in seg_results], axis=-1)
     all_i = jnp.concatenate([i for _, i in seg_results], axis=-1)
     v, sel = jax.lax.top_k(all_v, k)
-    return finish(v, jnp.take_along_axis(all_i, sel, axis=-1))
+    return finish(v, jnp.take_along_axis(all_i, sel, axis=-1), ok_all)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("k", "bin_rows", "extract", "segment_rows", "precision",
-                     "return_positions"),
+                     "return_positions", "on_miss"),
 )
 def topk_binmax_jit(
     queries, corpus, row_ids, k: int,
     bin_rows: int = 128, extract: int = 6, segment_rows: int = 2_097_152,
     precision: str = "default", return_positions: bool = False,
+    on_miss: str = "fallback",
 ):
     return topk_binmax(queries, corpus, row_ids, k, bin_rows, extract,
-                       segment_rows, precision, return_positions)
+                       segment_rows, precision, return_positions, on_miss)

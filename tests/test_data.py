@@ -373,3 +373,176 @@ def test_token_cache_feeds_encoder(tmp_path):
     e2, i2 = encode_dataset(enc, TokenCacheDataset(cache_dir), 8)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(e1, e2, rtol=1e-6)
+
+
+# --------------------------------------------------------------- bucketing
+
+
+def _toy_batches(lengths, batch_size, max_length, start_id=100):
+    """Build a SequenceBatch stream with prescribed per-row valid lengths."""
+    from cldrd_tpu.data import SequenceBatch
+
+    rows = len(lengths)
+    for s in range(0, rows, batch_size):
+        chunk = lengths[s : s + batch_size]
+        nv = len(chunk)
+        ids = np.full((batch_size,), -1, np.int64)
+        ids[:nv] = np.arange(s, s + nv) + start_id
+        toks = np.zeros((batch_size, max_length), np.int32)
+        mask = np.zeros((batch_size, max_length), np.int32)
+        for r, ln in enumerate(chunk):
+            toks[r, :ln] = (s + r) * 1000 + np.arange(ln) + 1
+            mask[r, :ln] = 1
+        yield SequenceBatch(
+            tokens={"input_ids": toks, "attention_mask": mask},
+            ids=ids, n_valid=nv,
+        )
+
+
+def test_bucket_specs_ladder_and_scaling():
+    from cldrd_tpu.data import bucket_specs
+
+    specs = bucket_specs(256, 512)  # default ladder
+    assert [s.length for s in specs] == [32, 64, 128, 256]
+    assert [s.batch_size for s in specs] == [4096, 2048, 1024, 512]
+    # batch_multiple rounds down and never hits zero
+    specs = bucket_specs(256, 512, (100, 256), batch_multiple=8)
+    assert [s.length for s in specs] == [100, 256]
+    assert all(s.batch_size % 8 == 0 and s.batch_size >= 8 for s in specs)
+    # explicit ladder missing max_length gets it appended
+    specs = bucket_specs(64, 16, (16,))
+    assert [s.length for s in specs] == [16, 64]
+
+
+def test_bucketize_preserves_every_row():
+    """Each valid input row appears in exactly one bucketed batch, sliced
+    to its bucket length with nothing but masked padding lost."""
+    from cldrd_tpu.data import bucket_specs, bucketize
+
+    rng = np.random.default_rng(0)
+    lengths = rng.integers(1, 17, size=203).tolist()
+    specs = bucket_specs(16, 8, (4, 8, 16))
+    out = list(bucketize(_toy_batches(lengths, 10, 16), specs))
+
+    by_len = {s.length: s.batch_size for s in specs}
+    seen = {}
+    for b in out:
+        L = b.tokens["input_ids"].shape[1]
+        assert b.tokens["input_ids"].shape == (by_len[L], L)
+        assert b.tokens["attention_mask"].shape == (by_len[L], L)
+        # valid rows first, pads (-1) after
+        assert (b.ids[: b.n_valid] >= 0).all()
+        assert (b.ids[b.n_valid :] == -1).all()
+        for r in range(b.n_valid):
+            rid = int(b.ids[r])
+            assert rid not in seen
+            ln = lengths[rid - 100]
+            assert ln <= L  # row landed in a big-enough bucket
+            row = b.tokens["input_ids"][r]
+            np.testing.assert_array_equal(
+                row[:ln], (rid - 100) * 1000 + np.arange(ln) + 1
+            )
+            assert (row[ln:] == 0).all()
+            assert b.tokens["attention_mask"][r].sum() == ln
+            seen[rid] = L
+    assert len(seen) == len(lengths)
+    # rows land in the SMALLEST covering bucket
+    for rid, L in seen.items():
+        ln = lengths[rid - 100]
+        assert L == min(s for s in (4, 8, 16) if s >= ln)
+
+
+def test_bucketize_rejects_oversized_rows():
+    from cldrd_tpu.data import BucketSpec, bucketize
+
+    with pytest.raises(ValueError, match="exceeds largest bucket"):
+        list(bucketize(_toy_batches([10], 4, 16), [BucketSpec(8, 4)]))
+
+
+def test_token_cache_bucketed_minimal_padding(tmp_path):
+    """The sort-based cache path emits every row once, in length-grouped
+    order, with at most one partial batch per bucket."""
+    from cldrd_tpu.data import (
+        SequenceDataset, TokenCacheDataset, bucket_specs, write_token_cache,
+    )
+    from cldrd_tpu.data.tokenization import HashTokenizer
+
+    # word counts 1..12 -> varying token lengths (cls + words + sep)
+    id_to_seq = {i: " ".join(f"w{j}" for j in range(1 + i % 12))
+                 for i in range(57)}
+    ds = SequenceDataset(id_to_seq, HashTokenizer(500), 16, is_query=False)
+    cache_dir = str(tmp_path / "cache")
+    write_token_cache(ds, cache_dir, batch_size=16)
+    cds = TokenCacheDataset(cache_dir)
+
+    specs = bucket_specs(16, 8, (4, 8, 16))
+    batches = list(cds.batches_bucketed(specs))
+    # at most one ragged batch per bucket
+    per_bucket_partials = {}
+    seen = set()
+    for b in batches:
+        L = b.tokens["input_ids"].shape[1]
+        if b.n_valid < b.tokens["input_ids"].shape[0]:
+            per_bucket_partials[L] = per_bucket_partials.get(L, 0) + 1
+        for r in range(b.n_valid):
+            rid = int(b.ids[r])
+            assert rid not in seen
+            seen.add(rid)
+            ln = int(cds.lengths[list(cds.ids).index(rid)])
+            assert ln <= L
+        # every row's tokens match the cache slice
+        sel = [list(cds.ids).index(int(b.ids[r])) for r in range(b.n_valid)]
+        np.testing.assert_array_equal(
+            b.tokens["input_ids"][: b.n_valid],
+            cds.tokens[sel, :L].astype(np.int32),
+        )
+    assert seen == set(int(i) for i in cds.ids)
+    assert all(v == 1 for v in per_bucket_partials.values())
+
+
+def test_bucketed_encode_identical_embeddings(tmp_path):
+    """Bucketed encoding (both the greedy wrapper and the sorted cache
+    path) produces the same per-id embedding as flat max_length encoding:
+    padding is masked out of attention, so padded length is immaterial."""
+    import jax
+    import jax.numpy as jnp
+
+    from cldrd_tpu.data import (
+        SequenceDataset, TokenCacheDataset, write_token_cache,
+    )
+    from cldrd_tpu.data.tokenization import HashTokenizer
+    from cldrd_tpu.index import encode_dataset, make_encode_fn
+    from cldrd_tpu.models import DistilBertConfig, NwayDualEncoder
+
+    cfg = DistilBertConfig.tiny()
+    model = NwayDualEncoder(config=cfg, dtype=jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        {"input_ids": jnp.zeros((1, 4), jnp.int32),
+         "attention_mask": jnp.ones((1, 4), jnp.int32)},
+        {"input_ids": jnp.zeros((1, 1, 4), jnp.int32),
+         "attention_mask": jnp.ones((1, 1, 4), jnp.int32)},
+    )["params"]
+    id_to_seq = {i: " ".join(f"tok{j}" for j in range(1 + i % 13))
+                 for i in range(43)}
+    ds = SequenceDataset(id_to_seq, HashTokenizer(cfg.vocab_size), 16,
+                         is_query=False)
+    enc = make_encode_fn(model, params, "passage_embs", dtype=jnp.float32)
+
+    e_flat, i_flat = encode_dataset(enc, ds, 8)
+    ref = {int(i): e for i, e in zip(i_flat, e_flat)}
+
+    # greedy wrapper over the raw dataset
+    e_b, i_b = encode_dataset(enc, ds, 8, bucket_lengths=(4, 8, 16))
+    assert sorted(int(x) for x in i_b) == sorted(ref)
+    for i, e in zip(i_b, e_b):
+        np.testing.assert_allclose(e, ref[int(i)], rtol=1e-6, atol=1e-7)
+
+    # sorted cache path, default ladder
+    cache_dir = str(tmp_path / "cache")
+    write_token_cache(ds, cache_dir, batch_size=16)
+    e_c, i_c = encode_dataset(enc, TokenCacheDataset(cache_dir), 8,
+                              bucket_lengths=())
+    assert sorted(int(x) for x in i_c) == sorted(ref)
+    for i, e in zip(i_c, e_c):
+        np.testing.assert_allclose(e, ref[int(i)], rtol=1e-6, atol=1e-7)

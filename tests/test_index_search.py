@@ -627,3 +627,218 @@ def test_search_odd_batch_padding(corpus):
     np.testing.assert_allclose(s_odd, s_all[:5], rtol=1e-6)
     s_b, i_b = index.search_batched(q, 10, batch_size=3)
     np.testing.assert_array_equal(i_b, i_all)
+
+
+def test_build_index_on_device_bucketed_matches_flat():
+    """Length-bucketed device-resident builds (single-device AND the SPMD
+    sharded path) must search identically to the flat build — row order
+    changes, ids don't; persistent pad rows stay masked."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from cldrd_tpu.data.sequence_dataset import SequenceDataset
+    from cldrd_tpu.data.tokenization import HashTokenizer
+    from cldrd_tpu.index import build_index_on_device, encode_dataset, make_encode_fn
+    from cldrd_tpu.models import DistilBertConfig, NwayDualEncoder
+    from cldrd_tpu.parallel import CORPUS_AXIS
+
+    cfg = DistilBertConfig.tiny()
+    model = NwayDualEncoder(config=cfg, dtype=jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        {"input_ids": jnp.zeros((1, 4), jnp.int32),
+         "attention_mask": jnp.ones((1, 4), jnp.int32)},
+        {"input_ids": jnp.zeros((1, 1, 4), jnp.int32),
+         "attention_mask": jnp.ones((1, 1, 4), jnp.int32)},
+    )["params"]
+    # variable word counts -> variable lengths, ragged tail at bz=16
+    id_to_seq = {i + 50: " ".join(f"w{j}" for j in range(1 + i % 11))
+                 for i in range(101)}
+    ds = SequenceDataset(id_to_seq, HashTokenizer(cfg.vocab_size), 16,
+                         is_query=False)
+    encode = make_encode_fn(model, params, "passage_embs", dtype=jnp.float32)
+    embs, ids = encode_dataset(encode, ds, 16)
+    host_index = FlatIPIndex.build(embs, ids, dtype=jnp.float32, block_rows=64)
+    q = embs[:5]
+    s_h, i_h = host_index.search(q, k=10)
+
+    dev_index = build_index_on_device(
+        encode, ds, batch_size=16, dim=cfg.dim, dtype=jnp.float32,
+        block_rows=64, bucket_lengths=(4, 8, 16),
+    )
+    assert dev_index.n_vectors == 101
+    s_d, i_d = dev_index.search(q, k=10)
+    np.testing.assert_allclose(s_d, s_h, rtol=1e-5)
+    np.testing.assert_array_equal(i_d, i_h)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), (CORPUS_AXIS,))
+    encode_sharded = make_encode_fn(
+        model, params, "passage_embs", mesh=mesh, axis_name=CORPUS_AXIS,
+        dtype=jnp.float32,
+    )
+    shard_index = build_index_on_device(
+        encode_sharded, ds, batch_size=16, dim=cfg.dim, dtype=jnp.float32,
+        block_rows=16, mesh=mesh, axis_name=CORPUS_AXIS,
+        bucket_lengths=(4, 8, 16),
+    )
+    assert shard_index.n_vectors == 101
+    s_s, i_s = shard_index.search(q, k=10)
+    np.testing.assert_allclose(s_s, s_h, rtol=1e-5)
+    # sharded encode compiles differently (1e-6-level fp32 jitter can swap
+    # near-ties): compare id SETS per query like the unbucketed sharded test
+    for r in range(len(q)):
+        assert set(map(int, i_s[r])) == set(map(int, i_h[r]))
+
+
+class TestPerQueryCertificates:
+    """``on_miss='flag'`` returns a per-query exactness certificate and
+    never runs the in-graph whole-batch fallback; FlatIPIndex recovers
+    flagged queries individually (the cliff fix, VERDICT r2 #5)."""
+
+    def _oracle(self, q, c, k):
+        s = q @ c.T
+        idx = np.argsort(-s, axis=1)[:, :k]
+        return np.take_along_axis(s, idx, axis=1), idx
+
+    def _adversarial_corpus(self, n, d, n_planted, rng):
+        """Random corpus with ``n_planted`` near-parallel rows packed at
+        the start: a query along ``u`` has its whole top-k inside one
+        bin/super-block, defeating the extraction-depth certificate."""
+        c = rng.standard_normal((n, d)).astype(np.float32) * 0.01
+        u = rng.standard_normal(d).astype(np.float32)
+        u /= np.linalg.norm(u)
+        scales = 5.0 + np.linspace(1.0, 0.0, n_planted, dtype=np.float32)
+        c[:n_planted] = scales[:, None] * u[None, :]
+        return c, u
+
+    def test_portable_path_flags_only_adversarial_query(self):
+        from cldrd_tpu.search import mips
+
+        rng = np.random.default_rng(0)
+        n, d, k = 4096, 32, 20
+        c, u = self._adversarial_corpus(n, d, n_planted=k, rng=rng)
+        q = rng.standard_normal((4, d)).astype(np.float32) * 0.01
+        q[1] = u  # the adversarial one
+
+        v, p, ok = jax.jit(
+            lambda q, c, i: mips.topk_binmax(
+                q, c, i, k, bin_rows=128, extract=6, on_miss="flag")
+        )(jnp.asarray(q), jnp.asarray(c), jnp.arange(n, dtype=jnp.int32))
+        ok = np.asarray(ok)
+        assert not ok[1], "adversarial query must fail the certificate"
+        # certified rows are exact, unconditionally
+        ref_v, ref_p = self._oracle(q, c, k)
+        for r in np.nonzero(ok)[0]:
+            np.testing.assert_array_equal(np.asarray(p)[r], ref_p[r])
+            np.testing.assert_allclose(np.asarray(v)[r], ref_v[r], rtol=1e-5)
+
+    def test_extract_path_flags_only_adversarial_query(self, monkeypatch):
+        from cldrd_tpu.search import mips
+
+        monkeypatch.setattr(mips, "_INTERPRET", True)
+        rng = np.random.default_rng(1)
+        bz, n, d, k = 128, 4096, 32, 20
+        # > super-block extraction depth (15) top-k items in ONE 2048-row
+        # super-block -> rem2 >= vk for that query
+        c, u = self._adversarial_corpus(n, d, n_planted=k, rng=rng)
+        q = rng.standard_normal((bz, d)).astype(np.float32) * 0.01
+        q[3] = u
+        assert mips._extract_eligible(bz, n, 128)
+        v, p, ok = mips._binmax_segment_extract(
+            jnp.asarray(q), jnp.asarray(c), jnp.arange(n, dtype=jnp.int32),
+            k, 128, on_miss="flag")
+        ok = np.asarray(ok)
+        assert not ok[3]
+        ref_v, ref_p = self._oracle(q, c, k)
+        for r in np.nonzero(ok)[0]:
+            np.testing.assert_array_equal(np.asarray(p)[r], ref_p[r])
+            np.testing.assert_allclose(np.asarray(v)[r], ref_v[r], rtol=1e-5)
+
+    def test_flat_index_recovers_per_query(self, monkeypatch):
+        """search() must return exact results for EVERY query even when one
+        fails the certificate — and must re-scan only the failing ones."""
+        from cldrd_tpu.index import flat_index as fi
+
+        rng = np.random.default_rng(2)
+        n, d, k = 4096, 32, 20
+        c, u = self._adversarial_corpus(n, d, n_planted=k, rng=rng)
+        ext_ids = rng.permutation(np.arange(7_000, 7_000 + n)).astype(np.int64)
+        q = rng.standard_normal((8, d)).astype(np.float32) * 0.01
+        # project the benign queries orthogonal to the planted direction so
+        # the high-norm planted rows cannot reach THEIR top-k (otherwise
+        # any query with a u-component concentrates in the planted bin too)
+        q -= (q @ u)[:, None] * u[None, :]
+        q[5] = u
+
+        index = FlatIPIndex.build(c, ext_ids, dtype=jnp.float32,
+                                  block_rows=512)
+        calls = []
+        orig = FlatIPIndex._rescan_exact
+
+        def spy(self, qs, kk):
+            calls.append(len(qs))
+            return orig(self, qs, kk)
+
+        monkeypatch.setattr(FlatIPIndex, "_rescan_exact", spy)
+        s, i = index.search(q, k=k)
+        ref_v, ref_p = self._oracle(q, c, k)
+        np.testing.assert_array_equal(i, ext_ids[ref_p])
+        np.testing.assert_allclose(s, ref_v, rtol=1e-5)
+        # exactly one rescue pass over exactly the flagged query — pad
+        # rows (which replicate q[0]) must NOT be rescued
+        assert calls == [1]
+        # a clean batch must not rescue at all
+        calls.clear()
+        s2, i2 = index.search(np.delete(q, 5, axis=0), k=k)
+        assert calls == []
+
+    def test_flag_mode_multi_segment_ok_is_anded(self):
+        """With >1 segment, a query is certified only if every segment
+        certified it."""
+        from cldrd_tpu.search import mips
+
+        rng = np.random.default_rng(3)
+        # segments must keep kb = min(k, nbins) >= k, else the portable
+        # path's exact slow branch runs and certifies everything
+        n, d, k = 8192, 32, 20
+        c, u = self._adversarial_corpus(n, d, n_planted=k, rng=rng)
+        q = np.stack([u, rng.standard_normal(d).astype(np.float32) * 0.01])
+        q[1] -= (q[1] @ u) * u
+        v, p, ok = jax.jit(
+            lambda q, c, i: mips.topk_binmax(
+                q, c, i, k, bin_rows=128, extract=6, segment_rows=4096,
+                on_miss="flag")
+        )(jnp.asarray(q), jnp.asarray(c), jnp.arange(n, dtype=jnp.int32))
+        ok = np.asarray(ok)
+        assert not ok[0]
+        assert ok[1]
+
+
+def test_extract_width_lt_k_returns_positions(monkeypatch):
+    """Regression: the fused path's width<k streaming fallback must return
+    SEGMENT-LOCAL POSITIONS (its contract), not external ids — with
+    scrambled ids the old code returned ids that downstream re-mapped as
+    if they were positions."""
+    from cldrd_tpu.search import mips
+
+    monkeypatch.setattr(mips, "_INTERPRET", True)
+    rng = np.random.default_rng(4)
+    bz, n, d = 128, 4096, 32
+    k = 40  # nsup * (R2-1) = 2 * 15 = 30 < k -> width<k early return
+    q = rng.standard_normal((bz, d)).astype(np.float32)
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    ext_ids = rng.permutation(np.arange(3_000, 3_000 + n)).astype(np.int32)
+    assert mips._extract_eligible(bz, n, 128)
+
+    s_ref = q @ c.T
+    ref_pos = np.argsort(-s_ref, axis=1)[:, :k]
+
+    v, i = jax.jit(
+        lambda q, c, i: mips.topk_binmax(q, c, i, k)
+    )(jnp.asarray(q), jnp.asarray(c), jnp.asarray(ext_ids))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ext_ids)[ref_pos])
+
+    v2, p2 = jax.jit(
+        lambda q, c, i: mips.topk_binmax(q, c, i, k, return_positions=True)
+    )(jnp.asarray(q), jnp.asarray(c), jnp.asarray(ext_ids))
+    np.testing.assert_array_equal(np.asarray(p2), ref_pos)
