@@ -157,12 +157,20 @@ class FlatIPIndex:
         returns the per-query exactness certificate (``ok``) so misses
         recover per query instead of per batch."""
         if self.mesh is not None:
-            s, i = sharded_topk(
-                q, self.embeddings, self.row_ids, k, self.mesh,
-                self.axis_name, self.block_rows, method=self.method,
-                precision=self.precision, return_positions=True,
-            )
-            ok = None
+            if self.method == "binmax":
+                s, i, ok = sharded_topk(
+                    q, self.embeddings, self.row_ids, k, self.mesh,
+                    self.axis_name, self.block_rows, method=self.method,
+                    precision=self.precision, return_positions=True,
+                    on_miss="flag",
+                )
+            else:
+                s, i = sharded_topk(
+                    q, self.embeddings, self.row_ids, k, self.mesh,
+                    self.axis_name, self.block_rows, method=self.method,
+                    precision=self.precision, return_positions=True,
+                )
+                ok = None
         elif self.method == "binmax":
             s, i, ok = topk_binmax_jit(q, self.embeddings, self.row_ids, k,
                                        precision=self.precision,
@@ -179,7 +187,8 @@ class FlatIPIndex:
 
     def _rescan_exact(self, q: np.ndarray, k: int):
         """Exact streaming re-scan (positions mode) for queries whose
-        binmax certificate failed; fixed-batch jit, replicated padding."""
+        binmax certificate failed; fixed-batch jit, replicated padding.
+        Sharded indexes re-scan with the corpus-sharded streaming path."""
         fb = self._RESCAN_BATCH
         out_s, out_p = [], []
         for s0 in range(0, len(q), fb):
@@ -189,10 +198,18 @@ class FlatIPIndex:
                 chunk = np.concatenate(
                     [chunk, np.broadcast_to(chunk[:1], (fb - n, q.shape[1]))]
                 )
-            v, p = topk_jit(
-                jnp.asarray(chunk, self.embeddings.dtype), self.embeddings,
-                self._device_pos_ids(), k, self.block_rows, self.precision,
-            )
+            qd = jnp.asarray(chunk, self.embeddings.dtype)
+            if self.mesh is not None:
+                v, p = sharded_topk(
+                    qd, self.embeddings, self.row_ids, k, self.mesh,
+                    self.axis_name, self.block_rows, method="stream",
+                    precision=self.precision, return_positions=True,
+                )
+            else:
+                v, p = topk_jit(
+                    qd, self.embeddings, self._device_pos_ids(), k,
+                    self.block_rows, self.precision,
+                )
             out_s.append(np.asarray(v)[:n])
             out_p.append(np.asarray(p)[:n])
         return np.concatenate(out_s), np.concatenate(out_p)

@@ -143,7 +143,8 @@ def sharded_topk(
     method: str = "binmax",
     precision: str = "default",
     return_positions: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
+    on_miss: str = "fallback",
+):
     """Corpus-sharded exact top-k under ``shard_map``.
 
     ``corpus``/``row_ids`` are sharded along rows over ``axis_name``;
@@ -158,13 +159,25 @@ def sharded_topk(
     global position conversion is pure arithmetic (shard index times shard
     rows), so no device gather runs anywhere (for 'stream' the scan's id
     buffer simply carries local positions instead of external ids).
+
+    ``on_miss='flag'`` (binmax only; 'stream' is unconditionally exact)
+    returns ``(scores, ids_or_positions, ok [B] bool)``: per-shard
+    certificates AND-reduce over the mesh axis (a ``psum`` of misses), so
+    ``ok`` is replicated and a query is certified only if every shard
+    certified its local top-k. No in-graph fallback is traced; the caller
+    re-runs flagged queries (``FlatIPIndex`` per-query recovery).
     """
 
     def shard_fn(q, c_shard, id_shard):
+        okq = None
         if method == "binmax":
-            local_s, local_i = topk_binmax(
+            res = topk_binmax(
                 q, c_shard, id_shard, k, precision=precision,
-                return_positions=return_positions)
+                return_positions=return_positions, on_miss=on_miss)
+            if on_miss == "flag":
+                local_s, local_i, okq = res
+            else:
+                local_s, local_i = res
         else:
             ids_or_pos = id_shard
             if return_positions:
@@ -185,6 +198,12 @@ def sharded_topk(
         cand_i = jnp.transpose(all_i, (1, 0, 2)).reshape(bz, ndev * k)
         top_s, sel = jax.lax.top_k(cand_s, k)
         top_i = jnp.take_along_axis(cand_i, sel, axis=-1)
+        if on_miss == "flag":
+            if okq is None:  # streaming shards are exact
+                okq = jnp.ones((q.shape[0],), jnp.bool_)
+            # certified iff no shard missed: psum of misses == 0
+            miss = jax.lax.psum((~okq).astype(jnp.int32), axis_name)
+            return top_s, top_i, miss == 0
         return top_s, top_i
 
     from jax import shard_map
@@ -193,7 +212,7 @@ def sharded_topk(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name)),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()) if on_miss == "flag" else (P(), P()),
         check_vma=False,
     )
     return fn(queries, corpus, row_ids)

@@ -842,3 +842,41 @@ def test_extract_width_lt_k_returns_positions(monkeypatch):
         lambda q, c, i: mips.topk_binmax(q, c, i, k, return_positions=True)
     )(jnp.asarray(q), jnp.asarray(c), jnp.asarray(ext_ids))
     np.testing.assert_array_equal(np.asarray(p2), ref_pos)
+
+
+def test_sharded_flat_index_recovers_per_query(monkeypatch):
+    """Sharded binmax search also runs flag-mode: per-shard certificates
+    AND-reduce over the mesh, and FlatIPIndex rescues flagged queries
+    through the corpus-sharded streaming scan."""
+    rng = np.random.default_rng(5)
+    # 20480 rows/shard -> 160 bins/shard >> k: benign queries certify
+    # (at nbins ~= k, tau is the SMALLEST bin max and rem_max beats it
+    # on plain random data — the certificate needs headroom)
+    n, d, k = 163_840, 32, 20
+    c = rng.standard_normal((n, d)).astype(np.float32) * 0.01
+    u = rng.standard_normal(d).astype(np.float32)
+    u /= np.linalg.norm(u)
+    scales = 5.0 + np.linspace(1.0, 0.0, k, dtype=np.float32)
+    c[:k] = scales[:, None] * u[None, :]  # all inside shard 0, bin 0
+    ext_ids = rng.permutation(np.arange(9_000, 9_000 + n)).astype(np.int64)
+    q = rng.standard_normal((6, d)).astype(np.float32) * 0.01
+    q -= (q @ u)[:, None] * u[None, :]
+    q[2] = u
+
+    mesh = make_mesh(8, CORPUS_AXIS)
+    index = FlatIPIndex.build(c, ext_ids, mesh=mesh, dtype=jnp.float32,
+                              block_rows=16)
+    calls = []
+    orig = FlatIPIndex._rescan_exact
+
+    def spy(self, qs, kk):
+        calls.append(len(qs))
+        return orig(self, qs, kk)
+
+    monkeypatch.setattr(FlatIPIndex, "_rescan_exact", spy)
+    s, i = index.search(q, k=k)
+    sc = q @ c.T
+    ref_p = np.argsort(-sc, axis=1)[:, :k]
+    np.testing.assert_array_equal(i, ext_ids[ref_p])
+    np.testing.assert_allclose(s, np.take_along_axis(sc, ref_p, 1), rtol=1e-5)
+    assert calls == [1]
