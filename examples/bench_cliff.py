@@ -100,7 +100,45 @@ def main():
         "rows": N_ROWS,
         "batch": QUERY_BATCH,
         "k": K,
-    }))
+    }), flush=True)
+
+    # --- the production path: FlatIPIndex flag-mode + per-query rescue ---
+    # on_miss='flag' returns the fast result + per-query certificates; the
+    # host re-scans ONLY flagged queries in fixed 128-wide batches. So an
+    # adversarial batch costs (fast path) + (one 128-wide streaming pass)
+    # instead of the 512-wide in-graph re-scan measured above. Measure the
+    # rescue surcharge directly (index.search end-to-end is tunnel-fetch
+    # bound in this environment; the surcharge is the honest delta).
+    from cldrd_tpu.index.flat_index import FlatIPIndex
+
+    index = FlatIPIndex(embeddings=poisoned, row_ids=ids)
+    # correctness: flag-mode search + rescue must return the planted rows
+    # for the adversarial query embedded in a clean batch
+    s_i, ids_i = index.search(np.asarray(adv_qs[0], np.float32)[:128], K)
+    recovery_exact = bool((ids_i[0] == np.arange(K)).all())
+
+    one_q = np.asarray(adv_qs[0], np.float32)[:1]
+    index._rescan_exact(one_q, K)  # compile/warm the 128-wide rescue
+
+    def run_rescue(n):
+        out = None
+        for _ in range(n):
+            out = index._rescan_exact(one_q, K)
+        return out
+
+    t0 = time.perf_counter(); run_rescue(1); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); run_rescue(MEASURE_ITERS)
+    tn = time.perf_counter() - t0
+    t_rescue = (tn - t1) / (MEASURE_ITERS - 1)
+    print(json.dumps({
+        "metric": "per_query_rescue_surcharge_1.1M",
+        "rescue_ms_per_adversarial_batch": round(t_rescue * 1e3, 2),
+        "vs_in_graph_fallback_ms": round((t_adv - t_clean) * 1e3, 2),
+        "recovery_exact": recovery_exact,
+        "rows": N_ROWS,
+        "rescue_batch": FlatIPIndex._RESCAN_BATCH,
+        "k": K,
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -231,3 +231,73 @@ def _tiny_yaml(tmp_path):
     path = str(tmp_path / "base.yaml")
     cfg.save_yaml(path)
     return path
+
+
+def test_cli_serve(corpus_files, tmp_path):
+    """The serving daemon: index + query tower resident, JSON-over-HTTP
+    search answers must match a direct retrieve over the same artifacts."""
+    import threading
+    import urllib.request
+
+    from cldrd_tpu.cli import serve as cli_serve
+
+    f = corpus_files
+    idx_dir = str(tmp_path / "serve_idx")
+    rc = cli_index.main([
+        "--collection", f["passages"], "--out", idx_dir,
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "16", "--batch-size", "8",
+        "--compute-dtype", "float32",
+    ])
+    assert rc == 0
+
+    args = cli_serve.build_parser().parse_args([
+        "--index", idx_dir, "--port", "0",
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "12", "--encode-batch-size", "8", "--topk", "5",
+    ])
+    httpd = cli_serve.serve(args)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["n_vectors"] == 96
+
+        queries = ["find subject3 info", "find subject7 info"]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/search",
+            data=json.dumps({"queries": queries, "k": 5}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            payload = json.loads(r.read())
+        results = payload["results"]
+        assert len(results) == 2
+        for ranked in results:
+            assert len(ranked) == 5
+            scores = [h["score"] for h in ranked]
+            assert scores == sorted(scores, reverse=True)
+            assert all(isinstance(h["id"], int) for h in ranked)
+
+        # must agree with the service's own components called directly
+        svc = httpd.RequestHandlerClass.service
+        direct = svc.search(queries, 5)
+        assert direct == results
+
+        # malformed request -> 400, not a crash
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/search",
+            data=json.dumps({"queries": "not-a-list"}).encode(),
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
