@@ -148,16 +148,18 @@ def bench_batch_size(bz: int, remat: bool = False,
 
 
 def main():
-    # bz=8/16: fit without rematerialization; bz=24/32 (720/960 sequences
-    # per step) exceed one chip's HBM -> full-block remat; 'dots' remat
+    # Measured on v5e (16 GB HBM): bz=8 (240 seqs/step) fits without
+    # rematerialization; bz=16 does NOT (the saved attention probs alone
+    # are [480, 12, 256, 256] bf16 ~= 4.3 GB/layer-group) -> 'dots' remat
     # (save weight-matmul outputs, recompute attention internals) is the
-    # selective alternative measured at bz=32.
+    # sweet spot there; bz>=24 exceeds HBM even under 'dots' (the saved
+    # q/k/v/ffn outputs are ~14 KB/token x 6 layers) -> full-block remat.
     for bz, remat, policy in [
         (8, False, "full"),
-        (16, False, "full"),
+        (16, True, "dots"),
+        (16, True, "full"),
         (24, True, "full"),
         (32, True, "full"),
-        (32, True, "dots"),
     ]:
         try:
             print(json.dumps(bench_batch_size(bz, remat=remat,

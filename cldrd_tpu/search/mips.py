@@ -815,28 +815,85 @@ def topk_binmax(
     segment_rows = min(segment_rows, n)
     # segments must be bin-aligned
     segment_rows -= segment_rows % bin_rows
+    if segment_rows <= k:
+        # degenerate caller choice: _binmax_segment needs > k rows to
+        # narrow into; grow segments to the smallest bin-aligned size > k
+        # (the tail-start handling below copes with nfull == 0)
+        segment_rows = (k // bin_rows + 1) * bin_rows
     seg_results = []
-    for start in range(0, n, segment_rows):
-        end = min(start + segment_rows, n)
-        if end - start <= k:  # tiny tail: dense
-            v, p = topk_dense(queries, corpus[start:end], pos_ids[start:end],
-                              k, precision)
-            # pos_ids slices already carry GLOBAL positions
-            seg_results.append((v, p))
-        else:
+    nfull = n // segment_rows
+    tail_start = nfull * segment_rows
+    d = corpus.shape[1]
+
+    if nfull >= 2:
+        # lax.scan over the full segments rather than unrolled slices: the
+        # unrolled pallas calls have no data dependencies, so XLA overlaps
+        # them and their scoped-VMEM windows SUM — two concurrent segment
+        # kernels blow the 16 MB scoped-vmem limit (measured: 16.5 M at
+        # [B=512, 2 x 2,097,152 rows]). The scan serializes the kernel
+        # (one scoped allocation, one compiled body for any segment count)
+        # at zero cost: each segment scan saturates the chip on its own.
+        blocks = corpus[:tail_start].reshape(nfull, segment_rows, d)
+        id_blocks = row_ids[:tail_start].reshape(nfull, segment_rows)
+        starts = jnp.arange(nfull, dtype=jnp.int32) * segment_rows
+
+        def body(ok_carry, xs):
+            c_seg, id_seg, start = xs
             res = _binmax_segment(
-                queries, corpus[start:end], row_ids[start:end],
-                k, bin_rows, extract, precision, on_miss,
+                queries, c_seg, id_seg, k, bin_rows, extract, precision,
+                on_miss,
             )
             if on_miss == "flag":
                 v, p, seg_ok = res
                 # a query is exact only if EVERY segment certified it
+                ok_carry = ok_carry & seg_ok
+            else:
+                v, p = res
+            return ok_carry, (v, jnp.where(p >= 0, p + start, -1))
+
+        ok_all, (vs, ps) = jax.lax.scan(
+            body, ok_all, (blocks, id_blocks, starts)
+        )
+        # [nfull, B, k] -> [B, nfull*k] candidate strips
+        seg_results.append((
+            jnp.transpose(vs, (1, 0, 2)).reshape(bz, nfull * k),
+            jnp.transpose(ps, (1, 0, 2)).reshape(bz, nfull * k),
+        ))
+    elif nfull == 1:
+        res = _binmax_segment(
+            queries, corpus[:tail_start], row_ids[:tail_start],
+            k, bin_rows, extract, precision, on_miss,
+        )
+        if on_miss == "flag":
+            v, p, seg_ok = res
+            ok_all = ok_all & seg_ok
+        else:
+            v, p = res
+        seg_results.append((v, p))
+
+    if tail_start < n:
+        if n - tail_start <= k:  # tiny tail: dense
+            v, p = topk_dense(queries, corpus[tail_start:],
+                              pos_ids[tail_start:], k, precision)
+            # pos_ids slices already carry GLOBAL positions
+            seg_results.append((v, p))
+        else:
+            res = _binmax_segment(
+                queries, corpus[tail_start:], row_ids[tail_start:],
+                k, bin_rows, extract, precision, on_miss,
+            )
+            if on_miss == "flag":
+                v, p, seg_ok = res
                 ok_all = ok_all & seg_ok
             else:
                 v, p = res
-            seg_results.append((v, jnp.where(p >= 0, p + start, -1)))
+            seg_results.append((v, jnp.where(p >= 0, p + tail_start, -1)))
+
     if len(seg_results) == 1:
         v, p = seg_results[0]
+        if v.shape[-1] > k:  # scanned multi-segment strip: merge
+            v, sel = jax.lax.top_k(v, k)
+            p = jnp.take_along_axis(seg_results[0][1], sel, axis=-1)
         return finish(v, p, ok_all)
     all_v = jnp.concatenate([v for v, _ in seg_results], axis=-1)
     all_i = jnp.concatenate([i for _, i in seg_results], axis=-1)
