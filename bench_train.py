@@ -147,6 +147,98 @@ def bench_batch_size(bz: int, remat: bool = False,
     }
 
 
+def bench_packed(bz: int) -> dict:
+    """The train step with sequence packing (data/packing.py) at realistic
+    MS MARCO passage lengths (clipped lognormal, ~70-token mean — the same
+    distribution as examples/bench_bucketed_encode.py). Flat padding makes
+    the step length-independent (the bz=8 row above IS the flat cost at
+    any length distribution); packing makes it ~token-proportional."""
+    import numpy as np
+
+    from cldrd_tpu.data.packing import pack_nway_batch
+    from cldrd_tpu.models import DistilBertConfig
+    from cldrd_tpu.parallel import DATA_AXIS, make_mesh
+    from cldrd_tpu.train import TrainConfig, Trainer, make_train_step
+    from cldrd_tpu.train.trainer import _batch_to_pytree
+
+    cfg = TrainConfig(
+        label_mode="8", batch_size=bz, num_train_epochs=1,
+        learning_rate=7e-6, warmup_steps=4000,
+        max_query_len=LQ, max_passage_len=LP,
+        compute_dtype="bfloat16", pack_passages=True,
+        run_folder="/tmp/cldrd_bench_train", experiment_name=f"pk{bz}",
+    )
+    model_cfg = DistilBertConfig()
+    mesh = make_mesh(1, DATA_AXIS)
+    trainer = Trainer(cfg, model_cfg, mesh=mesh)
+    optimizer = trainer._make_optimizer(10_000)
+    state = trainer.init_state(10_000, optimizer=optimizer)
+    step_fn = make_train_step(trainer.model, optimizer, cfg, mesh)
+
+    rng = np.random.default_rng(0)
+    lengths = np.clip(
+        np.exp(rng.normal(4.2, 0.45, size=(bz, NWAY))), 8, LP
+    ).astype(np.int32)
+    p_ids = rng.integers(3, model_cfg.vocab_size, size=(bz, NWAY, LP))
+    p_mask = (np.arange(LP)[None, None, :] < lengths[:, :, None]).astype(np.int32)
+    p_ids = (p_ids * p_mask).astype(np.int32)
+    packed = pack_nway_batch(p_ids, p_mask)
+    rows = packed.input_ids.shape[1]
+
+    labels_row = np.concatenate([
+        1.0 / np.arange(1, 6), np.full(12, -0.25), np.full(13, -0.5)
+    ]).astype(np.float32)
+    batch = {
+        "query": {
+            "input_ids": jnp.asarray(
+                rng.integers(3, model_cfg.vocab_size, size=(bz, LQ)), jnp.int32),
+            "attention_mask": jnp.ones((bz, LQ), jnp.int32),
+        },
+        "packed_passages": {
+            k: jnp.asarray(v) for k, v in packed.as_dict().items()
+        },
+        "labels": jnp.tile(labels_row, (bz, 1)),
+        "teacher_scores": jnp.tile(labels_row, (bz, 1)),
+    }
+    _ = np.asarray(batch["labels"][0, 0])
+
+    rng_j = jax.random.PRNGKey(1)
+    state, metrics = step_fn(state, batch, rng_j)
+    _ = float(metrics["loss"])
+
+    def run(n, state):
+        m = None
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, m = step_fn(state, batch, rng_j)
+        _ = float(m["loss"])
+        return time.perf_counter() - t0, state
+
+    t1, state = run(1, state)
+    for _ in range(2):
+        t, state = run(1, state)
+        t1 = min(t1, t)
+    tn, state = run(MEASURE_ITERS, state)
+    per_step = (tn - t1) / (MEASURE_ITERS - 1)
+
+    # device FLOPs actually executed: rows packed sequences per example
+    D, H, L_layers = model_cfg.dim, model_cfg.hidden_dim, model_cfg.n_layers
+    def enc(n_seq, L):
+        t = n_seq * L
+        return 3.0 * (2.0 * t * (4 * D * D + 2 * D * H) * L_layers
+                      + 2.0 * 2 * t * L * D * L_layers)
+    flops = enc(bz, LQ) + enc(bz * rows, LP)
+    return {
+        "metric": f"train_step_examples_per_s_bz{bz}_packed_msmarco_lengths",
+        "value": round(bz / per_step, 2),
+        "unit": "examples/s",
+        "vs_baseline": round(bz / per_step / BASELINE_EX_PER_S, 3),
+        "steps_per_s": round(1.0 / per_step, 3),
+        "packed_rows_per_example": rows,
+        "mfu_pct": round(100 * flops / per_step / (PEAK_BF16_TFLOPS * 1e12), 1),
+    }
+
+
 def main():
     # Measured on v5e (16 GB HBM): bz=8 (240 seqs/step) fits without
     # rematerialization; bz=16 does NOT (the saved attention probs alone
@@ -167,6 +259,14 @@ def main():
         except Exception as e:  # e.g. OOM on a configuration that no longer fits
             print(json.dumps({
                 "metric": f"train_step_bz{bz}_remat{int(remat)}_{policy}",
+                "error": f"{type(e).__name__}: {str(e)[:200]}",
+            }))
+    for bz in (8, 16):
+        try:
+            print(json.dumps(bench_packed(bz)))
+        except Exception as e:
+            print(json.dumps({
+                "metric": f"train_step_bz{bz}_packed",
                 "error": f"{type(e).__name__}: {str(e)[:200]}",
             }))
 

@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--train-fmt", default="relT_most_semi_hard")
     p.add_argument("--run-folder", default="./experiments")
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--pack-passages", action="store_true", default=None,
+                   help="pack short passages into shared rows "
+                        "(token-proportional passage-tower FLOPs, "
+                        "identical logits)")
     p.add_argument("--model-checkpoint", default=None,
                    help="warm start for iteration 1 (e.g. converted TAS-B)")
     p.add_argument("--eval-queries", default=None,
@@ -138,6 +142,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         base = base.replace(share_weights=args.share_weights)
     if args.batch_size is not None:
         base = base.replace(batch_size=args.batch_size)
+    if args.pack_passages is not None:
+        base = base.replace(pack_passages=args.pack_passages)
 
     iterations: List[TrainConfig] = []
     for i in range(n_iter):
@@ -159,6 +165,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             cfg.queries_path, cfg.passages_path, cfg.training_path,
             tokenizer, cfg.max_query_len, cfg.max_passage_len,
             cfg.label_mode, fmt=cfg.train_fmt,
+            pack_passages=cfg.pack_passages,
         )
 
     hook = None

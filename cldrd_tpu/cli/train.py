@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rematerialize transformer blocks in backward "
                         "(~1/3 more FLOPs for O(layers) less HBM; enables "
                         "large nway*batch shapes per chip)")
+    p.add_argument("--pack-passages", action="store_true", default=None,
+                   help="pack short passages into shared max-passage-len "
+                        "rows (segment-masked attention + position reset): "
+                        "~token-proportional passage-tower FLOPs, "
+                        "numerically identical logits")
     return p
 
 
@@ -73,7 +78,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         cfg.queries_path, cfg.passages_path, cfg.training_path,
         tokenizer, cfg.max_query_len, cfg.max_passage_len,
         cfg.label_mode, fmt=cfg.train_fmt, neg_score_mode=cfg.neg_score_mode,
-        rank=rank, nranks=nranks,
+        rank=rank, nranks=nranks, pack_passages=cfg.pack_passages,
     )
     trainer = Trainer(cfg, model_config)
     trainer.train(dataset)

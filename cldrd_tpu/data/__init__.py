@@ -19,6 +19,7 @@ from .bucketing import (
     default_bucket_lengths,
 )
 from .nway_dataset import NwayBatch, NwayDataset
+from .packing import PackedBatch, pack_nway_batch
 from .teacher import (
     CURRICULUM_BUCKETS,
     bucket_example,

@@ -38,6 +38,10 @@ class NwayBatch:
     # when the training file carries no scores, so the train step has one
     # static signature either way
     teacher_scores: Optional[np.ndarray] = None  # [bz, nway] float32
+    # packed passage tower inputs (``data/packing.py``; set when the
+    # dataset was built with ``pack_passages=True``): the device-facing
+    # replacement for ``nway_passages`` at ~token-proportional FLOPs
+    packed_passages: Optional[Dict[str, np.ndarray]] = None
 
 
 class NwayDataset:
@@ -54,6 +58,7 @@ class NwayDataset:
         max_passage_len: int,
         label_mode: str = "3",
         neg_score_mode: str = "original",
+        pack_passages: bool = False,
     ):
         self.qid_to_query = qid_to_query
         self.pid_to_passage = pid_to_passage
@@ -62,6 +67,11 @@ class NwayDataset:
         self.max_query_len = max_query_len
         self.max_passage_len = max_passage_len
         self.label_mode = str(label_mode)
+        # sequence packing (data/packing.py): collate emits packed_passages
+        # alongside the flat layout; row count only ever grows (monotone
+        # min_rows) so a whole run compiles a couple of executables
+        self.pack_passages = pack_passages
+        self._pack_min_rows = 0
         # teacher-score handling for negatives without scores (the missing
         # kd trainers' --neg_score_mode={mean,original} flag, SURVEY §2.4):
         # 'original' keeps given scores (0.0 where absent); 'mean' fills
@@ -122,6 +132,16 @@ class NwayDataset:
             teacher = np.stack([it["teacher_scores"] for it in items]).astype(np.float32)
         else:
             teacher = labels
+        packed = None
+        if self.pack_passages:
+            from .packing import pack_nway_batch
+
+            pb = pack_nway_batch(
+                passages["input_ids"], passages["attention_mask"],
+                min_rows=self._pack_min_rows or None,
+            )
+            self._pack_min_rows = max(self._pack_min_rows, pb.input_ids.shape[1])
+            packed = pb.as_dict()
         return NwayBatch(
             qid=np.asarray([it["qid"] for it in items], np.int64),
             relT_pids=relT,
@@ -131,6 +151,7 @@ class NwayDataset:
             nway_passages=passages,
             labels=labels,
             teacher_scores=teacher,
+            packed_passages=packed,
         )
 
     # ------------------------------------------------------------ factories
@@ -149,6 +170,7 @@ class NwayDataset:
         rank: int = -1,
         nranks: Optional[int] = None,
         neg_score_mode: str = "original",
+        pack_passages: bool = False,
     ) -> "NwayDataset":
         """One factory covering the reference's seven ``create_from_*``
         constructors (select the file layout via ``fmt``; shard by
@@ -162,6 +184,7 @@ class NwayDataset:
             max_passage_len,
             label_mode,
             neg_score_mode=neg_score_mode,
+            pack_passages=pack_passages,
         )
 
     # epoch iteration ----------------------------------------------------

@@ -85,7 +85,12 @@ class Embeddings(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids: jax.Array, deterministic: bool) -> jax.Array:
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        deterministic: bool,
+        position_ids: Optional[jax.Array] = None,
+    ) -> jax.Array:
         cfg = self.config
         word_emb = nn.Embed(
             cfg.vocab_size,
@@ -95,7 +100,6 @@ class Embeddings(nn.Module):
             dtype=self.dtype,
             name="word_embeddings",
         )(input_ids)
-        # Positions are static [0, L): broadcast a slice of the learned table.
         seq_len = input_ids.shape[-1]
         pos_table = self.param(
             "position_embeddings",
@@ -103,8 +107,15 @@ class Embeddings(nn.Module):
             (cfg.max_position_embeddings, cfg.dim),
             jnp.float32,
         )
-        pos_emb = jax.lax.dynamic_slice_in_dim(pos_table, 0, seq_len, axis=0)
-        hidden = word_emb + pos_emb.astype(self.dtype)[None, :, :]
+        if position_ids is None:
+            # Positions are static [0, L): broadcast a slice of the table.
+            pos_emb = jax.lax.dynamic_slice_in_dim(pos_table, 0, seq_len, axis=0)
+            pos_emb = pos_emb.astype(self.dtype)[None, :, :]
+        else:
+            # Packed sequences reset positions per segment (data/packing.py):
+            # an explicit [B, L] gather from the learned table.
+            pos_emb = jnp.take(pos_table, position_ids, axis=0).astype(self.dtype)
+        hidden = word_emb + pos_emb
         hidden = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps,
             dtype=self.dtype,
@@ -124,13 +135,19 @@ class MultiHeadSelfAttention(nn.Module):
         self,
         hidden: jax.Array,
         attention_mask: jax.Array,
+        segment_ids: Optional[jax.Array],
         deterministic: bool,
         cls_only: bool = False,
     ) -> jax.Array:
         """``cls_only``: compute attention output only for position 0 (the
         CLS token) — q/out projections, scores and context shrink from L
         rows to 1 with identical position-0 math. Used by the final
-        block when the consumer is CLS pooling (all CL-DRD paths)."""
+        block when the consumer is CLS pooling (all CL-DRD paths).
+
+        ``segment_ids`` (packed sequences, ``data/packing.py``): [B, L]
+        ints, 0 = padding; attention is additionally masked to
+        ``seg_q == seg_k`` so packed passages never attend across their
+        boundaries — each segment's math is exactly the unpacked row's."""
         cfg = self.config
         bsz, seq_len, _ = hidden.shape
         head_dim = cfg.dim // cfg.n_heads
@@ -147,12 +164,13 @@ class MultiHeadSelfAttention(nn.Module):
         k = dense("k_lin")(hidden).reshape(bsz, seq_len, cfg.n_heads, head_dim)
         v = dense("v_lin")(hidden).reshape(bsz, seq_len, cfg.n_heads, head_dim)
 
-        # The fused Pallas kernel does not implement attention-probs dropout
-        # or the cls_only row-slice; use it only when both are no-ops so
-        # train/eval numerics stay faithful.
+        # The fused Pallas kernel does not implement attention-probs dropout,
+        # the cls_only row-slice, or segment masking; use it only when all
+        # are no-ops so train/eval numerics stay faithful.
         use_pallas = (
             cfg.attention_impl == "pallas"
             and not cls_only
+            and segment_ids is None
             and (deterministic or cfg.attention_dropout == 0.0)
         )
         if use_pallas:
@@ -166,6 +184,11 @@ class MultiHeadSelfAttention(nn.Module):
                 "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
             )
             mask = attention_mask[:, None, None, :].astype(jnp.bool_)
+            if segment_ids is not None:
+                seg_q = segment_ids[:, :1] if cls_only else segment_ids
+                mask = mask & (
+                    seg_q[:, None, :, None] == segment_ids[:, None, None, :]
+                )
             scores = jnp.where(mask, scores, NEG_INF)
             probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
             probs = nn.Dropout(cfg.attention_dropout)(
@@ -186,6 +209,7 @@ class TransformerBlock(nn.Module):
         self,
         hidden: jax.Array,
         attention_mask: jax.Array,
+        segment_ids: Optional[jax.Array],
         deterministic: bool,
         cls_only: bool = False,
     ) -> jax.Array:
@@ -197,7 +221,7 @@ class TransformerBlock(nn.Module):
             name=name,
         )
         sa_out = MultiHeadSelfAttention(cfg, self.dtype, name="attention")(
-            hidden, attention_mask, deterministic, cls_only=cls_only
+            hidden, attention_mask, segment_ids, deterministic, cls_only=cls_only
         )
         sa_out = nn.Dropout(cfg.dropout)(sa_out, deterministic=deterministic)
         residual = hidden[:, :1, :] if cls_only else hidden
@@ -236,15 +260,22 @@ class DistilBertEncoder(nn.Module):
         attention_mask: jax.Array,
         deterministic: bool = True,
         cls_only: bool = False,
+        position_ids: Optional[jax.Array] = None,
+        segment_ids: Optional[jax.Array] = None,
     ) -> jax.Array:
         """``cls_only``: the FINAL block computes only the CLS position —
         its attention q/out projections and the whole last FFN shrink from
         L rows to 1 (~15% fewer encoder FLOPs at L=256), with numerically identical
         position-0 math (up to op-scheduling ulps). Exact for every CL-DRD consumer, which all
         CLS-pool (reference ``nway_dual_encoder.py:52,56,64``). Returns
-        [B, 1, D] instead of [B, L, D]."""
+        [B, 1, D] instead of [B, L, D].
+
+        ``position_ids``/``segment_ids``: packed-sequence mode
+        (``data/packing.py``) — per-segment position reset + pairwise
+        segment attention masking; each packed segment's hidden states are
+        exactly its unpacked row's."""
         hidden = Embeddings(self.config, self.dtype, name="embeddings")(
-            input_ids, deterministic
+            input_ids, deterministic, position_ids=position_ids
         )
         block_cls = TransformerBlock
         if self.config.remat:
@@ -252,14 +283,15 @@ class DistilBertEncoder(nn.Module):
             if self.config.remat_policy == "dots":
                 policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
             # deterministic and cls_only are Python bools -> static
-            # (argnum 0 is the module instance in flax lifted transforms)
+            # (argnum 0 is the module instance in flax lifted transforms;
+            # hidden/attention_mask/segment_ids are traced args 1-3)
             block_cls = nn.remat(
-                TransformerBlock, static_argnums=(3, 4), policy=policy
+                TransformerBlock, static_argnums=(4, 5), policy=policy
             )
         n = self.config.n_layers
         for i in range(n):
             hidden = block_cls(self.config, self.dtype, name=f"layer_{i}")(
-                hidden, attention_mask, deterministic,
+                hidden, attention_mask, segment_ids, deterministic,
                 cls_only and i == n - 1,
             )
         return hidden

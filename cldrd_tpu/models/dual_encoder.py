@@ -96,14 +96,23 @@ class NwayDualEncoder(nn.Module):
     def __call__(
         self,
         queries: Batch,
-        nway_passages: Batch,
+        nway_passages: Optional[Batch],
         deterministic: bool = True,
+        packed_passages: Optional[Batch] = None,
     ) -> jax.Array:
         """queries: {input_ids, attention_mask} [bz, Lq];
         nway_passages: same keys, [bz, nway, Lp]. Returns logits [bz, nway']
-        where nway' is nway, nway*bz, or 2*nway (reference ``:21-48``)."""
+        where nway' is nway, nway*bz, or 2*nway (reference ``:21-48``).
+
+        ``packed_passages`` (``data/packing.py``): packed alternative to
+        ``nway_passages`` — several short passages per 256-token row with
+        segment-masked attention; embeddings (and therefore logits) are
+        numerically the unpacked values at ~token-proportional FLOPs."""
         query_reps = self.query_embs(queries, deterministic)  # [bz, D]
-        nway_reps = self.nway_passage_embs(nway_passages, deterministic)
+        if packed_passages is not None:
+            nway_reps = self.packed_nway_passage_embs(packed_passages, deterministic)
+        else:
+            nway_reps = self.nway_passage_embs(nway_passages, deterministic)
         if self.apply_cosine_similarity:
             query_reps = _l2_normalize(query_reps)
             nway_reps = _l2_normalize(nway_reps)
@@ -139,6 +148,33 @@ class NwayDualEncoder(nn.Module):
             cls_only=True,
         )
         return cls_pool(hidden)
+
+    def packed_nway_passage_embs(
+        self, packed: Batch, deterministic: bool = True
+    ) -> jax.Array:
+        """Encode per-example PACKED passages (``data/packing.py``):
+        ``{input_ids, attention_mask, position_ids, segment_ids} [bz, R, L]``
+        + ``gather_pos [bz, nway]`` -> [bz, nway, D].
+
+        The packed rows flatten into one encoder batch (same MXU-shape
+        reasoning as ``nway_passage_embs``, ~R/nway times smaller); each
+        passage's CLS vector is then a *per-example* gather at its packed
+        start position — local to the batch row, so a data-sharded SPMD
+        step never gathers across devices."""
+        ids = packed["input_ids"]
+        bz, rows, seq_len = ids.shape
+        flat = lambda x: x.reshape(bz * rows, seq_len)  # noqa: E731
+        hidden = self._passage_encoder(
+            flat(ids),
+            flat(packed["attention_mask"]),
+            deterministic,
+            position_ids=flat(packed["position_ids"]),
+            segment_ids=flat(packed["segment_ids"]),
+        )  # [bz*rows, L, D] (cls_only is per-row; packed needs every start)
+        dim = hidden.shape[-1]
+        per_example = hidden.reshape(bz, rows * seq_len, dim)
+        gather = packed["gather_pos"][..., None].astype(jnp.int32)
+        return jnp.take_along_axis(per_example, gather, axis=1)  # [bz, nway, D]
 
     def nway_passage_embs(
         self, nway_passages: Batch, deterministic: bool = True

@@ -76,6 +76,12 @@ class TrainConfig:
                                        # (jax.checkpoint): ~1/3 more FLOPs for
                                        # O(layers) less HBM; enables large
                                        # nway*batch shapes per chip
+    pack_passages: bool = False        # pack short passages into shared
+                                       # max_passage_len rows (segment-masked
+                                       # attention + position reset,
+                                       # data/packing.py): ~token-proportional
+                                       # passage-tower FLOPs, numerically
+                                       # identical logits
 
     # observability (SURVEY §5.2: the reference has no NaN handling beyond a
     # print; here a non-finite loss fails fast by default)

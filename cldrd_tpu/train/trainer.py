@@ -153,9 +153,10 @@ def make_train_step(
             logits = model.apply(
                 {"params": params},
                 batch["query"],
-                batch["nway_passages"],
+                batch.get("nway_passages"),
                 deterministic=False,
                 rngs={"dropout": rng},
+                packed_passages=batch.get("packed_passages"),
             )
             labels = batch["labels"]
             teacher = batch["teacher_scores"]
@@ -196,10 +197,21 @@ def make_train_step(
     sharded = NamedSharding(mesh, P(DATA_AXIS))
     batch_shardings = {
         "query": {"input_ids": sharded, "attention_mask": sharded},
-        "nway_passages": {"input_ids": sharded, "attention_mask": sharded},
         "labels": sharded,
         "teacher_scores": sharded,
     }
+    if cfg.pack_passages:
+        # packed rows are per example ([bz, rows, L], data/packing.py), so
+        # everything — including the unpack gather — shards cleanly on bz
+        batch_shardings["packed_passages"] = {
+            k: sharded
+            for k in ("input_ids", "attention_mask", "position_ids",
+                      "segment_ids", "gather_pos")
+        }
+    else:
+        batch_shardings["nway_passages"] = {
+            "input_ids": sharded, "attention_mask": sharded,
+        }
     return jax.jit(
         step_fn,
         in_shardings=(replicated, batch_shardings, replicated),
@@ -465,11 +477,19 @@ class Trainer:
 
 
 def _batch_to_pytree(batch: NwayBatch) -> Dict[str, Any]:
-    """Device-facing subset of the collated batch (ids stay host-side)."""
+    """Device-facing subset of the collated batch (ids stay host-side).
+
+    When the dataset packs passages, only the packed layout is shipped —
+    the flat ``[bz, nway, L]`` tokens stay on host (they back the
+    first-batch vocab check and tests)."""
     teacher = batch.teacher_scores if batch.teacher_scores is not None else batch.labels
-    return {
+    out = {
         "query": dict(batch.query),
-        "nway_passages": dict(batch.nway_passages),
         "labels": batch.labels,
         "teacher_scores": teacher,
     }
+    if batch.packed_passages is not None:
+        out["packed_passages"] = dict(batch.packed_passages)
+    else:
+        out["nway_passages"] = dict(batch.nway_passages)
+    return out

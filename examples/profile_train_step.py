@@ -73,6 +73,15 @@ def main():
     rng = jax.random.PRNGKey(1)
     state, metrics = step_fn(state, batch, rng)  # compile
     _ = float(metrics["loss"])
+
+    # map fusion names -> source op_name via the compiled HLO metadata
+    hlo = step_fn.lower(state, batch, rng).compile().as_text()
+    import re
+    op_src = {}
+    for m in re.finditer(
+        r"%?([\w.\-]+) = [^\n]*metadata=\{[^}]*op_name=\"([^\"]+)\"", hlo
+    ):
+        op_src[m.group(1)] = m.group(2)
     state, metrics = step_fn(state, batch, rng)  # one warm step
     _ = float(metrics["loss"])
 
@@ -102,14 +111,50 @@ def main():
     dev_pids = {p for p, n in pid_name.items()
                 if "TPU" in n or "/device" in n.lower() or "Axon" in n}
 
+    def category(fusion_name: str) -> str:
+        """Attribute a device event to a model component via HLO op_name."""
+        src = op_src.get(fusion_name.lstrip("%"), "")
+        if not src:
+            return f"(unmapped) {fusion_name[:40]}"
+        s = src.lower()
+        if "threefry" in s or "random_bits" in s or "dropout" in s:
+            return "dropout RNG + masking"
+        for tag, label in (
+            ("adamw", "optimizer (AdamW update)"),
+            ("scale_by_adam", "optimizer (AdamW update)"),
+            ("global_norm", "grad global-norm/clip"),
+            ("clip", "grad global-norm/clip"),
+            ("lambda_mrr", "loss (lambda_mrr)"),
+            ("sort", "loss sort / batch metrics"),
+            ("top_k", "loss sort / batch metrics"),
+            ("embedding", "embeddings"),
+            ("attention", None),  # refined below
+            ("ffn", None),
+            ("lin", None),
+        ):
+            if tag in s and label:
+                return label
+        # encoder interior: split matmul-rooted vs elementwise fusions
+        if "dot_general" in s or "einsum" in s or "conv" in s:
+            if "transpose" in s.split("dot_general")[0][-40:]:
+                return "encoder matmuls (bwd)"
+            return "encoder matmuls"
+        if "layer_norm" in s or "reduce" in s or "softmax" in s or "exp" in s:
+            return "encoder norm/softmax/elementwise"
+        return "other: " + src.rsplit("/", 1)[-1][:48]
+
     by_name = defaultdict(float)
     total = 0.0
+    import re as _re
+    step_level = _re.compile(r"^(\d+|jit_step_fn.*)$")
     for e in events:
         if e.get("ph") == "X" and e.get("pid") in dev_pids and "dur" in e:
             name = e.get("name", "?")
             if name.startswith(("Infeed", "Outfeed")):
                 continue
-            by_name[name] += e["dur"]
+            if step_level.match(name):
+                continue  # whole-program / per-step envelope events
+            by_name[category(name)] += e["dur"]
             total += e["dur"]
 
     per_step_us = total / PROFILE_STEPS

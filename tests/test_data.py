@@ -546,3 +546,49 @@ def test_bucketed_encode_identical_embeddings(tmp_path):
     assert sorted(int(x) for x in i_c) == sorted(ref)
     for i, e in zip(i_c, e_c):
         np.testing.assert_allclose(e, ref[int(i)], rtol=1e-6, atol=1e-7)
+
+
+# ---------------------------------------------------------------- packing
+
+
+def test_pack_nway_batch_integrity():
+    """Every valid token survives packing exactly once, with per-segment
+    position reset and the right gather positions; rows round up the
+    static ladder and honor a pinned floor (executable reuse)."""
+    import numpy as np
+
+    from cldrd_tpu.data.packing import pack_nway_batch, rows_ladder
+
+    rng = np.random.default_rng(0)
+    bz, nway, L = 4, 8, 32
+    lens = rng.integers(1, 14, size=(bz, nway))
+    ids = rng.integers(1, 1000, size=(bz, nway, L)).astype(np.int32)
+    mask = (np.arange(L)[None, None, :] < lens[:, :, None]).astype(np.int32)
+    ids = ids * mask
+
+    pb = pack_nway_batch(ids, mask)
+    rows = pb.input_ids.shape[1]
+    assert rows in rows_ladder(nway)
+    assert rows < nway  # short rows must actually share bins
+
+    for b in range(bz):
+        flat_ids = pb.input_ids[b].reshape(-1)
+        flat_pos = pb.position_ids[b].reshape(-1)
+        flat_seg = pb.segment_ids[b].reshape(-1)
+        for i in range(nway):
+            n = int(lens[b, i])
+            start = int(pb.gather_pos[b, i])
+            np.testing.assert_array_equal(
+                flat_ids[start:start + n], ids[b, i, :n])
+            np.testing.assert_array_equal(
+                flat_pos[start:start + n], np.arange(n))
+            assert (flat_seg[start:start + n] == i + 1).all()
+        # each token of the packed rows belongs to exactly one segment and
+        # padding carries segment 0 everywhere
+        assert ((flat_seg == 0) == (pb.attention_mask[b].reshape(-1) == 0)).all()
+        counts = np.bincount(flat_seg, minlength=nway + 1)
+        np.testing.assert_array_equal(counts[1:nway + 1], lens[b])
+
+    # pinned floor: same batch packed with min_rows=nway stays at nway rows
+    pb_floor = pack_nway_batch(ids, mask, min_rows=nway)
+    assert pb_floor.input_ids.shape[1] == nway

@@ -435,3 +435,83 @@ def test_dual_encoder_forward_unchanged_by_cls_only():
     expected = np.einsum("bd,bnd->bn", np.asarray(q_full),
                          np.asarray(p_flat).reshape(3, 4, -1))
     np.testing.assert_allclose(np.asarray(logits), expected, rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------- packing
+
+
+def test_packed_passage_embs_exact():
+    """Packed passages (segment-masked attention + per-segment position
+    reset, data/packing.py) must reproduce the flat n-way embeddings and
+    logits to fp32 ulps — masked attention weights underflow to exactly 0
+    after the softmax max-subtraction, so packing is not an approximation."""
+    from cldrd_tpu.data.packing import pack_nway_batch
+
+    rng = np.random.default_rng(7)
+    bz, nway, L = 3, 6, 16
+    lens = rng.integers(2, L // 2, size=(bz, nway))  # short rows -> real packing
+    p_ids = rng.integers(1, TINY.vocab_size, size=(bz, nway, L)).astype(np.int32)
+    p_mask = (np.arange(L)[None, None, :] < lens[:, :, None]).astype(np.int32)
+    p_ids = p_ids * p_mask
+    packed = pack_nway_batch(p_ids, p_mask)
+    assert packed.input_ids.shape[1] < nway  # actually packed something
+
+    model = NwayDualEncoder(config=TINY, share_weights=True, dtype=jnp.float32)
+    q_ids, q_mask = _rand_batch(rng, bz, 8, TINY.vocab_size)
+    queries = {"input_ids": jnp.array(q_ids), "attention_mask": jnp.array(q_mask)}
+    flat = {"input_ids": jnp.array(p_ids), "attention_mask": jnp.array(p_mask)}
+    params = model.init(jax.random.PRNGKey(0), queries, flat)["params"]
+
+    flat_reps = model.apply({"params": params}, flat,
+                            method=model.nway_passage_embs)
+    pk = {k: jnp.asarray(v) for k, v in packed.as_dict().items()}
+    packed_reps = model.apply({"params": params}, pk,
+                              method=model.packed_nway_passage_embs)
+    np.testing.assert_allclose(np.asarray(packed_reps), np.asarray(flat_reps),
+                               rtol=1e-5, atol=1e-6)
+
+    lo_flat = model.apply({"params": params}, queries, flat)
+    lo_pack = model.apply({"params": params}, queries, None, packed_passages=pk)
+    np.testing.assert_allclose(np.asarray(lo_pack), np.asarray(lo_flat),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_gradients_match_flat():
+    """d loss / d params must agree between the packed and flat passage
+    towers (deterministic, fp32) — packing only removes padding FLOPs."""
+    from cldrd_tpu.data.packing import pack_nway_batch
+
+    rng = np.random.default_rng(11)
+    bz, nway, L = 2, 5, 16
+    lens = rng.integers(2, L // 2, size=(bz, nway))
+    p_ids = rng.integers(1, TINY.vocab_size, size=(bz, nway, L)).astype(np.int32)
+    p_mask = (np.arange(L)[None, None, :] < lens[:, :, None]).astype(np.int32)
+    p_ids = p_ids * p_mask
+    packed = pack_nway_batch(p_ids, p_mask)
+
+    model = NwayDualEncoder(config=TINY, dtype=jnp.float32)
+    q_ids, q_mask = _rand_batch(rng, bz, 8, TINY.vocab_size)
+    queries = {"input_ids": jnp.array(q_ids), "attention_mask": jnp.array(q_mask)}
+    flat = {"input_ids": jnp.array(p_ids), "attention_mask": jnp.array(p_mask)}
+    params = model.init(jax.random.PRNGKey(3), queries, flat)["params"]
+    labels = jnp.asarray(rng.normal(size=(bz, nway)), jnp.float32)
+
+    def loss_flat(p):
+        return jnp.sum((model.apply({"params": p}, queries, flat) - labels) ** 2)
+
+    pk = {k: jnp.asarray(v) for k, v in packed.as_dict().items()}
+
+    def loss_packed(p):
+        logits = model.apply({"params": p}, queries, None, packed_passages=pk)
+        return jnp.sum((logits - labels) ** 2)
+
+    g_flat = jax.grad(loss_flat)(params)
+    g_pack = jax.grad(loss_packed)(params)
+    flat_leaves = jax.tree_util.tree_leaves_with_path(g_flat)
+    pack_leaves = dict(jax.tree_util.tree_leaves_with_path(g_pack))
+    for path, leaf in flat_leaves:
+        other = pack_leaves[path]
+        np.testing.assert_allclose(
+            np.asarray(other), np.asarray(leaf), rtol=1e-4, atol=1e-5,
+            err_msg=str(path),
+        )

@@ -374,3 +374,49 @@ def test_remat_training_matches_no_remat(tmp_path):
                     jax.tree_util.tree_leaves(results[True][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=4 * lr)
+
+
+def test_packed_training_matches_flat(tmp_path):
+    """One SPMD train step with pack_passages=True produces the same loss,
+    metrics, and updated params as the flat layout (dropout off, fp32) —
+    packing changes FLOPs, not math."""
+    from cldrd_tpu.train.trainer import _batch_to_pytree, make_train_step
+
+    model_cfg = DistilBertConfig.tiny(dropout=0.0, attention_dropout=0.0)
+    mesh = make_mesh(8)
+    outs = {}
+    for packed in (False, True):
+        cfg = _tiny_cfg(tmp_path, experiment_name=f"pk{int(packed)}",
+                        pack_passages=packed)
+        trainer = Trainer(cfg, model_cfg, mesh=mesh)
+        ds = _tiny_dataset()
+        ds.pack_passages = packed
+        optimizer = trainer._make_optimizer(10)
+        state = trainer.init_state(10, optimizer=optimizer, seed=0)
+        step = make_train_step(trainer.model, optimizer, cfg, mesh)
+        batch = next(ds.batches(8, shuffle=False))
+        assert (batch.packed_passages is not None) == packed
+        new_state, metrics = step(state, _batch_to_pytree(batch),
+                                  jax.random.PRNGKey(0))
+        outs[packed] = (new_state, {k: float(v) for k, v in metrics.items()})
+
+    m_flat, m_pack = outs[False][1], outs[True][1]
+    assert m_pack["loss"] == pytest.approx(m_flat["loss"], rel=1e-5)
+    assert m_pack["mrr"] == pytest.approx(m_flat["mrr"], abs=1e-6)
+    flat_leaves = jax.tree_util.tree_leaves(outs[False][0].params)
+    pack_leaves = jax.tree_util.tree_leaves(outs[True][0].params)
+    for a, b in zip(flat_leaves, pack_leaves):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_train_loop_packed_loss_decreases(tmp_path):
+    """Full tiny training run with packing on the 8-device mesh."""
+    cfg = _tiny_cfg(tmp_path, experiment_name="t8pk", num_train_epochs=10,
+                    pack_passages=True)
+    trainer = Trainer(cfg, DistilBertConfig.tiny(), mesh=make_mesh(8))
+    dataset = _tiny_dataset()
+    dataset.pack_passages = True
+    history = []
+    trainer.train(dataset, step_hook=lambda s, m: history.append(m["loss"]))
+    assert np.mean(history[-4:]) < np.mean(history[:4])
