@@ -39,7 +39,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output path prefix for <stage>.train.jsonl files")
     p.add_argument("--max-length", type=int, default=256)
     p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--bucket-lengths", type=int, nargs="*", default=None,
+                   help="enable length-bucketed teacher scoring: pad each "
+                        "(q ++ p) pair only to the smallest listed bucket "
+                        "that fits it (empty = 32/64/../max ladder). "
+                        "Identical scores, ~token-proportional device cost")
     p.add_argument("--seed", type=int, default=4680)
+    p.add_argument("--compute-dtype", choices=("bfloat16", "float32"),
+                   default="bfloat16",
+                   help="teacher compute dtype (float32 for bit-stable "
+                        "scores across batch shapes, e.g. differential runs)")
     add_model_args(p)
     return p
 
@@ -79,7 +88,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     qid_to_query = load_queries(args.queries)
     pid_to_passage = load_passages(args.passages)
 
-    model = CrossEncoder(config=cfg, dtype=jnp.bfloat16)
+    model = CrossEncoder(config=cfg, dtype=jnp.dtype(args.compute_dtype))
     params = _teacher_params(args.teacher_checkpoint, model, cfg)
     score_fn = make_cross_encoder_score_fn(model, params)
 
@@ -87,6 +96,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     qid_to_scored = rerank_candidates_with_teacher(
         ranklists, score_fn, qid_to_query, pid_to_passage, tokenizer,
         max_len=args.max_length, batch_size=args.batch_size,
+        bucket_lengths=args.bucket_lengths,
     )
     paths = build_curriculum_files(qid_to_scored, args.out_prefix, seed=args.seed)
     print(json.dumps(paths, indent=2))

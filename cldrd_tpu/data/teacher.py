@@ -105,13 +105,20 @@ def rerank_candidates_with_teacher(
     tokenizer,
     max_len: int = 256,
     batch_size: int = 128,
+    bucket_lengths: Optional[Sequence[int]] = None,
 ) -> Dict[int, Scored]:
     """Score every (query, candidate) pair with the teacher and sort.
 
     ``score_fn`` takes a ``RerankBatch`` (cross- or dual-encoder;
     ``cldrd_tpu.evaluation.make_*_score_fn``). Collation is shared with
     ``RerankingDataset`` (via ``from_pairs``), so evaluation-time and
-    data-creation-time batches are identical by construction."""
+    data-creation-time batches are identical by construction.
+
+    ``bucket_lengths`` (list, possibly empty for the 32/64/../max ladder):
+    length-bucketed scoring — identical scores, ~token-proportional device
+    cost. The production rerank (500k queries x 60 candidates ~ 30M pairs
+    averaging ~85 joined tokens vs max_len=256) is the largest offline
+    workload in the CL-DRD pipeline."""
     from cldrd_tpu.data.reranking_dataset import RerankingDataset
 
     pairs = [
@@ -121,8 +128,14 @@ def rerank_candidates_with_teacher(
         pairs, qid_to_query, pid_to_passage, tokenizer,
         is_cross_encoder=True, max_len=max_len,
     )
+    if bucket_lengths is not None:
+        batches = dataset.batches_bucketed(
+            batch_size, list(bucket_lengths) or None
+        )
+    else:
+        batches = dataset.batches(batch_size)
     out: Dict[int, List[Tuple[int, float]]] = {}
-    for batch in dataset.batches(batch_size):
+    for batch in batches:
         scores = score_fn(batch)
         for i in range(batch.n_valid):
             out.setdefault(int(batch.qids[i]), []).append(

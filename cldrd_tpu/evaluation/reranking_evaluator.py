@@ -84,11 +84,23 @@ class RerankingEvaluator(RankingEvaluator):
         score_fn: ScoreFn,
         dataset: RerankingDataset,
         batch_size: int = 128,
+        bucket_lengths: Optional[List[int]] = None,
     ) -> Dict[int, List[Tuple[int, float]]]:
         """Score every pair and group into per-query ranklists sorted by
-        score descending (stable, so run-file order breaks ties)."""
+        score descending (stable, so run-file order breaks ties).
+
+        ``bucket_lengths`` (a list, possibly empty for the default ladder)
+        switches to length-bucketed batches: identical scores at
+        ~token-proportional device cost (``RerankingDataset.batches_bucketed``;
+        one executable per bucket)."""
+        if bucket_lengths is not None:
+            batches = dataset.batches_bucketed(
+                batch_size, list(bucket_lengths) or None
+            )
+        else:
+            batches = dataset.batches(batch_size)
         qid_to_scored: Dict[int, List[Tuple[int, float]]] = {}
-        for batch in dataset.batches(batch_size):
+        for batch in batches:
             scores = score_fn(batch)
             for i in range(batch.n_valid):
                 qid_to_scored.setdefault(int(batch.qids[i]), []).append(
@@ -105,9 +117,12 @@ class RerankingEvaluator(RankingEvaluator):
         dataset: RerankingDataset,
         batch_size: int = 128,
         rankdata_path: Optional[str] = None,
+        bucket_lengths: Optional[List[int]] = None,
     ) -> Dict[int, object]:
         """Rerank with the model, then run the shared metric core."""
-        qid_to_scored = self.score_pairs(score_fn, dataset, batch_size)
+        qid_to_scored = self.score_pairs(
+            score_fn, dataset, batch_size, bucket_lengths=bucket_lengths
+        )
         if rankdata_path is not None:
             write_rankdata(qid_to_scored, rankdata_path)
         ranklists = {

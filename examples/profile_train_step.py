@@ -35,12 +35,14 @@ def main():
     from cldrd_tpu.train import TrainConfig, Trainer, make_train_step
     import jax.numpy as jnp
 
-    bz = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    packed = "--packed" in sys.argv
+    bz = int(argv[0]) if argv else 8
     cfg = TrainConfig(
         label_mode="8", batch_size=bz, num_train_epochs=1,
         learning_rate=7e-6, warmup_steps=4000,
         max_query_len=bt.LQ, max_passage_len=bt.LP,
-        compute_dtype="bfloat16", remat=False,
+        compute_dtype="bfloat16", remat=False, pack_passages=packed,
         run_folder="/tmp/cldrd_bench_train", experiment_name=f"prof{bz}",
     )
     model_cfg = DistilBertConfig()
@@ -60,14 +62,28 @@ def main():
                 key, (bz, bt.LQ), 0, model_cfg.vocab_size, jnp.int32),
             "attention_mask": jnp.ones((bz, bt.LQ), jnp.int32),
         },
-        "nway_passages": {
-            "input_ids": jax.random.randint(
-                key, (bz, bt.NWAY, bt.LP), 0, model_cfg.vocab_size, jnp.int32),
-            "attention_mask": jnp.ones((bz, bt.NWAY, bt.LP), jnp.int32),
-        },
         "labels": jnp.tile(labels_row, (bz, 1)),
         "teacher_scores": jnp.tile(labels_row, (bz, 1)),
     }
+    if packed:
+        # realistic MS MARCO length distribution, same as bench_train
+        from cldrd_tpu.data.packing import pack_nway_batch
+        rng_np = np.random.default_rng(0)
+        lengths = np.clip(
+            np.exp(rng_np.normal(4.2, 0.45, size=(bz, bt.NWAY))), 8, bt.LP
+        ).astype(np.int32)
+        p_ids = rng_np.integers(3, model_cfg.vocab_size, size=(bz, bt.NWAY, bt.LP))
+        p_mask = (np.arange(bt.LP)[None, None, :] < lengths[:, :, None]).astype(np.int32)
+        pb = pack_nway_batch((p_ids * p_mask).astype(np.int32), p_mask)
+        batch["packed_passages"] = {
+            k: jnp.asarray(v) for k, v in pb.as_dict().items()}
+        print(f"packed rows/example: {pb.input_ids.shape[1]}", file=sys.stderr)
+    else:
+        batch["nway_passages"] = {
+            "input_ids": jax.random.randint(
+                key, (bz, bt.NWAY, bt.LP), 0, model_cfg.vocab_size, jnp.int32),
+            "attention_mask": jnp.ones((bz, bt.NWAY, bt.LP), jnp.int32),
+        }
     _ = np.asarray(batch["labels"][0, 0])
 
     rng = jax.random.PRNGKey(1)

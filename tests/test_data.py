@@ -592,3 +592,63 @@ def test_pack_nway_batch_integrity():
     # pinned floor: same batch packed with min_rows=nway stays at nway rows
     pb_floor = pack_nway_batch(ids, mask, min_rows=nway)
     assert pb_floor.input_ids.shape[1] == nway
+
+
+# ------------------------------------------------- bucketed reranking
+
+
+def test_reranking_bucketed_coverage_and_tokens(tmp_path):
+    """``batches_bucketed`` scores every pair exactly once, in the
+    smallest covering bucket, with tokens equal to the flat collation
+    sliced to the bucket length (both modes)."""
+    qpath = tmp_path / "q.tsv"
+    ppath = tmp_path / "p.tsv"
+    # word counts 1..20 -> varied joined lengths across the ladder
+    qpath.write_text("".join(
+        f"{q}\t{' '.join(f'qw{q}x{j}' for j in range(1 + q % 4))}\n"
+        for q in range(6)))
+    ppath.write_text("".join(
+        f"{p}\t{' '.join(f'pw{p}x{j}' for j in range(1 + p % 20))}\n"
+        for p in range(30)))
+    run = tmp_path / "run.tsv"
+    pairs = [(q, p) for q in range(6) for p in range(q * 5, q * 5 + 5)]
+    run.write_text("".join(f"{q}\t{p}\t1\t0.0\n" for q, p in pairs))
+    tok = HashTokenizer(vocab_size=512)
+
+    for cross in (True, False):
+        kw = (dict(is_cross_encoder=True, max_len=32) if cross else
+              dict(is_cross_encoder=False, query_max_len=8, passage_max_len=32))
+        ds = RerankingDataset(str(run), str(qpath), str(ppath), tok, **kw)
+        flat = {}
+        for b in ds.batches(8):
+            toks = b.query_passage if cross else b.passage
+            for r in range(b.n_valid):
+                flat[(int(b.qids[r]), int(b.pids[r]))] = (
+                    toks["input_ids"][r], toks["attention_mask"][r])
+        seen = {}
+        for b in ds.batches_bucketed(8, [8, 16, 32]):
+            toks = b.query_passage if cross else b.passage
+            L = toks["input_ids"].shape[1]
+            assert L in (8, 16, 32)
+            # token-balanced batch sizes: shorter buckets carry more rows
+            assert toks["input_ids"].shape[0] == 8 * 32 // L
+            for r in range(b.n_valid):
+                key = (int(b.qids[r]), int(b.pids[r]))
+                assert key not in seen
+                seen[key] = L
+                ids_flat, mask_flat = flat[key]
+                np.testing.assert_array_equal(
+                    toks["input_ids"][r], ids_flat[:L])
+                np.testing.assert_array_equal(
+                    toks["attention_mask"][r], mask_flat[:L])
+                assert mask_flat[L:].sum() == 0  # smallest covering bucket
+            # padding rows are fully zero / id -1
+            assert (b.qids[b.n_valid:] == -1).all()
+            assert (toks["input_ids"][b.n_valid:] == 0).all()
+        assert set(seen) == set(pairs)
+        # smallest covering bucket: the next ladder step down cannot fit
+        for key, L in seen.items():
+            need = int(
+                ((flat[key][1] != 0)
+                 * (np.arange(flat[key][1].shape[0]) + 1)).max())
+            assert L == min(s for s in (8, 16, 32) if s >= need)

@@ -156,3 +156,87 @@ def test_continue_rerank_evaluator_folder(files, tmp_path):
     table = open(tmp_path / "res.tsv").read().splitlines()
     assert table[0].startswith("step\t")
     assert len(table) == 3
+
+
+def test_bucketed_scoring_identical_to_flat(tmp_path):
+    """``score_pairs(bucket_lengths=...)`` reproduces the flat layout's
+    scores for every pair (padding is attention-masked) in both modes, so
+    the bucketed teacher rerank and bucketed evaluation are pure speed."""
+    import jax
+
+    # varied text lengths so pairs actually spread across buckets
+    qpath = tmp_path / "q.tsv"
+    ppath = tmp_path / "p.tsv"
+    qpath.write_text("".join(
+        f"{q}\t{' '.join(f'qq{q}w{j}' for j in range(1 + q % 3))}\n"
+        for q in range(4)))
+    ppath.write_text("".join(
+        f"{p}\t{' '.join(f'pp{p}w{j}' for j in range(1 + p % 16))}\n"
+        for p in range(20)))
+    run = tmp_path / "run.tsv"
+    run.write_text("".join(
+        f"{q}\t{p}\t1\t0.0\n" for q in range(4)
+        for p in range(q * 5, q * 5 + 5)))
+    qrels = tmp_path / "qrels.tsv"
+    qrels.write_text("".join(f"{q}\t0\t{q*5}\t1\n" for q in range(4)))
+    tok = HashTokenizer(vocab_size=512)
+    cfg = DistilBertConfig.tiny()
+    ev = RerankingEvaluator(str(qrels), mrr_at_k=(5,), recall_at_k=(5,),
+                            ndcg_at_k=(5,), map_at_k=5)
+
+    # cross-encoder mode
+    ds = RerankingDataset(str(run), str(qpath), str(ppath), tok,
+                          is_cross_encoder=True, max_len=32)
+    model = CrossEncoder(config=cfg, dtype=jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        {"input_ids": jnp.zeros((1, 8), jnp.int32),
+         "attention_mask": jnp.ones((1, 8), jnp.int32)})["params"]
+    fn = make_cross_encoder_score_fn(model, params)
+    flat = ev.score_pairs(fn, ds, batch_size=8)
+    buck = ev.score_pairs(fn, ds, batch_size=8, bucket_lengths=[8, 16, 32])
+    assert set(flat) == set(buck)
+    for qid in flat:
+        f = dict(flat[qid])
+        b = dict(buck[qid])
+        assert set(f) == set(b)
+        for pid in f:
+            np.testing.assert_allclose(b[pid], f[pid], rtol=1e-6, atol=1e-6)
+
+    # dual-encoder mode (buckets the passage tower only)
+    ds2 = RerankingDataset(str(run), str(qpath), str(ppath), tok,
+                           is_cross_encoder=False,
+                           query_max_len=8, passage_max_len=32)
+    model2 = NwayDualEncoder(config=cfg, dtype=jnp.float32)
+    params2 = model2.init(
+        jax.random.PRNGKey(0),
+        {"input_ids": jnp.zeros((1, 8), jnp.int32),
+         "attention_mask": jnp.ones((1, 8), jnp.int32)},
+        {"input_ids": jnp.zeros((1, 1, 8), jnp.int32),
+         "attention_mask": jnp.ones((1, 1, 8), jnp.int32)})["params"]
+    fn2 = make_dual_encoder_score_fn(model2, params2)
+    flat2 = ev.score_pairs(fn2, ds2, batch_size=8)
+    buck2 = ev.score_pairs(fn2, ds2, batch_size=8, bucket_lengths=[])
+    for qid in flat2:
+        f = dict(flat2[qid])
+        b = dict(buck2[qid])
+        assert set(f) == set(b)
+        for pid in f:
+            np.testing.assert_allclose(b[pid], f[pid], rtol=1e-6, atol=1e-6)
+
+    # the teacher path plumbs the same knob end-to-end
+    from cldrd_tpu.data.loaders import load_passages, load_queries
+    from cldrd_tpu.data.teacher import rerank_candidates_with_teacher
+
+    ranklists = {q: list(range(q * 5, q * 5 + 5)) for q in range(4)}
+    scored_flat = rerank_candidates_with_teacher(
+        ranklists, fn, load_queries(str(qpath)), load_passages(str(ppath)),
+        tok, max_len=32, batch_size=8)
+    scored_buck = rerank_candidates_with_teacher(
+        ranklists, fn, load_queries(str(qpath)), load_passages(str(ppath)),
+        tok, max_len=32, batch_size=8, bucket_lengths=[8, 16, 32])
+    for q in ranklists:
+        assert [p for p, _ in scored_flat[q]] == [p for p, _ in scored_buck[q]]
+        np.testing.assert_allclose(
+            [s for _, s in scored_flat[q]], [s for _, s in scored_buck[q]],
+            rtol=1e-6, atol=1e-6)
