@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(q ++ p) pair only to the smallest listed bucket "
                         "that fits it (empty = 32/64/../max ladder). "
                         "Identical scores, ~token-proportional device cost")
+    p.add_argument("--pack-pairs", action="store_true",
+                   help="pack several (q ++ p) pairs into each max-length "
+                        "row (segment-masked attention); measured SLOWER "
+                        "than --bucket-lengths on TPU (1.45x vs 1.99x over "
+                        "flat) — prefer bucketing for reranking")
     p.add_argument("--seed", type=int, default=4680)
     p.add_argument("--compute-dtype", choices=("bfloat16", "float32"),
                    default="bfloat16",
@@ -96,7 +101,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     qid_to_scored = rerank_candidates_with_teacher(
         ranklists, score_fn, qid_to_query, pid_to_passage, tokenizer,
         max_len=args.max_length, batch_size=args.batch_size,
-        bucket_lengths=args.bucket_lengths,
+        bucket_lengths=args.bucket_lengths, pack_pairs=args.pack_pairs,
     )
     paths = build_curriculum_files(qid_to_scored, args.out_prefix, seed=args.seed)
     print(json.dumps(paths, indent=2))

@@ -106,6 +106,7 @@ def rerank_candidates_with_teacher(
     max_len: int = 256,
     batch_size: int = 128,
     bucket_lengths: Optional[Sequence[int]] = None,
+    pack_pairs: bool = False,
 ) -> Dict[int, Scored]:
     """Score every (query, candidate) pair with the teacher and sort.
 
@@ -116,9 +117,11 @@ def rerank_candidates_with_teacher(
 
     ``bucket_lengths`` (list, possibly empty for the 32/64/../max ladder):
     length-bucketed scoring — identical scores, ~token-proportional device
-    cost. The production rerank (500k queries x 60 candidates ~ 30M pairs
-    averaging ~85 joined tokens vs max_len=256) is the largest offline
-    workload in the CL-DRD pipeline."""
+    cost. ``pack_pairs`` packs several pairs per row instead (cross-encoder
+    score_fn required) — fewer padding FLOPs still. The production rerank
+    (500k queries x 60 candidates ~ 30M pairs averaging ~85 joined tokens
+    vs max_len=256) is the largest offline workload in the CL-DRD
+    pipeline."""
     from cldrd_tpu.data.reranking_dataset import RerankingDataset
 
     pairs = [
@@ -128,7 +131,9 @@ def rerank_candidates_with_teacher(
         pairs, qid_to_query, pid_to_passage, tokenizer,
         is_cross_encoder=True, max_len=max_len,
     )
-    if bucket_lengths is not None:
+    if pack_pairs:
+        batches = dataset.batches_packed(batch_size)
+    elif bucket_lengths is not None:
         batches = dataset.batches_bucketed(
             batch_size, list(bucket_lengths) or None
         )

@@ -85,6 +85,7 @@ class RerankingEvaluator(RankingEvaluator):
         dataset: RerankingDataset,
         batch_size: int = 128,
         bucket_lengths: Optional[List[int]] = None,
+        pack_pairs: bool = False,
     ) -> Dict[int, List[Tuple[int, float]]]:
         """Score every pair and group into per-query ranklists sorted by
         score descending (stable, so run-file order breaks ties).
@@ -92,8 +93,12 @@ class RerankingEvaluator(RankingEvaluator):
         ``bucket_lengths`` (a list, possibly empty for the default ladder)
         switches to length-bucketed batches: identical scores at
         ~token-proportional device cost (``RerankingDataset.batches_bucketed``;
-        one executable per bucket)."""
-        if bucket_lengths is not None:
+        one executable per bucket). ``pack_pairs`` (cross-encoder mode
+        only) packs several pairs per row instead — even fewer padding
+        FLOPs (``RerankingDataset.batches_packed``)."""
+        if pack_pairs:
+            batches = dataset.batches_packed(batch_size)
+        elif bucket_lengths is not None:
             batches = dataset.batches_bucketed(
                 batch_size, list(bucket_lengths) or None
             )

@@ -31,12 +31,33 @@ class CrossEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, pairs: Batch, deterministic: bool = True) -> jax.Array:
+        """``pairs``: flat ``{input_ids, attention_mask} [bz, L]`` -> [bz].
+
+        PACKED mode (``data/packing.py``; ``RerankingDataset.batches_packed``):
+        when ``gather_pos`` is present, ``input_ids``/``attention_mask``/
+        ``position_ids``/``segment_ids`` are ``[R, L]`` rows each holding
+        several concatenated pairs isolated by segment-masked attention +
+        per-segment position reset, and ``gather_pos [n]`` indexes each
+        pair's CLS position in the flattened ``R*L`` token axis — scores
+        are numerically the flat layout's at ~token-proportional FLOPs.
+        Both modes create the identical parameter tree."""
         cfg = self.config
+        packed = "gather_pos" in pairs
         hidden = DistilBertEncoder(cfg, self.dtype, name="encoder")(
             pairs["input_ids"], pairs["attention_mask"], deterministic,
-            cls_only=True,  # only the CLS position feeds the heads
+            # flat mode: only the CLS position feeds the heads; packed rows
+            # need every segment's start position instead
+            cls_only=not packed,
+            position_ids=pairs.get("position_ids"),
+            segment_ids=pairs.get("segment_ids"),
         )
-        pooled = cls_pool(hidden)
+        if packed:
+            dim = hidden.shape[-1]
+            flat = hidden.reshape(-1, dim)
+            pooled = jnp.take(flat, pairs["gather_pos"].astype(jnp.int32),
+                              axis=0)
+        else:
+            pooled = cls_pool(hidden)
         pooled = nn.Dense(
             cfg.dim, dtype=self.dtype, param_dtype=jnp.float32, name="pre_classifier"
         )(pooled)

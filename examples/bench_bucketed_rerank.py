@@ -80,6 +80,7 @@ def main():
     for name, batches in (
         ("flat", list(ds.batches(BATCH))),
         ("bucketed", list(ds.batches_bucketed(BATCH))),
+        ("packed", list(ds.batches_packed(BATCH))),
     ):
         shapes = sorted({b.query_passage["input_ids"].shape for b in batches})
         for b in batches:  # warmup: compile every bucket executable
@@ -107,18 +108,20 @@ def main():
         s = score_fn(b)
         for i in range(b.n_valid):
             flat_scores[(int(b.qids[i]), int(b.pids[i]))] = float(s[i])
-    worst = 0.0
-    for b in ds.batches_bucketed(BATCH):
-        s = score_fn(b)
-        for i in range(b.n_valid):
-            worst = max(worst, abs(
-                flat_scores[(int(b.qids[i]), int(b.pids[i]))] - float(s[i])))
-    print(json.dumps({
-        "metric": "bucketed_rerank_speedup",
-        "value": round(results["bucketed"] / results["flat"], 2),
-        "unit": "x",
-        "max_abs_score_delta_bf16": worst,
-    }), flush=True)
+    for name, batches in (("bucketed", ds.batches_bucketed(BATCH)),
+                          ("packed", ds.batches_packed(BATCH))):
+        worst = 0.0
+        for b in batches:
+            s = score_fn(b)
+            for i in range(b.n_valid):
+                worst = max(worst, abs(
+                    flat_scores[(int(b.qids[i]), int(b.pids[i]))] - float(s[i])))
+        print(json.dumps({
+            "metric": f"{name}_rerank_speedup",
+            "value": round(results[name] / results["flat"], 2),
+            "unit": "x",
+            "max_abs_score_delta_bf16": worst,
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -240,3 +240,82 @@ def test_bucketed_scoring_identical_to_flat(tmp_path):
         np.testing.assert_allclose(
             [s for _, s in scored_flat[q]], [s for _, s in scored_buck[q]],
             rtol=1e-6, atol=1e-6)
+
+
+def test_packed_pair_scoring_identical_to_flat(tmp_path):
+    """``batches_packed`` + CrossEncoder's packed path reproduce the flat
+    per-pair scores exactly in fp32 (segment isolation + position reset),
+    through score_pairs, the teacher rerank, and with ragged tails."""
+    import jax
+
+    qpath = tmp_path / "q.tsv"
+    ppath = tmp_path / "p.tsv"
+    qpath.write_text("".join(
+        f"{q}\t{' '.join(f'qq{q}w{j}' for j in range(1 + q % 3))}\n"
+        for q in range(4)))
+    ppath.write_text("".join(
+        f"{p}\t{' '.join(f'pp{p}w{j}' for j in range(1 + p % 16))}\n"
+        for p in range(20)))
+    run = tmp_path / "run.tsv"
+    run.write_text("".join(
+        f"{q}\t{p}\t1\t0.0\n" for q in range(4)
+        for p in range(q * 5, q * 5 + 5)))
+    qrels = tmp_path / "qrels.tsv"
+    qrels.write_text("".join(f"{q}\t0\t{q*5}\t1\n" for q in range(4)))
+    tok = HashTokenizer(vocab_size=512)
+    cfg = DistilBertConfig.tiny()
+    ev = RerankingEvaluator(str(qrels), mrr_at_k=(5,), recall_at_k=(5,),
+                            ndcg_at_k=(5,), map_at_k=5)
+
+    ds = RerankingDataset(str(run), str(qpath), str(ppath), tok,
+                          is_cross_encoder=True, max_len=32)
+    model = CrossEncoder(config=cfg, dtype=jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        {"input_ids": jnp.zeros((1, 8), jnp.int32),
+         "attention_mask": jnp.ones((1, 8), jnp.int32)})["params"]
+    fn = make_cross_encoder_score_fn(model, params)
+
+    # packed batches actually share rows and carry the full contract
+    b0 = next(ds.batches_packed(8, row_multiple=2))
+    assert b0.query_passage["input_ids"].shape[0] < 8  # rows < pairs
+    assert set(b0.query_passage) == {
+        "input_ids", "attention_mask", "position_ids", "segment_ids",
+        "gather_pos"}
+
+    flat = ev.score_pairs(fn, ds, batch_size=8)
+    packed = ev.score_pairs(fn, ds, batch_size=8, pack_pairs=True)
+    assert set(flat) == set(packed)
+    for qid in flat:
+        f, b = dict(flat[qid]), dict(packed[qid])
+        assert set(f) == set(b)
+        for pid in f:
+            np.testing.assert_allclose(b[pid], f[pid], rtol=1e-6, atol=1e-6)
+
+    # ragged tail: 20 pairs in batches of 16 -> final batch 4 valid pairs
+    packed_ragged = ev.score_pairs(fn, ds, batch_size=16, pack_pairs=True)
+    for qid in flat:
+        f, b = dict(flat[qid]), dict(packed_ragged[qid])
+        for pid in f:
+            np.testing.assert_allclose(b[pid], f[pid], rtol=1e-6, atol=1e-6)
+
+    # teacher path end-to-end
+    from cldrd_tpu.data.loaders import load_passages, load_queries
+    from cldrd_tpu.data.teacher import rerank_candidates_with_teacher
+
+    ranklists = {q: list(range(q * 5, q * 5 + 5)) for q in range(4)}
+    s_flat = rerank_candidates_with_teacher(
+        ranklists, fn, load_queries(str(qpath)), load_passages(str(ppath)),
+        tok, max_len=32, batch_size=8)
+    s_pack = rerank_candidates_with_teacher(
+        ranklists, fn, load_queries(str(qpath)), load_passages(str(ppath)),
+        tok, max_len=32, batch_size=8, pack_pairs=True)
+    for q in ranklists:
+        assert [p for p, _ in s_flat[q]] == [p for p, _ in s_pack[q]]
+
+    # dual mode refuses
+    ds2 = RerankingDataset(str(run), str(qpath), str(ppath), tok,
+                           is_cross_encoder=False,
+                           query_max_len=8, passage_max_len=32)
+    with pytest.raises(ValueError, match="cross-encoder"):
+        next(ds2.batches_packed(8))
