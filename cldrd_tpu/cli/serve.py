@@ -19,12 +19,25 @@ shape so the steady state reuses one executable), and search through
 ``FlatIPIndex.search`` (positions-mode exact MIPS + per-query certificate
 recovery). Device access serializes through a lock — one TPU program at a
 time; HTTP handling itself is threaded.
+
+**Dynamic micro-batching** (on by default): concurrent requests coalesce
+into one device pass — a TPU earns its throughput on batched work (the
+search kernel answers 512 queries in ~14 ms; a 1-query request costs
+almost the same as a 128-query one because the encode batch pads to a
+fixed shape). Request threads enqueue; a single device worker drains the
+queue for up to ``--max-batch-wait-ms`` (default 2 ms, ~the device time
+of one small pass) or until the encode batch fills, runs ONE
+encode+search over the union, and scatters per-request slices back.
+Requests asking different ``k`` share the pass at ``max(k)`` and slice.
+``/healthz`` reports ``requests`` vs ``device_batches`` so the
+coalescing ratio is observable.
 """
 from __future__ import annotations
 
 import argparse
 import json
 import logging
+import queue
 import sys
 import threading
 import time
@@ -48,18 +61,96 @@ from .common import (
 logger = logging.getLogger("cldrd_tpu.cli.serve")
 
 
+class _Pending:
+    """One enqueued request awaiting the batching worker."""
+
+    __slots__ = ("texts", "k", "event", "results", "error")
+
+    def __init__(self, texts: List[str], k: int):
+        self.texts = texts
+        self.k = k
+        self.event = threading.Event()
+        self.results = None
+        self.error: Optional[Exception] = None
+
+
+_SHUTDOWN = object()
+
+
 class SearchService:
     """Tokenize -> encode -> exact top-k, behind one device lock."""
 
     def __init__(self, tokenizer, encode_fn, index, max_length: int,
-                 encode_batch: int, default_k: int):
+                 encode_batch: int, default_k: int,
+                 dynamic_batching: bool = True,
+                 max_batch_wait_ms: float = 2.0):
         self.tokenizer = tokenizer
         self.encode_fn = encode_fn
         self.index = index
         self.max_length = max_length
         self.encode_batch = encode_batch
         self.default_k = default_k
+        self.dynamic_batching = dynamic_batching
+        self.max_batch_wait_ms = max_batch_wait_ms
         self._lock = threading.Lock()
+        self.stats = {"requests": 0, "queries": 0, "device_batches": 0}
+        self._queue: "queue.Queue" = queue.Queue()
+        self._worker: Optional[threading.Thread] = None
+        if dynamic_batching:
+            self._worker = threading.Thread(
+                target=self._worker_loop, name="cldrd-serve-batcher",
+                daemon=True,
+            )
+            self._worker.start()
+
+    def close(self) -> None:
+        if self._worker is not None:
+            self._queue.put(_SHUTDOWN)
+            self._worker.join(timeout=5)
+            self._worker = None
+
+    # ------------------------------------------------- batching worker
+    def _worker_loop(self) -> None:
+        while True:
+            first = self._queue.get()
+            if first is _SHUTDOWN:
+                return
+            group = [first]
+            total = len(first.texts)
+            deadline = time.perf_counter() + self.max_batch_wait_ms / 1e3
+            while total < self.encode_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is _SHUTDOWN:
+                    self._finish_group(group)
+                    return
+                group.append(nxt)
+                total += len(nxt.texts)
+            self._finish_group(group)
+
+    def _finish_group(self, group: List[_Pending]) -> None:
+        texts: List[str] = []
+        for p in group:
+            texts.extend(p.texts)
+        k_max = max(p.k for p in group)
+        try:
+            all_results = self._search_device(texts, k_max)
+        except Exception as e:  # deliver the failure to every waiter
+            for p in group:
+                p.error = e
+                p.event.set()
+            return
+        off = 0
+        for p in group:
+            span = all_results[off : off + len(p.texts)]
+            p.results = [ranked[: p.k] for ranked in span]
+            off += len(p.texts)
+            p.event.set()
 
     def warmup(self) -> None:
         """Compile the steady-state executables before serving traffic."""
@@ -81,12 +172,26 @@ class SearchService:
 
     def search(self, texts: List[str], k: Optional[int]):
         k = int(k or self.default_k)
-        n = len(texts)
-        if n == 0:
+        if not texts:
             return []
+        self.stats["requests"] += 1
+        self.stats["queries"] += len(texts)
+        if self._worker is None:
+            return self._search_device(texts, k)
+        pending = _Pending(texts, k)
+        self._queue.put(pending)
+        pending.event.wait()
+        if pending.error is not None:
+            raise pending.error
+        return pending.results
+
+    def _search_device(self, texts: List[str], k: int):
+        """One locked encode+search pass over ``texts`` (chunked to the
+        fixed encode batch shape)."""
         with self._lock:
+            self.stats["device_batches"] += 1
             out = []
-            for s in range(0, n, self.encode_batch):
+            for s in range(0, len(texts), self.encode_batch):
                 chunk = texts[s : s + self.encode_batch]
                 tokens = self.tokenizer(chunk, self.max_length)
                 tokens = self._pad(tokens, self.encode_batch)
@@ -118,6 +223,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "ok": True,
                 "n_vectors": self.service.index.n_vectors,
                 "dim": self.service.index.dim,
+                **self.service.stats,
             })
         else:
             self._reply(404, {"error": f"unknown path {self.path}"})
@@ -158,6 +264,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--encode-batch-size", type=int, default=128)
     p.add_argument("--hbm-dtype", default="bfloat16",
                    choices=("bfloat16", "float32"))
+    p.add_argument("--max-batch-wait-ms", type=float, default=2.0,
+                   help="dynamic micro-batching window: how long the "
+                        "device worker waits for more concurrent requests "
+                        "before launching a pass")
+    p.add_argument("--no-dynamic-batching", action="store_true",
+                   help="process each request in its own device pass")
     p.add_argument("--precision", default="default",
                    choices=("default", "high", "highest"))
     add_model_args(p)
@@ -184,6 +296,8 @@ def make_service(args) -> SearchService:
     return SearchService(
         tokenizer, encode, index, args.max_length,
         args.encode_batch_size, args.topk,
+        dynamic_batching=not args.no_dynamic_batching,
+        max_batch_wait_ms=args.max_batch_wait_ms,
     )
 
 
@@ -212,6 +326,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     except KeyboardInterrupt:
         pass
     finally:
+        httpd.RequestHandlerClass.service.close()
         httpd.server_close()
     return 0
 

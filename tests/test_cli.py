@@ -298,6 +298,38 @@ def test_cli_serve(corpus_files, tmp_path):
             assert False, "expected HTTP 400"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+        # dynamic micro-batching: a concurrent burst of 1-query requests
+        # coalesces into fewer device passes, with per-request results
+        # identical to the sequential answers (different k per request
+        # shares the pass at max(k) and slices)
+        svc.max_batch_wait_ms = 250.0
+        base = {f"find subject{q} info": svc.search([f"find subject{q} info"], 5)[0]
+                for q in range(8)}
+        before = dict(svc.stats)
+        burst_out = {}
+        def one(q):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/search",
+                data=json.dumps({"queries": [f"find subject{q} info"],
+                                 "k": 3 if q % 2 else 5}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                burst_out[q] = json.loads(r.read())["results"][0]
+        threads = [threading.Thread(target=one, args=(q,)) for q in range(8)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        for q in range(8):
+            want = base[f"find subject{q} info"][: 3 if q % 2 else 5]
+            assert burst_out[q] == want, q
+        extra_batches = svc.stats["device_batches"] - before["device_batches"]
+        extra_requests = svc.stats["requests"] - before["requests"]
+        assert extra_requests == 8
+        assert extra_batches < 8  # the burst actually coalesced
     finally:
+        svc.close()
         httpd.shutdown()
         httpd.server_close()
