@@ -101,6 +101,12 @@ class Embeddings(nn.Module):
             name="word_embeddings",
         )(input_ids)
         seq_len = input_ids.shape[-1]
+        if seq_len > cfg.max_position_embeddings:
+            raise ValueError(
+                f"sequence length {seq_len} exceeds the model's "
+                f"max_position_embeddings={cfg.max_position_embeddings}; "
+                f"lower --max-length (the 'tiny' config supports 64)"
+            )
         pos_table = self.param(
             "position_embeddings",
             nn.initializers.normal(cfg.initializer_range),
