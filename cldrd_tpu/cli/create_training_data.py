@@ -10,6 +10,7 @@ into the curriculum JSONL stages (5relT_25neg / 10relT_20neg / 20relT_10neg
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import logging
 import sys
@@ -35,6 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--passages", required=True)
     p.add_argument("--teacher-checkpoint", default=None,
                    help="cross-encoder teacher weights (.msgpack or HF torch)")
+    p.add_argument("--teacher-arch", choices=("distilbert", "bert"),
+                   default="distilbert",
+                   help="'bert' = the reference teacher's family "
+                        "(cross-encoder/ms-marco-MiniLM-L-6-v2, a "
+                        "BertForSequenceClassification with token-type "
+                        "embeddings + tanh pooler); --model-size full then "
+                        "means the MiniLM-L6 shape")
     p.add_argument("--out-prefix", required=True,
                    help="output path prefix for <stage>.train.jsonl files")
     p.add_argument("--max-length", type=int, default=256)
@@ -58,7 +66,7 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _teacher_params(checkpoint: Optional[str], model, cfg):
+def _teacher_params(checkpoint: Optional[str], model, cfg, arch: str = "distilbert"):
     import jax
 
     dummy = {
@@ -75,26 +83,49 @@ def _teacher_params(checkpoint: Optional[str], model, cfg):
             params = serialization.from_state_dict(params, blob)
         else:
             from cldrd_tpu.models.hf_loader import (
+                bert_cross_encoder_torch_to_flax,
                 cross_encoder_torch_to_flax,
                 load_torch_checkpoint,
             )
 
-            params = cross_encoder_torch_to_flax(load_torch_checkpoint(checkpoint))
+            convert = (bert_cross_encoder_torch_to_flax if arch == "bert"
+                       else cross_encoder_torch_to_flax)
+            params = convert(load_torch_checkpoint(checkpoint))
     return params
 
 
 def main(argv: Optional[List[str]] = None) -> int:
     setup_logging()
     args = build_parser().parse_args(argv)
-    cfg = model_config_from_args(args)
+    if args.teacher_arch == "bert":
+        from cldrd_tpu.models import BertConfig
+
+        if getattr(args, "model_config", None):
+            cfg = model_config_from_args(args)
+            cfg = BertConfig(**{
+                f.name: getattr(cfg, f.name) for f in dataclasses.fields(cfg)
+            })
+        elif args.model_size == "tiny":
+            cfg = BertConfig.tiny(attention_impl=args.attention_impl)
+        else:
+            # the reference teacher's exact shape (MiniLM-L-6-v2)
+            cfg = BertConfig.minilm_l6(attention_impl=args.attention_impl)
+        if args.pack_pairs:
+            raise SystemExit("--pack-pairs is not supported with "
+                             "--teacher-arch bert (see CrossEncoder docs); "
+                             "use --bucket-lengths")
+    else:
+        cfg = model_config_from_args(args)
     tokenizer = build_tokenizer(args.tokenizer, vocab_size=cfg.vocab_size)
 
     ranklists = load_run_ranklists(args.candidates_run)
     qid_to_query = load_queries(args.queries)
     pid_to_passage = load_passages(args.passages)
 
-    model = CrossEncoder(config=cfg, dtype=jnp.dtype(args.compute_dtype))
-    params = _teacher_params(args.teacher_checkpoint, model, cfg)
+    model = CrossEncoder(config=cfg, dtype=jnp.dtype(args.compute_dtype),
+                         arch=args.teacher_arch)
+    params = _teacher_params(args.teacher_checkpoint, model, cfg,
+                             arch=args.teacher_arch)
     score_fn = make_cross_encoder_score_fn(model, params)
 
     logger.info("teacher-scoring %d queries x candidates ...", len(ranklists))
@@ -102,6 +133,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         ranklists, score_fn, qid_to_query, pid_to_passage, tokenizer,
         max_len=args.max_length, batch_size=args.batch_size,
         bucket_lengths=args.bucket_lengths, pack_pairs=args.pack_pairs,
+        with_token_type_ids=args.teacher_arch == "bert",
     )
     paths = build_curriculum_files(qid_to_scored, args.out_prefix, seed=args.seed)
     print(json.dumps(paths, indent=2))

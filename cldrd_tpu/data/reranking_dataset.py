@@ -40,6 +40,7 @@ class RerankingDataset:
         max_len: Optional[int] = None,
         query_max_len: Optional[int] = None,
         passage_max_len: Optional[int] = None,
+        with_token_type_ids: bool = False,
     ):
         pairs: List[Tuple[int, int]] = []
         with open(ranking_path, "r", encoding="utf-8") as f:
@@ -50,6 +51,7 @@ class RerankingDataset:
         self._init_core(
             pairs, load_queries(queries_path), load_passages(passages_path),
             tokenizer, is_cross_encoder, max_len, query_max_len, passage_max_len,
+            with_token_type_ids,
         )
 
     @classmethod
@@ -63,6 +65,7 @@ class RerankingDataset:
         max_len: Optional[int] = None,
         query_max_len: Optional[int] = None,
         passage_max_len: Optional[int] = None,
+        with_token_type_ids: bool = False,
     ) -> "RerankingDataset":
         """In-memory (qid, pid) pairs with preloaded text lookups — shares
         the exact collation contract with the file-based constructor (used
@@ -71,18 +74,25 @@ class RerankingDataset:
         obj._init_core(
             list(pairs), qid_to_query, pid_to_passage,
             tokenizer, is_cross_encoder, max_len, query_max_len, passage_max_len,
+            with_token_type_ids,
         )
         return obj
 
     def _init_core(
         self, pairs, qid_to_query, pid_to_passage, tokenizer,
         is_cross_encoder, max_len, query_max_len, passage_max_len,
+        with_token_type_ids=False,
     ) -> None:
         self.pairs = pairs
         self.qid_to_query = qid_to_query
         self.pid_to_passage = pid_to_passage
         self.tokenizer = tokenizer
         self.is_cross_encoder = is_cross_encoder
+        # BERT-family cross encoders (the MiniLM teacher) need segment ids;
+        # emitted alongside input_ids/attention_mask in cross-mode batches.
+        self.with_token_type_ids = with_token_type_ids
+        if with_token_type_ids and not is_cross_encoder:
+            raise ValueError("token_type_ids only apply to cross-encoder mode")
         if is_cross_encoder:
             assert max_len is not None
             self.max_len = max_len
@@ -117,7 +127,11 @@ class RerankingDataset:
             qids[:n] = [q for q, _ in chunk]
             pids[:n] = [p for _, p in chunk]
             if self.is_cross_encoder:
-                qp = self.tokenizer(queries, self.max_len, pairs=passages)
+                qp = self.tokenizer(
+                    queries, self.max_len, pairs=passages,
+                    **({"return_token_type_ids": True}
+                       if self.with_token_type_ids else {}),
+                )
                 yield RerankBatch(
                     qids=qids, pids=pids, n_valid=n,
                     query_passage=self._pad_tokens(qp, batch_size),
@@ -239,15 +253,20 @@ class RerankingDataset:
             pids = np.full((bz,), -1, np.int64)
             main_ids = np.zeros((bz, L), np.int32)
             main_mask = np.zeros((bz, L), np.int32)
+            main_types = (np.zeros((bz, L), np.int32)
+                          if self.with_token_type_ids else None)
             for r, row in enumerate(rows):
                 qids[r], pids[r] = row[0], row[1]
                 main_ids[r] = row[2][:L]
                 main_mask[r] = row[3][:L]
+                if main_types is not None:
+                    main_types[r] = row[-1][:L]
             if self.is_cross_encoder:
+                qp = {"input_ids": main_ids, "attention_mask": main_mask}
+                if main_types is not None:
+                    qp["token_type_ids"] = main_types
                 return RerankBatch(
-                    qids=qids, pids=pids, n_valid=n,
-                    query_passage={
-                        "input_ids": main_ids, "attention_mask": main_mask},
+                    qids=qids, pids=pids, n_valid=n, query_passage=qp,
                 )
             lq = self.query_max_len
             q_ids = np.zeros((bz, lq), np.int32)
@@ -270,7 +289,11 @@ class RerankingDataset:
                 for i in idxs
             ]
             if self.is_cross_encoder:
-                toks = self.tokenizer(queries, max_len, pairs=passages)
+                toks = self.tokenizer(
+                    queries, max_len, pairs=passages,
+                    **({"return_token_type_ids": True}
+                       if self.with_token_type_ids else {}),
+                )
                 q_toks = None
             else:
                 toks = self.tokenizer(passages, max_len)
@@ -283,6 +306,9 @@ class RerankingDataset:
                 if q_toks is not None:
                     row += (np.asarray(q_toks["input_ids"][j]),
                             np.asarray(q_toks["attention_mask"][j]))
+                if self.with_token_type_ids:
+                    # always the LAST element; emit() slices row[-1]
+                    row += (np.asarray(toks["token_type_ids"][j]),)
                 pend[int(b)].append(row)
                 if len(pend[int(b)]) == specs[int(b)].batch_size:
                     yield emit(int(b))

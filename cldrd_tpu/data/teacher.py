@@ -107,6 +107,7 @@ def rerank_candidates_with_teacher(
     batch_size: int = 128,
     bucket_lengths: Optional[Sequence[int]] = None,
     pack_pairs: bool = False,
+    with_token_type_ids: bool = False,
 ) -> Dict[int, Scored]:
     """Score every (query, candidate) pair with the teacher and sort.
 
@@ -130,6 +131,8 @@ def rerank_candidates_with_teacher(
     dataset = RerankingDataset.from_pairs(
         pairs, qid_to_query, pid_to_passage, tokenizer,
         is_cross_encoder=True, max_len=max_len,
+        # BERT-family teachers (the reference's MiniLM) read segment ids
+        with_token_type_ids=with_token_type_ids,
     )
     if pack_pairs:
         batches = dataset.batches_packed(batch_size)

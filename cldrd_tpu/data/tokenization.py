@@ -49,7 +49,8 @@ class HFTokenizerAdapter:
         self._backend_len = None
 
     def _encode_backend(
-        self, texts, max_length: int, pairs=None
+        self, texts, max_length: int, pairs=None,
+        return_token_type_ids: bool = False,
     ) -> TokenBatch:
         if self._backend_len != max_length:
             pad_id = self.tokenizer.pad_token_id
@@ -71,19 +72,32 @@ class HFTokenizerAdapter:
         bz = len(encs)
         ids = np.empty((bz, max_length), np.int32)
         mask = np.empty((bz, max_length), np.int32)
+        types = np.empty((bz, max_length), np.int32) if return_token_type_ids else None
         for row, e in enumerate(encs):
             ids[row] = e.ids
             mask[row] = e.attention_mask
-        return {"input_ids": ids, "attention_mask": mask}
+            if types is not None:
+                types[row] = e.type_ids
+        out = {"input_ids": ids, "attention_mask": mask}
+        if types is not None:
+            out["token_type_ids"] = types
+        return out
 
     def __call__(
         self,
         texts: Sequence[str],
         max_length: int,
         pairs: Optional[Sequence[str]] = None,
+        return_token_type_ids: bool = False,
     ) -> TokenBatch:
+        """``return_token_type_ids``: additionally emit HF segment ids
+        (0 = first sequence incl. its [SEP], 1 = pair segment) — needed by
+        BERT-family models (the MiniLM teacher); DistilBERT ignores them."""
         if self._backend is not None:
-            return self._encode_backend(texts, max_length, pairs)
+            return self._encode_backend(
+                texts, max_length, pairs,
+                return_token_type_ids=return_token_type_ids,
+            )
         enc = self.tokenizer(
             list(texts),
             list(pairs) if pairs is not None else None,
@@ -91,12 +105,15 @@ class HFTokenizerAdapter:
             truncation="longest_first",
             max_length=max_length,
             return_tensors="np",
-            return_token_type_ids=False,
+            return_token_type_ids=return_token_type_ids,
         )
-        return {
+        out = {
             "input_ids": enc["input_ids"].astype(np.int32),
             "attention_mask": enc["attention_mask"].astype(np.int32),
         }
+        if return_token_type_ids:
+            out["token_type_ids"] = enc["token_type_ids"].astype(np.int32)
+        return out
 
 
 def train_wordpiece_tokenizer(
@@ -133,7 +150,9 @@ def train_wordpiece_tokenizer(
     sep_id = tok.token_to_id("[SEP]")
     tok.post_processor = TemplateProcessing(
         single="[CLS] $A [SEP]",
-        pair="[CLS] $A [SEP] $B [SEP]",
+        # explicit segment ids, BERT semantics: first sequence (incl. both
+        # surrounding specials) = 0, pair segment + its [SEP] = 1
+        pair="[CLS]:0 $A:0 [SEP]:0 $B:1 [SEP]:1",
         special_tokens=[("[CLS]", cls_id), ("[SEP]", sep_id)],
     )
     fast = PreTrainedTokenizerFast(
@@ -170,14 +189,17 @@ class HashTokenizer:
         texts: Sequence[str],
         max_length: int,
         pairs: Optional[Sequence[str]] = None,
+        return_token_type_ids: bool = False,
     ) -> TokenBatch:
         bz = len(texts)
         ids = np.zeros((bz, max_length), np.int32)
         mask = np.zeros((bz, max_length), np.int32)
+        types = np.zeros((bz, max_length), np.int32)
         for row, text in enumerate(texts):
             toks = [self.cls_id]
             toks += [self._token_id(t) for t in text.lower().split()]
             toks.append(self.sep_id)
+            seg0 = len(toks)  # first segment incl. its [SEP] -> type 0
             if pairs is not None:
                 toks += [self._token_id(t) for t in pairs[row].lower().split()]
                 toks.append(self.sep_id)
@@ -185,4 +207,8 @@ class HashTokenizer:
             n = len(toks)
             ids[row, :n] = toks
             mask[row, :n] = 1
-        return {"input_ids": ids, "attention_mask": mask}
+            types[row, min(seg0, n):n] = 1
+        out = {"input_ids": ids, "attention_mask": mask}
+        if return_token_type_ids:
+            out["token_type_ids"] = types
+        return out

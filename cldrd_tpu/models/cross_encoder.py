@@ -5,17 +5,28 @@
 
 A single encoder over the concatenated ``[CLS] query [SEP] passage [SEP]``
 sequence, with a 1-logit classification head on the CLS token (matching the
-HF ``*ForSequenceClassification`` head shape so converted teacher weights
-drop in: pre_classifier -> ReLU -> classifier for DistilBERT-style heads).
+HF ``*ForSequenceClassification`` head shapes so converted teacher weights
+drop in):
+
+- ``arch='distilbert'``: pre_classifier -> ReLU -> dropout -> classifier
+  (HF ``DistilBertForSequenceClassification``).
+- ``arch='bert'``: tanh pooler -> dropout -> classifier (HF
+  ``BertForSequenceClassification``) over a :class:`BertEncoder` with
+  token-type embeddings — this is the reference teacher's actual
+  architecture (MiniLM-L-6-v2). ``pairs`` may carry ``token_type_ids``
+  (0 = query segment, 1 = passage segment, HF pair-encoding semantics);
+  absent, segment 0 is broadcast.
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .bert import BertConfig, BertEncoder
 from .distilbert import DistilBertConfig, DistilBertEncoder, cls_pool
 
 Dtype = Any
@@ -28,6 +39,7 @@ class CrossEncoder(nn.Module):
     config: DistilBertConfig
     num_labels: int = 1
     dtype: Dtype = jnp.float32
+    arch: str = "distilbert"  # 'distilbert' | 'bert'
 
     @nn.compact
     def __call__(self, pairs: Batch, deterministic: bool = True) -> jax.Array:
@@ -43,25 +55,51 @@ class CrossEncoder(nn.Module):
         Both modes create the identical parameter tree."""
         cfg = self.config
         packed = "gather_pos" in pairs
-        hidden = DistilBertEncoder(cfg, self.dtype, name="encoder")(
-            pairs["input_ids"], pairs["attention_mask"], deterministic,
-            # flat mode: only the CLS position feeds the heads; packed rows
-            # need every segment's start position instead
-            cls_only=not packed,
-            position_ids=pairs.get("position_ids"),
-            segment_ids=pairs.get("segment_ids"),
-        )
-        if packed:
-            dim = hidden.shape[-1]
-            flat = hidden.reshape(-1, dim)
-            pooled = jnp.take(flat, pairs["gather_pos"].astype(jnp.int32),
-                              axis=0)
-        else:
+        if self.arch == "bert":
+            if packed:
+                raise ValueError(
+                    "packed mode is not supported for arch='bert' (packing "
+                    "would need per-segment token-type resets; use "
+                    "batches()/batches_bucketed(), which are faster for "
+                    "reranking anyway — see batches_packed docstring)"
+                )
+            bcfg = cfg if isinstance(cfg, BertConfig) else BertConfig(
+                **{f.name: getattr(cfg, f.name)
+                   for f in dataclasses.fields(cfg)}
+            )
+            hidden = BertEncoder(bcfg, self.dtype, name="encoder")(
+                pairs["input_ids"], pairs["attention_mask"], deterministic,
+                cls_only=True,
+                token_type_ids=pairs.get("token_type_ids"),
+            )
             pooled = cls_pool(hidden)
-        pooled = nn.Dense(
-            cfg.dim, dtype=self.dtype, param_dtype=jnp.float32, name="pre_classifier"
-        )(pooled)
-        pooled = nn.relu(pooled)
+            # HF BertForSequenceClassification head: tanh pooler -> dropout
+            # -> classifier.
+            pooled = nn.tanh(nn.Dense(
+                cfg.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                name="pooler",
+            )(pooled))
+        else:
+            hidden = DistilBertEncoder(cfg, self.dtype, name="encoder")(
+                pairs["input_ids"], pairs["attention_mask"], deterministic,
+                # flat mode: only the CLS position feeds the heads; packed
+                # rows need every segment's start position instead
+                cls_only=not packed,
+                position_ids=pairs.get("position_ids"),
+                segment_ids=pairs.get("segment_ids"),
+            )
+            if packed:
+                dim = hidden.shape[-1]
+                flat = hidden.reshape(-1, dim)
+                pooled = jnp.take(flat, pairs["gather_pos"].astype(jnp.int32),
+                                  axis=0)
+            else:
+                pooled = cls_pool(hidden)
+            pooled = nn.Dense(
+                cfg.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                name="pre_classifier",
+            )(pooled)
+            pooled = nn.relu(pooled)
         pooled = nn.Dropout(cfg.dropout)(pooled, deterministic=deterministic)
         logits = nn.Dense(
             self.num_labels,

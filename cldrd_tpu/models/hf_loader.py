@@ -90,6 +90,125 @@ def distilbert_torch_to_flax(state_dict: Mapping[str, Any]) -> Params:
     return params
 
 
+_BERT_ATTN = {
+    "attention.self.query": "q_lin",
+    "attention.self.key": "k_lin",
+    "attention.self.value": "v_lin",
+    "attention.output.dense": "out_lin",
+}
+_BERT_MISC = {
+    "attention.output.LayerNorm": "sa_layer_norm",
+    "intermediate.dense": "lin1",
+    "output.dense": "lin2",
+    "output.LayerNorm": "output_layer_norm",
+}
+
+
+def bert_torch_to_flax(state_dict: Mapping[str, Any]) -> Params:
+    """Convert one HF ``BertModel`` state_dict to a ``BertEncoder`` param
+    tree (the reference teacher ``cross-encoder/ms-marco-MiniLM-L-6-v2``
+    family, reference ``evaluation/reranking_evaluator.py:292``). Pooler and
+    classification heads are handled by the consumers; the
+    ``position_ids`` buffer is ignored."""
+    sd = strip_prefix(state_dict, "bert.")
+    params: Params = {}
+    layer_re = re.compile(r"^encoder\.layer\.(\d+)\.(.+)\.(weight|bias)$")
+    for key, val in sd.items():
+        if key == "embeddings.position_ids":
+            continue
+        arr = _to_numpy(val)
+        if key == "embeddings.word_embeddings.weight":
+            _set(params, ["embeddings", "word_embeddings", "embedding"], arr)
+        elif key == "embeddings.position_embeddings.weight":
+            _set(params, ["embeddings", "position_embeddings"], arr)
+        elif key == "embeddings.token_type_embeddings.weight":
+            _set(params, ["embeddings", "token_type_embeddings", "embedding"], arr)
+        elif key == "embeddings.LayerNorm.weight":
+            _set(params, ["embeddings", "LayerNorm", "scale"], arr)
+        elif key == "embeddings.LayerNorm.bias":
+            _set(params, ["embeddings", "LayerNorm", "bias"], arr)
+        else:
+            m = layer_re.match(key)
+            if not m:
+                continue  # pooler / heads handled elsewhere
+            i, mid, kind = int(m.group(1)), m.group(2), m.group(3)
+            base = [f"layer_{i}"]
+            if mid in _BERT_ATTN:
+                path = base + ["attention", _BERT_ATTN[mid]]
+                if kind == "weight":
+                    _set(params, path + ["kernel"], arr.T)
+                else:
+                    _set(params, path + ["bias"], arr)
+            elif mid in _BERT_MISC:
+                name = _BERT_MISC[mid]
+                if name.endswith("layer_norm") or name.endswith("LayerNorm"):
+                    flax_kind = "scale" if kind == "weight" else "bias"
+                    _set(params, base + [name, flax_kind], arr)
+                else:
+                    if kind == "weight":
+                        _set(params, base + [name, "kernel"], arr.T)
+                    else:
+                        _set(params, base + [name, "bias"], arr)
+    return params
+
+
+def bert_flax_to_torch(params: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`bert_torch_to_flax`: a ``BertEncoder`` param tree
+    -> HF ``BertModel`` state_dict (numpy values)."""
+    flat = _flatten(params)
+    attn_inv = {v: k for k, v in _BERT_ATTN.items()}
+    misc_inv = {v: k for k, v in _BERT_MISC.items()}
+    out: Dict[str, np.ndarray] = {}
+    for key, arr in flat.items():
+        parts = key.split(".")
+        if key == "embeddings.word_embeddings.embedding":
+            out["embeddings.word_embeddings.weight"] = arr
+        elif key == "embeddings.position_embeddings":
+            out["embeddings.position_embeddings.weight"] = arr
+        elif key == "embeddings.token_type_embeddings.embedding":
+            out["embeddings.token_type_embeddings.weight"] = arr
+        elif key == "embeddings.LayerNorm.scale":
+            out["embeddings.LayerNorm.weight"] = arr
+        elif key == "embeddings.LayerNorm.bias":
+            out["embeddings.LayerNorm.bias"] = arr
+        elif parts[0].startswith("layer_"):
+            base = f"encoder.layer.{int(parts[0][len('layer_'):])}"
+            if parts[1] == "attention":
+                mid, kind = attn_inv[parts[2]], parts[3]
+                if kind == "kernel":
+                    out[f"{base}.{mid}.weight"] = arr.T
+                else:
+                    out[f"{base}.{mid}.bias"] = arr
+            elif parts[1] in ("lin1", "lin2"):
+                mid = misc_inv[parts[1]]
+                if parts[2] == "kernel":
+                    out[f"{base}.{mid}.weight"] = arr.T
+                else:
+                    out[f"{base}.{mid}.bias"] = arr
+            elif parts[1] in ("sa_layer_norm", "output_layer_norm"):
+                mid = misc_inv[parts[1]]
+                kind = "weight" if parts[2] == "scale" else "bias"
+                out[f"{base}.{mid}.{kind}"] = arr
+    return out
+
+
+def bert_cross_encoder_torch_to_flax(state_dict: Mapping[str, Any]) -> Params:
+    """Convert HF ``BertForSequenceClassification`` weights (the MiniLM
+    teacher's checkpoint layout) into our ``CrossEncoder(arch='bert')``
+    param tree: encoder + tanh pooler + classifier."""
+    sd = strip_prefix(state_dict, "module.")
+    params: Params = {"encoder": bert_torch_to_flax(sd)}
+    for hf_names, ours in ((("bert.pooler.dense", "pooler.dense"), "pooler"),
+                           (("classifier",), "classifier")):
+        for hf_name in hf_names:
+            w, b = sd.get(f"{hf_name}.weight"), sd.get(f"{hf_name}.bias")
+            if w is not None:
+                params[ours] = {"kernel": _to_numpy(w).T,
+                                "bias": _to_numpy(b)}
+                break
+    return params
+
+
 def dual_encoder_torch_to_flax(
     state_dict: Mapping[str, Any], share_weights: bool = False
 ) -> Params:

@@ -333,3 +333,53 @@ def test_cli_serve(corpus_files, tmp_path):
         svc.close()
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_cli_create_training_data_both_teacher_arches(corpus_files, tmp_path):
+    """cldrd-create-training-data end-to-end: candidates run -> teacher
+    rerank -> 4 curriculum JSONL stages, with BOTH teacher families
+    (DistilBERT head and the reference's actual BERT/MiniLM-style head,
+    reference reranking_evaluator.py:292)."""
+    from cldrd_tpu.cli import create_training_data as cli_ctd
+
+    f = corpus_files
+    # 4 train queries x 32 candidates (any pids; teacher defines the order)
+    run_path = str(tmp_path / "candidates.run.tsv")
+    rng = np.random.default_rng(11)
+    with open(run_path, "w") as fh:
+        for q in range(4):
+            for rank, p in enumerate(
+                rng.permutation(96)[:32], start=1
+            ):
+                fh.write(f"{q}\t{p}\t{rank}\t{1.0 / rank:.4f}\n")
+
+    for arch in ("distilbert", "bert"):
+        prefix = str(tmp_path / f"{arch}_")
+        rc = cli_ctd.main([
+            "--candidates-run", run_path,
+            "--queries", f["queries"], "--passages", f["passages"],
+            "--out-prefix", prefix,
+            "--teacher-arch", arch,
+            "--model-size", "tiny", "--tokenizer", "hash",
+            "--max-length", "32", "--batch-size", "16",
+            "--compute-dtype", "float32",
+        ])
+        assert rc == 0
+        for stage, (n_rel, n_most, n_semi) in (
+            ("5relT_25neg", (5, 12, 13)),
+            ("30relT", (30, 0, 0)),
+        ):
+            lines = open(f"{prefix}{stage}.train.jsonl").read().splitlines()
+            assert len(lines) == 4
+            ex = json.loads(lines[0])
+            assert len(ex["relT_pids"]) == n_rel
+            assert len(ex["most_hard_pids"]) == n_most
+            assert len(ex["semi_hard_pids"]) == n_semi
+            # teacher scores attached, sorted descending within relT
+            assert ex["relT_scores"] == sorted(ex["relT_scores"],
+                                               reverse=True)
+
+    # the two teachers are different models: rankings must differ somewhere
+    a = open(str(tmp_path / "distilbert_") + "30relT.train.jsonl").read()
+    b = open(str(tmp_path / "bert_") + "30relT.train.jsonl").read()
+    assert a != b

@@ -652,3 +652,45 @@ def test_reranking_bucketed_coverage_and_tokens(tmp_path):
                 ((flat[key][1] != 0)
                  * (np.arange(flat[key][1].shape[0]) + 1)).max())
             assert L == min(s for s in (8, 16, 32) if s >= need)
+
+
+def test_token_type_ids_hash_and_hf_agree_on_contract():
+    """token_type_ids (BERT segment ids): 0 over [CLS] q [SEP], 1 over
+    p [SEP], 0 on padding — on both the hermetic HashTokenizer and a real
+    trained-WordPiece HF adapter (fast Rust path and slow path)."""
+    from cldrd_tpu.data.tokenization import (
+        HashTokenizer,
+        train_wordpiece_tokenizer,
+    )
+
+    queries = ["alpha beta", "gamma"]
+    passages = ["delta epsilon zeta", "eta theta"]
+
+    def check(out):
+        ids, mask, types = (
+            out["input_ids"], out["attention_mask"], out["token_type_ids"])
+        assert types.shape == ids.shape
+        for r in range(len(queries)):
+            n = int(mask[r].sum())
+            # padding carries type 0
+            assert (types[r, n:] == 0).all()
+            valid = types[r, :n]
+            # starts at 0 (CLS+query), ends at 1 (passage side), one flip
+            assert valid[0] == 0 and valid[-1] == 1
+            assert int(np.abs(np.diff(valid)).sum()) == 1
+
+    check(HashTokenizer(256)(queries, 16, pairs=passages,
+                             return_token_type_ids=True))
+
+    adapter = train_wordpiece_tokenizer(
+        ["alpha beta gamma delta epsilon zeta eta theta"], vocab_size=64)
+    fast = adapter(queries, 16, pairs=passages, return_token_type_ids=True)
+    check(fast)
+    # slow (non-Rust) path agrees exactly with the fast path
+    adapter._backend = None
+    slow = adapter(queries, 16, pairs=passages, return_token_type_ids=True)
+    for k in fast:
+        np.testing.assert_array_equal(fast[k], slow[k])
+    # and omitting the flag keeps the legacy two-key contract
+    assert set(HashTokenizer(256)(queries, 16, pairs=passages)) == {
+        "input_ids", "attention_mask"}

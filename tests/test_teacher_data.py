@@ -80,3 +80,64 @@ def test_rerank_candidates_with_teacher():
     assert [p for p, _ in out[0]] == [3, 2, 1, 0]
     assert [p for p, _ in out[1]] == [7, 6, 5, 4]
     assert out[1][0][1] == 7.0
+
+
+def test_rerank_with_bert_teacher_bucketed_equals_flat():
+    """A real (tiny, random-init) BERT cross-encoder teacher: token_type_ids
+    flow through flat AND bucketed collation, and bucketing must not change
+    any score (fp32). Covers the reference teacher's architecture
+    (MiniLM-family, reference reranking_evaluator.py:292)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cldrd_tpu.evaluation import make_cross_encoder_score_fn
+    from cldrd_tpu.models import BertConfig, CrossEncoder
+
+    cfg = BertConfig.tiny()
+    model = CrossEncoder(config=cfg, arch="bert", dtype=jnp.float32)
+    dummy = {
+        "input_ids": jnp.zeros((1, 8), jnp.int32),
+        "attention_mask": jnp.ones((1, 8), jnp.int32),
+        "token_type_ids": jnp.zeros((1, 8), jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(7), dummy)["params"]
+    score_fn = make_cross_encoder_score_fn(model, params)
+
+    rng = np.random.default_rng(7)
+    qid_to_query = {q: f"query about topic{q}" for q in range(4)}
+    pid_to_passage = {
+        p: "passage " + " ".join(
+            f"w{rng.integers(100)}" for _ in range(int(rng.integers(2, 20)))
+        )
+        for p in range(16)
+    }
+    ranklists = {q: list(range(q * 4, q * 4 + 4)) for q in range(4)}
+    tok = HashTokenizer(cfg.vocab_size)
+
+    flat = rerank_candidates_with_teacher(
+        ranklists, score_fn, qid_to_query, pid_to_passage, tok,
+        max_len=32, batch_size=4, with_token_type_ids=True,
+    )
+    bucketed = rerank_candidates_with_teacher(
+        ranklists, score_fn, qid_to_query, pid_to_passage, tok,
+        max_len=32, batch_size=4, bucket_lengths=[],
+        with_token_type_ids=True,
+    )
+    assert set(flat) == set(bucketed)
+    for q in flat:
+        assert [p for p, _ in flat[q]] == [p for p, _ in bucketed[q]]
+        np.testing.assert_allclose(
+            [s for _, s in flat[q]], [s for _, s in bucketed[q]],
+            rtol=1e-6, atol=1e-6,
+        )
+
+    # token types genuinely reach the model: zeroing them changes scores
+    no_types = rerank_candidates_with_teacher(
+        ranklists, score_fn, qid_to_query, pid_to_passage, tok,
+        max_len=32, batch_size=4, with_token_type_ids=False,
+    )
+    diffs = [
+        abs(dict(flat[q])[p] - dict(no_types[q])[p])
+        for q in flat for p in dict(flat[q])
+    ]
+    assert max(diffs) > 1e-4
