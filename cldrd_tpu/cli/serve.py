@@ -195,7 +195,11 @@ class SearchService:
                 chunk = texts[s : s + self.encode_batch]
                 tokens = self.tokenizer(chunk, self.max_length)
                 tokens = self._pad(tokens, self.encode_batch)
-                embs = np.asarray(self.encode_fn(tokens))[: len(chunk)]
+                # keep the embeddings ON DEVICE: index.search accepts device
+                # arrays, so the encode->search hand-off costs no host
+                # round-trip (a [128, 768] fetch + re-upload per pass
+                # otherwise — ~0.8 MB, ruinous on thin host links)
+                embs = self.encode_fn(tokens)[: len(chunk)]
                 scores, ids = self.index.search(embs, k)
                 for r in range(len(chunk)):
                     valid = ids[r] >= 0
