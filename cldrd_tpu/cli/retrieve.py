@@ -48,8 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="encoder activation dtype; float32 for bit-parity "
                         "runs against fp32 oracles")
     p.add_argument("--hbm-dtype", default="bfloat16",
-                   choices=("bfloat16", "float32"),
-                   help="in-HBM corpus dtype (float32 doubles HBM)")
+                   choices=("bfloat16", "float32", "int8"),
+                   help="in-HBM corpus dtype (float32 doubles HBM; int8 "
+                        "halves it vs bfloat16 — per-row-scaled codes, "
+                        "full 8.8M MS MARCO on ONE v5e chip; recall cost "
+                        "measured in examples/quantization_study.py)")
     p.add_argument("--precision", default="default",
                    choices=("default", "high", "highest"),
                    help="score matmul precision: 'default' = MXU-native "
@@ -91,7 +94,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     index = load_index(
         args.index,
-        dtype=jnp.float32 if args.hbm_dtype == "float32" else jnp.bfloat16,
+        dtype=jnp.dtype({"float32": jnp.float32, "int8": jnp.int8}
+                        .get(args.hbm_dtype, jnp.bfloat16)),
         precision=args.precision,
     )
     stats = retrieve_to_run_file(

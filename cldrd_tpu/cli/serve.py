@@ -267,7 +267,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-length", type=int, default=30)
     p.add_argument("--encode-batch-size", type=int, default=128)
     p.add_argument("--hbm-dtype", default="bfloat16",
-                   choices=("bfloat16", "float32"))
+                   choices=("bfloat16", "float32", "int8"))
     p.add_argument("--max-batch-wait-ms", type=float, default=2.0,
                    help="dynamic micro-batching window: how long the "
                         "device worker waits for more concurrent requests "
@@ -293,7 +293,8 @@ def make_service(args) -> SearchService:
     )
     index = load_index(
         args.index,
-        dtype=jnp.float32 if args.hbm_dtype == "float32" else jnp.bfloat16,
+        dtype=jnp.dtype({"float32": jnp.float32, "int8": jnp.int8}
+                        .get(args.hbm_dtype, jnp.bfloat16)),
         precision=args.precision,
     )
     encode = make_encode_fn(model, params, "query_embs")

@@ -46,10 +46,24 @@ class FlatIPIndex:
     # rounds even fp32 inputs to bf16 — measured tail cost 3.2% of top-1000
     # ONLY on adversarially near-tied corpora (examples/quantization_study.py)
     precision: str = "default"
+    # int8 quantized store (build(dtype=jnp.int8)): embeddings hold per-row
+    # int8 codes and row_scales [N_pad] fp32 the per-row scale; real scores
+    # factorize exactly as (q . c8) * s inside every search kernel. Halves
+    # HBM vs bf16 — the full 8.8M x 768 MS MARCO corpus fits ONE v5e chip
+    # (6.8 GB). Search is exact w.r.t. the quantized vectors; the
+    # quantization recall cost is measured in examples/quantization_study.py
+    row_scales: Optional[jax.Array] = None
 
     @property
     def dim(self) -> int:
         return self.embeddings.shape[1]
+
+    @property
+    def _query_dtype(self):
+        """Queries never quantize: int8 stores score bf16 queries against
+        bf16-cast int8 codes (codes <= 127 are exact in bf16)."""
+        return (jnp.bfloat16 if self.embeddings.dtype == jnp.int8
+                else self.embeddings.dtype)
 
     @property
     def n_vectors(self) -> int:
@@ -68,29 +82,53 @@ class FlatIPIndex:
         precision: str = "default",
     ) -> "FlatIPIndex":
         """Pad rows to (n_devices * block_rows) multiples and device-put
-        sharded (or unsharded when ``mesh`` is None)."""
+        sharded (or unsharded when ``mesh`` is None).
+
+        ``dtype=jnp.int8`` quantizes per row on the host: ``s[j] =
+        max|c[j]| / 127``, ``c8[j] = round(c[j] / s[j])`` — symmetric,
+        zero-point-free, so scores factorize exactly (FAISS-GPU-fp16-clone
+        equivalence class: the reference's ``convert_index_to_gpu``
+        ``useFloat16`` option, ``retrieval_utils.py:155-184``, traded
+        store precision for capacity the same way)."""
         n, d = embeddings.shape
         assert ids.shape == (n,)
         ndev = mesh.devices.size if mesh is not None else 1
         n_pad = _pad_rows(max(n, 1), block_rows * ndev)
-        embs = np.zeros((n_pad, d), np.float32)
-        embs[:n] = embeddings
         row_ids = np.full((n_pad,), -1, np.int32)
         row_ids[:n] = ids.astype(np.int32)
 
+        int8 = jnp.dtype(dtype) == jnp.int8
+        scales = None
+        if int8:
+            s = np.abs(embeddings).max(axis=1).astype(np.float32) / 127.0
+            s[s == 0.0] = 1.0
+            codes = np.rint(embeddings / s[:, None]).astype(np.int8)
+            embs = np.zeros((n_pad, d), np.int8)
+            embs[:n] = codes
+            scales = np.ones((n_pad,), np.float32)
+            scales[:n] = s
+        else:
+            embs = np.zeros((n_pad, d), np.float32)
+            embs[:n] = embeddings
+
         if mesh is not None:
-            emb_sh = NamedSharding(mesh, P(axis_name))
-            id_sh = NamedSharding(mesh, P(axis_name))
-            dev_embs = jax.device_put(embs.astype(np.float32), emb_sh)
-            dev_embs = jax.jit(
-                lambda x: x.astype(dtype), out_shardings=emb_sh
-            )(dev_embs)
-            dev_ids = jax.device_put(row_ids, id_sh)
+            sh = NamedSharding(mesh, P(axis_name))
+            if int8:
+                dev_embs = jax.device_put(embs, sh)
+                scales = jax.device_put(scales, sh)
+            else:
+                dev_embs = jax.device_put(embs.astype(np.float32), sh)
+                dev_embs = jax.jit(
+                    lambda x: x.astype(dtype), out_shardings=sh
+                )(dev_embs)
+            dev_ids = jax.device_put(row_ids, sh)
         else:
             dev_embs = jnp.asarray(embs, dtype=dtype)
             dev_ids = jnp.asarray(row_ids)
+            if scales is not None:
+                scales = jnp.asarray(scales)
         return cls(dev_embs, dev_ids, mesh, axis_name, block_rows, method,
-                   precision)
+                   precision, scales)
 
     def _host_ids(self) -> np.ndarray:
         """Host copy of the row-id array (cached) for positions -> ids."""
@@ -125,7 +163,7 @@ class FlatIPIndex:
         exact streaming scan in small host-dispatched batches — one
         adversarial query costs one 128-query re-scan, not a 512-query
         slow path (measured cliff: examples/bench_cliff.py)."""
-        q = jnp.asarray(queries, self.embeddings.dtype)
+        q = jnp.asarray(queries, self._query_dtype)
         b = q.shape[0]
         b_pad = -(-b // 128) * 128
         if b_pad != b:
@@ -162,22 +200,25 @@ class FlatIPIndex:
                     q, self.embeddings, self.row_ids, k, self.mesh,
                     self.axis_name, self.block_rows, method=self.method,
                     precision=self.precision, return_positions=True,
-                    on_miss="flag",
+                    on_miss="flag", row_scales=self.row_scales,
                 )
             else:
                 s, i = sharded_topk(
                     q, self.embeddings, self.row_ids, k, self.mesh,
                     self.axis_name, self.block_rows, method=self.method,
                     precision=self.precision, return_positions=True,
+                    row_scales=self.row_scales,
                 )
                 ok = None
         elif self.method == "binmax":
             s, i, ok = topk_binmax_jit(q, self.embeddings, self.row_ids, k,
                                        precision=self.precision,
-                                       return_positions=True, on_miss="flag")
+                                       return_positions=True, on_miss="flag",
+                                       row_scales=self.row_scales)
         else:
             s, i = topk_jit(q, self.embeddings, self._device_pos_ids(), k,
-                            self.block_rows, self.precision)
+                            self.block_rows, self.precision,
+                            row_scales=self.row_scales)
             ok = None
         return s, i, True, ok
 
@@ -198,17 +239,19 @@ class FlatIPIndex:
                 chunk = np.concatenate(
                     [chunk, np.broadcast_to(chunk[:1], (fb - n, q.shape[1]))]
                 )
-            qd = jnp.asarray(chunk, self.embeddings.dtype)
+            qd = jnp.asarray(chunk, self._query_dtype)
             if self.mesh is not None:
                 v, p = sharded_topk(
                     qd, self.embeddings, self.row_ids, k, self.mesh,
                     self.axis_name, self.block_rows, method="stream",
                     precision=self.precision, return_positions=True,
+                    row_scales=self.row_scales,
                 )
             else:
                 v, p = topk_jit(
                     qd, self.embeddings, self._device_pos_ids(), k,
                     self.block_rows, self.precision,
+                    row_scales=self.row_scales,
                 )
             out_s.append(np.asarray(v)[:n])
             out_p.append(np.asarray(p)[:n])
@@ -266,7 +309,7 @@ class FlatIPIndex:
                 chunk = np.concatenate(
                     [chunk, np.broadcast_to(chunk[:1], (batch_size - n, d))]
                 )
-            q = jnp.asarray(chunk, self.embeddings.dtype)
+            q = jnp.asarray(chunk, self._query_dtype)
             pending.append((start, n, q) + self._search_device(q, k))
             if len(pending) >= max_in_flight:
                 drain_one()

@@ -49,21 +49,35 @@ _PRECISIONS = {
 
 
 def _block_scores(
-    queries: jax.Array, corpus_blk: jax.Array, precision: str = "default"
+    queries: jax.Array, corpus_blk: jax.Array, precision: str = "default",
+    blk_scales: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """[B, D] x [blk, D] -> [B, blk] fp32 scores on the MXU."""
-    return jax.lax.dot_general(
+    """[B, D] x [blk, D] -> [B, blk] fp32 scores on the MXU.
+
+    ``blk_scales`` ([blk] fp32, int8 quantized store): the corpus block
+    holds per-row-scaled int8 codes ``c8[j] ~ c[j] / s[j]``; real scores
+    factorize exactly as ``(q . c8[j]) * s[j]`` — the multiply happens here
+    in fp32, AFTER the dot, so every downstream top-k/certificate operates
+    on real-score magnitudes. int8 codes (<= 127) are exact in bf16, so the
+    cast below is lossless."""
+    if corpus_blk.dtype == jnp.int8:
+        corpus_blk = corpus_blk.astype(
+            queries.dtype if queries.dtype != jnp.int8 else jnp.bfloat16)
+    s = jax.lax.dot_general(
         queries,
         corpus_blk,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=_PRECISIONS[precision],
     )
+    if blk_scales is not None:
+        s = s * blk_scales[None, :]
+    return s
 
 
 def topk_dense(
     queries: jax.Array, corpus: jax.Array, row_ids: jax.Array, k: int,
-    precision: str = "default",
+    precision: str = "default", row_scales: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Single full-matrix top-k (materializes [B, N]); for small corpora
     and as the correctness oracle for the streaming path.
@@ -71,7 +85,7 @@ def topk_dense(
     Handles k > N: results are padded with (-inf, -1) beyond the corpus
     size (``lax.top_k`` itself rejects k > axis size)."""
     n = corpus.shape[0]
-    scores = _block_scores(queries, corpus, precision)
+    scores = _block_scores(queries, corpus, precision, row_scales)
     scores = jnp.where(row_ids[None, :] >= 0, scores, NEG_INF)
     k_eff = min(k, n)
     top_s, top_idx = jax.lax.top_k(scores, k_eff)
@@ -95,6 +109,7 @@ def topk_streaming(
     k: int,
     block_rows: int = 8192,
     precision: str = "default",
+    row_scales: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming blocked top-k: corpus [N, D] walked in ``block_rows`` chunks.
 
@@ -105,16 +120,20 @@ def topk_streaming(
     n, d = corpus.shape
     bz = queries.shape[0]
     if n <= block_rows:
-        return topk_dense(queries, corpus, row_ids, k, precision)
+        return topk_dense(queries, corpus, row_ids, k, precision, row_scales)
     assert n % block_rows == 0, (n, block_rows)
     nblocks = n // block_rows
     blocks = corpus.reshape(nblocks, block_rows, d)
     id_blocks = row_ids.reshape(nblocks, block_rows)
+    scale_blocks = (row_scales.reshape(nblocks, block_rows)
+                    if row_scales is not None else
+                    jnp.zeros((nblocks, 0), jnp.float32))
 
     def body(carry, blk):
         top_s, top_i = carry
-        c_blk, i_blk = blk
-        s = _block_scores(queries, c_blk, precision)
+        c_blk, i_blk, s_blk = blk
+        s = _block_scores(queries, c_blk, precision,
+                          s_blk if row_scales is not None else None)
         s = jnp.where(i_blk[None, :] >= 0, s, NEG_INF)
         cat_s = jnp.concatenate([top_s, s], axis=-1)
         cat_i = jnp.concatenate(
@@ -128,7 +147,8 @@ def topk_streaming(
         jnp.full((bz, k), NEG_INF, jnp.float32),
         jnp.full((bz, k), -1, row_ids.dtype),
     )
-    (top_s, top_i), _ = jax.lax.scan(body, init, (blocks, id_blocks))
+    (top_s, top_i), _ = jax.lax.scan(
+        body, init, (blocks, id_blocks, scale_blocks))
     return top_s, top_i
 
 
@@ -144,8 +164,13 @@ def sharded_topk(
     precision: str = "default",
     return_positions: bool = False,
     on_miss: str = "fallback",
+    row_scales: Optional[jax.Array] = None,
 ):
     """Corpus-sharded exact top-k under ``shard_map``.
+
+    ``row_scales`` ([N] fp32, int8 quantized store) shards along
+    ``axis_name`` with the corpus rows; per-shard scoring applies the
+    per-row scale before any top-k, so the ICI merge compares real scores.
 
     ``corpus``/``row_ids`` are sharded along rows over ``axis_name``;
     ``queries`` are replicated. Per-shard exact top-k (``method``:
@@ -168,12 +193,14 @@ def sharded_topk(
     re-runs flagged queries (``FlatIPIndex`` per-query recovery).
     """
 
-    def shard_fn(q, c_shard, id_shard):
+    def shard_fn(q, c_shard, id_shard, *rest):
+        sc_shard = rest[0] if rest else None
         okq = None
         if method == "binmax":
             res = topk_binmax(
                 q, c_shard, id_shard, k, precision=precision,
-                return_positions=return_positions, on_miss=on_miss)
+                return_positions=return_positions, on_miss=on_miss,
+                row_scales=sc_shard)
             if on_miss == "flag":
                 local_s, local_i, okq = res
             else:
@@ -186,7 +213,8 @@ def sharded_topk(
                     jnp.arange(c_shard.shape[0], dtype=jnp.int32), -1,
                 )
             local_s, local_i = topk_streaming(q, c_shard, ids_or_pos, k,
-                                              block_rows, precision)
+                                              block_rows, precision,
+                                              row_scales=sc_shard)
         if return_positions:
             offset = jax.lax.axis_index(axis_name) * c_shard.shape[0]
             local_i = jnp.where(local_i >= 0, local_i + offset, -1)
@@ -208,20 +236,26 @@ def sharded_topk(
 
     from jax import shard_map
 
+    in_specs = [P(), P(axis_name), P(axis_name)]
+    operands = [queries, corpus, row_ids]
+    if row_scales is not None:
+        in_specs.append(P(axis_name))
+        operands.append(row_scales)
     fn = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(axis_name), P(axis_name)),
+        in_specs=tuple(in_specs),
         out_specs=(P(), P(), P()) if on_miss == "flag" else (P(), P()),
         check_vma=False,
     )
-    return fn(queries, corpus, row_ids)
+    return fn(*operands)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block_rows", "precision"))
 def topk_jit(queries, corpus, row_ids, k: int, block_rows: int = 8192,
-             precision: str = "default"):
-    return topk_streaming(queries, corpus, row_ids, k, block_rows, precision)
+             precision: str = "default", row_scales=None):
+    return topk_streaming(queries, corpus, row_ids, k, block_rows, precision,
+                          row_scales)
 
 
 # --------------------------------------------------------------------------
@@ -275,14 +309,28 @@ def topk_jit(queries, corpus, row_ids, k: int, block_rows: int = 8192,
 _FUSED_TILE_ROWS = 1024
 
 
-def _fused_kernel_factory(bz: int, bins_t: int, bin_rows: int):
-    def kernel(q_ref, c_ref, ids_ref, s_ref, bmax_ref):
+def _fused_kernel_factory(bz: int, bins_t: int, bin_rows: int,
+                          with_scales: bool = False):
+    def kernel(q_ref, c_ref, ids_ref, *rest):
+        if with_scales:
+            scale_ref, s_ref, bmax_ref = rest
+        else:
+            s_ref, bmax_ref = rest
+        c = c_ref[:]
+        if c.dtype == jnp.int8:
+            # int8 quantized store: codes <= 127 are exact in bf16/f32; the
+            # tile's HBM read halves vs bf16. Cast to the query dtype so
+            # the dot operands match.
+            c = c.astype(q_ref.dtype)
         s = jax.lax.dot_general(
             q_ref[:],
-            c_ref[:],
+            c,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [B, T]
+        if with_scales:
+            # real scores = code dot x per-row scale (fp32, post-dot)
+            s = s * scale_ref[0, :][None, :]
         # literal -inf: module-level NEG_INF is a traced jnp scalar, which a
         # Pallas kernel may not capture as a constant
         s = jnp.where(ids_ref[0, :][None, :] >= 0, s, float("-inf"))
@@ -311,6 +359,7 @@ def _scores_and_binmax(
     seg_row_ids: jax.Array,
     bin_rows: int,
     precision: str = "default",
+    seg_scales: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """(scores [B, n] fp32 masked, bin maxima [B, nbins] fp32).
 
@@ -320,7 +369,7 @@ def _scores_and_binmax(
     n = segment.shape[0]
     nbins = n // bin_rows
     if precision != "default" or not _fused_eligible(bz, n, bin_rows):
-        scores = _block_scores(queries, segment, precision)
+        scores = _block_scores(queries, segment, precision, seg_scales)
         scores = jnp.where(seg_row_ids[None, :] >= 0, scores, NEG_INF)
         return scores, jnp.max(scores.reshape(bz, nbins, bin_rows), axis=-1)
 
@@ -330,14 +379,21 @@ def _scores_and_binmax(
     t = _FUSED_TILE_ROWS
     bins_t = t // bin_rows
     d = segment.shape[1]
+    with_scales = seg_scales is not None
+    in_specs = [
+        pl.BlockSpec((bz, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    operands = [queries, segment, seg_row_ids.reshape(1, n)]
+    if with_scales:
+        in_specs.append(
+            pl.BlockSpec((1, t), lambda i: (0, i), memory_space=pltpu.VMEM))
+        operands.append(seg_scales.reshape(1, n))
     scores, bmax_t = pl.pallas_call(
-        _fused_kernel_factory(bz, bins_t, bin_rows),
+        _fused_kernel_factory(bz, bins_t, bin_rows, with_scales),
         grid=(n // t,),
-        in_specs=[
-            pl.BlockSpec((bz, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((bz, t), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((bins_t, bz), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -351,7 +407,7 @@ def _scores_and_binmax(
             bytes_accessed=n * d * segment.dtype.itemsize + bz * n * 4,
             transcendentals=0,
         ),
-    )(queries, segment, seg_row_ids.reshape(1, n))
+    )(*operands)
     return scores, bmax_t.T
 
 
@@ -403,7 +459,8 @@ def _tile_plan(bz: int):
 
 
 def _extract_kernel_factory(bins_t: int, bin_rows: int, bz: int,
-                            tile_rows: int, s_tiles: int):
+                            tile_rows: int, s_tiles: int,
+                            with_scales: bool = False):
     from jax.experimental import pallas as pl
 
     R = _EXTRACT_ROUNDS
@@ -412,15 +469,29 @@ def _extract_kernel_factory(bins_t: int, bin_rows: int, bz: int,
     cw = bins_t * m  # level-1 candidates per tile
     neg = float("-inf")
 
-    def kernel(q_ref, c_ref, ids_ref, sup_v_ref, sup_p_ref, rem1_ref,
-               v_sc, p_sc):
+    def kernel(q_ref, c_ref, ids_ref, *rest):
+        if with_scales:
+            (scale_ref, sup_v_ref, sup_p_ref, rem1_ref, v_sc, p_sc) = rest
+        else:
+            scale_ref = None
+            (sup_v_ref, sup_p_ref, rem1_ref, v_sc, p_sc) = rest
         i = pl.program_id(0)
+        c = c_ref[:]
+        if c.dtype == jnp.int8:
+            # int8 quantized store: codes <= 127 are exact in bf16/f32; the
+            # tile's HBM read halves vs bf16. Cast to the query dtype so
+            # the dot operands match.
+            c = c.astype(q_ref.dtype)
         s = jax.lax.dot_general(
-            c_ref[:],
+            c,
             q_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [T, B] — batch on lanes
+        if with_scales:
+            # real scores = code dot x per-row scale (fp32, post-dot):
+            # [T, 1] broadcast over the lane (batch) axis
+            s = s * scale_ref[:]
         s = jnp.where(ids_ref[:] >= 0, s, neg)  # ids [T, 1] bcast
         s = s.reshape(bins_t, bin_rows, bz)
         lane = jax.lax.broadcasted_iota(jnp.int32, (bins_t, bin_rows, bz), 1)
@@ -513,6 +584,7 @@ def _binmax_segment_extract(
     k: int,
     bin_rows: int,
     on_miss: str = "fallback",
+    seg_scales: Optional[jax.Array] = None,
 ):
     """Exact segment top-k via the fused scores+two-level-extraction kernel.
 
@@ -546,14 +618,22 @@ def _binmax_segment_extract(
     ntiles = n // t
     nsup = ntiles // s_tiles
     cw = bins_t * (R - 1)
+    with_scales = seg_scales is not None
+    in_specs = [
+        pl.BlockSpec((bz, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [queries, segment, seg_row_ids.reshape(n, 1)]
+    if with_scales:
+        in_specs.append(
+            pl.BlockSpec((t, 1), lambda i: (i, 0), memory_space=pltpu.VMEM))
+        operands.append(seg_scales.reshape(n, 1))
     sup_v, sup_p, rem1 = pl.pallas_call(
-        _extract_kernel_factory(bins_t, bin_rows, bz, t, s_tiles),
+        _extract_kernel_factory(bins_t, bin_rows, bz, t, s_tiles,
+                                with_scales),
         grid=(ntiles,),
-        in_specs=[
-            pl.BlockSpec((bz, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, R2, bz), lambda i: (i // s_tiles, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -578,7 +658,7 @@ def _binmax_segment_extract(
             transcendentals=0,
         ),
         interpret=_INTERPRET,
-    )(queries, segment, seg_row_ids.reshape(n, 1))
+    )(*operands)
 
     # Final selection needs NO per-query bin gather: each super-block
     # already carries its own top-m2, so the candidate set is simply the
@@ -597,7 +677,8 @@ def _binmax_segment_extract(
         # the scan position-substituted ids, not the external ones.
         lpos = jnp.where(seg_row_ids >= 0,
                          jnp.arange(n, dtype=seg_row_ids.dtype), -1)
-        v, p = topk_streaming(queries, segment, lpos, k, _SUPER_ROWS)
+        v, p = topk_streaming(queries, segment, lpos, k, _SUPER_ROWS,
+                              row_scales=seg_scales)
         if on_miss == "flag":
             return v, p, jnp.ones((bz,), jnp.bool_)  # streaming is exact
         return v, p
@@ -645,7 +726,8 @@ def _binmax_segment_extract(
         # n % _SUPER_ROWS == 0 (not the 8192 default).
         lpos = jnp.where(seg_row_ids >= 0,
                          jnp.arange(n, dtype=seg_row_ids.dtype), -1)
-        return topk_streaming(queries, segment, lpos, k, _SUPER_ROWS)
+        return topk_streaming(queries, segment, lpos, k, _SUPER_ROWS,
+                              row_scales=seg_scales)
 
     if on_miss == "flag":
         fv, fp = fast(None)
@@ -662,6 +744,7 @@ def _binmax_segment(
     extract: int,
     precision: str = "default",
     on_miss: str = "fallback",
+    seg_scales: Optional[jax.Array] = None,
 ):
     """Exact top-k of one corpus segment via bin-max selection.
 
@@ -684,10 +767,10 @@ def _binmax_segment(
     if precision == "default" and _extract_eligible(bz, n, bin_rows):
         # fast path: fused scores+extraction kernel, no [B, N] score tensor
         return _binmax_segment_extract(queries, segment, seg_row_ids, k,
-                                       bin_rows, on_miss)
+                                       bin_rows, on_miss, seg_scales)
 
     scores, bmax = _scores_and_binmax(queries, segment, seg_row_ids, bin_rows,
-                                      precision)
+                                      precision, seg_scales)
     sb = scores.reshape(bz, nbins, bin_rows)
 
     kb = min(k, nbins)
@@ -767,8 +850,16 @@ def topk_binmax(
     precision: str = "default",
     return_positions: bool = False,
     on_miss: str = "fallback",
+    row_scales: Optional[jax.Array] = None,
 ):
     """Exact MIPS top-k via bin-max selection (see block comment above).
+
+    ``row_scales`` ([N] fp32): int8 quantized store — the corpus holds
+    per-row int8 codes and real scores factorize as ``(q . c8) * s``; the
+    scale multiply rides inside every kernel/fallback, so certificates and
+    merges see real-score magnitudes and the result is EXACT with respect
+    to the quantized vectors (quantization error itself is a store-time
+    property, measured in examples/quantization_study.py).
 
     Materializes fp32 scores one ``segment_rows`` corpus segment at a time
     (B * segment_rows * 4 bytes of HBM scratch), so large corpora stream in
@@ -810,7 +901,7 @@ def topk_binmax(
         return v, p
 
     if n <= k or n <= bin_rows * 2 or n % bin_rows:
-        v, p = topk_dense(queries, corpus, pos_ids, k, precision)
+        v, p = topk_dense(queries, corpus, pos_ids, k, precision, row_scales)
         return finish(v, p, ok_all)  # dense is exact
     segment_rows = min(segment_rows, n)
     # segments must be bin-aligned
@@ -836,12 +927,17 @@ def topk_binmax(
         blocks = corpus[:tail_start].reshape(nfull, segment_rows, d)
         id_blocks = row_ids[:tail_start].reshape(nfull, segment_rows)
         starts = jnp.arange(nfull, dtype=jnp.int32) * segment_rows
+        scale_blocks = (
+            row_scales[:tail_start].reshape(nfull, segment_rows)
+            if row_scales is not None else
+            jnp.zeros((nfull, 0), jnp.float32))
 
         def body(ok_carry, xs):
-            c_seg, id_seg, start = xs
+            c_seg, id_seg, start, sc_seg = xs
             res = _binmax_segment(
                 queries, c_seg, id_seg, k, bin_rows, extract, precision,
                 on_miss,
+                sc_seg if row_scales is not None else None,
             )
             if on_miss == "flag":
                 v, p, seg_ok = res
@@ -852,7 +948,7 @@ def topk_binmax(
             return ok_carry, (v, jnp.where(p >= 0, p + start, -1))
 
         ok_all, (vs, ps) = jax.lax.scan(
-            body, ok_all, (blocks, id_blocks, starts)
+            body, ok_all, (blocks, id_blocks, starts, scale_blocks)
         )
         # [nfull, B, k] -> [B, nfull*k] candidate strips
         seg_results.append((
@@ -863,6 +959,7 @@ def topk_binmax(
         res = _binmax_segment(
             queries, corpus[:tail_start], row_ids[:tail_start],
             k, bin_rows, extract, precision, on_miss,
+            row_scales[:tail_start] if row_scales is not None else None,
         )
         if on_miss == "flag":
             v, p, seg_ok = res
@@ -872,15 +969,18 @@ def topk_binmax(
         seg_results.append((v, p))
 
     if tail_start < n:
+        tail_scales = (row_scales[tail_start:]
+                       if row_scales is not None else None)
         if n - tail_start <= k:  # tiny tail: dense
             v, p = topk_dense(queries, corpus[tail_start:],
-                              pos_ids[tail_start:], k, precision)
+                              pos_ids[tail_start:], k, precision,
+                              tail_scales)
             # pos_ids slices already carry GLOBAL positions
             seg_results.append((v, p))
         else:
             res = _binmax_segment(
                 queries, corpus[tail_start:], row_ids[tail_start:],
-                k, bin_rows, extract, precision, on_miss,
+                k, bin_rows, extract, precision, on_miss, tail_scales,
             )
             if on_miss == "flag":
                 v, p, seg_ok = res
@@ -910,7 +1010,8 @@ def topk_binmax_jit(
     queries, corpus, row_ids, k: int,
     bin_rows: int = 128, extract: int = 6, segment_rows: int = 2_097_152,
     precision: str = "default", return_positions: bool = False,
-    on_miss: str = "fallback",
+    on_miss: str = "fallback", row_scales=None,
 ):
     return topk_binmax(queries, corpus, row_ids, k, bin_rows, extract,
-                       segment_rows, precision, return_positions, on_miss)
+                       segment_rows, precision, return_positions, on_miss,
+                       row_scales)

@@ -172,6 +172,25 @@ def main():
     run("D_fp32hbm_precision_highest", "float32", jnp.float32,
         precision="highest")
 
+    # E: int8 quantized HBM store (per-row symmetric scales; half of bf16,
+    # full 8.8M MS MARCO on one v5e chip). Quantized on device.
+    @jax.jit
+    def quantize(c):
+        s = jnp.max(jnp.abs(c), axis=1) / 127.0
+        s = jnp.where(s == 0.0, 1.0, s)
+        codes = jnp.rint(c / s[:, None]).astype(jnp.int8)
+        return codes, s.astype(jnp.float32)
+
+    codes, scales = quantize(corpus_dev)
+    index = FlatIPIndex(
+        embeddings=codes,
+        row_ids=jnp.asarray(ids.astype(np.int32)),
+        row_scales=scales,
+    )
+    s, i = index.search_batched(queries, k=args.k, batch_size=128)
+    del index
+    results["E_int8hbm_rowscaled"] = i
+
     report = {
         "rows": args.rows,
         "dim": args.dim,

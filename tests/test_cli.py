@@ -109,6 +109,33 @@ def test_cli_pipeline(corpus_files, tmp_path):
         scores = [s for _, s in ranked]
         assert scores == sorted(scores, reverse=True)
 
+    # 3b. the int8 quantized HBM store retrieves the same ranking on this
+    #     well-separated corpus (per-row-scaled codes; half the HBM)
+    run_int8 = str(tmp_path / "dev.int8.run.tsv")
+    rc = cli_retrieve.main([
+        "--index", index_dir, "--queries", f["queries"],
+        "--checkpoint", ckpt, "--run", run_int8,
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "12", "--topk", "5", "--hbm-dtype", "int8",
+        "--encode-batch-size", "32", "--search-batch-size", "8",
+    ])
+    assert rc == 0
+
+    def ranked_by_qid(path):
+        out = {}
+        for l in open(path).read().splitlines():
+            qid, pid = l.split("\t")[:2]
+            out.setdefault(qid, []).append(pid)
+        return out
+
+    a, b = ranked_by_qid(run_path), ranked_by_qid(run_int8)
+    assert set(a) == set(b)
+    for qid in a:
+        # the clear winner survives quantization; the noise tail may
+        # reorder/swap on near-ties (scores within int8 resolution)
+        assert a[qid][0] == b[qid][0], qid
+        assert len(set(a[qid]) & set(b[qid])) >= 4, qid
+
     # 4b. file-based evaluation runs over the run file (a 2-layer dim-32
     #     hash-token model cannot win *full-corpus* retrieval in 16 steps,
     #     so only structural properties are asserted here; quality is

@@ -538,6 +538,26 @@ class TestFusedExtractPath:
         np.testing.assert_array_equal(np.asarray(i), ref_i)
         np.testing.assert_allclose(np.asarray(v), ref_v, rtol=1e-5)
 
+    def test_int8_scales_exact_vs_dequantized_oracle(self):
+        """int8 codes + per-row scales through the fused kernel: the
+        in-kernel (q . c8) * s must equal the numpy oracle over the
+        dequantized corpus exactly (fp32 queries in interpret mode)."""
+        from cldrd_tpu.search import mips
+        rng = np.random.default_rng(5)
+        bz, n, d, k = 128, 4096, 64, 50
+        q = rng.standard_normal((bz, d)).astype(np.float32)
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        sc = np.abs(c).max(axis=1).astype(np.float32) / 127.0
+        codes = np.rint(c / sc[:, None]).astype(np.int8)
+        deq = codes.astype(np.float32) * sc[:, None]
+        ids = jnp.arange(n, dtype=jnp.int32)
+        v, i = mips._binmax_segment_extract(
+            jnp.asarray(q), jnp.asarray(codes), ids, k, 128,
+            seg_scales=jnp.asarray(sc))
+        ref_v, ref_i = self._oracle(q, deq, k)
+        np.testing.assert_array_equal(np.asarray(i), ref_i)
+        np.testing.assert_allclose(np.asarray(v), ref_v, rtol=1e-5)
+
     def test_clustered_ties_fall_back_exactly(self):
         from cldrd_tpu.search import mips
         bz, n, d, k = 128, 2048, 32, 20
@@ -880,3 +900,94 @@ def test_sharded_flat_index_recovers_per_query(monkeypatch):
     np.testing.assert_array_equal(i, ext_ids[ref_p])
     np.testing.assert_allclose(s, np.take_along_axis(sc, ref_p, 1), rtol=1e-5)
     assert calls == [1]
+
+
+# ---------------------------------------------------------- int8 store mode
+
+
+def _quantize_rows(c):
+    """Reference per-row symmetric int8 quantization (mirrors build)."""
+    s = np.abs(c).max(axis=1).astype(np.float32) / 127.0
+    s[s == 0.0] = 1.0
+    codes = np.rint(c / s[:, None]).astype(np.int8)
+    return codes, s
+
+
+def test_int8_search_exact_wrt_quantized_corpus(corpus):
+    """The factorized int8 search ((q . c8) * s inside every kernel) must
+    return EXACTLY the numpy oracle's top-k over the dequantized corpus —
+    the machinery adds no error beyond quantization itself. Covers dense,
+    streaming, and the segmented binmax path."""
+    from cldrd_tpu.search import topk_binmax
+
+    q, c, ids = corpus
+    k = 25
+    codes, s = _quantize_rows(c)
+    deq = codes.astype(np.float32) * s[:, None]
+    es, ei = _numpy_topk(q, deq, ids, k)
+
+    qd = jnp.asarray(q)
+    ids32 = jnp.asarray(ids, jnp.int32)
+    sj = jnp.asarray(s)
+    cj = jnp.asarray(codes)
+
+    s1, i1 = topk_dense(qd, cj, ids32, k, row_scales=sj)
+    np.testing.assert_allclose(np.asarray(s1), es, rtol=1e-4, atol=1e-4)
+    assert (np.asarray(i1) == ei).mean() > 0.99  # ties may reorder
+
+    s2, i2 = topk_streaming(qd, cj, ids32, k, block_rows=512, row_scales=sj)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+
+    # segmented binmax (2 segments of 2048), positions mode like production
+    s3, i3 = topk_binmax(qd, cj, ids32, k, segment_rows=2048, row_scales=sj)
+    np.testing.assert_allclose(np.asarray(s3), np.asarray(s1), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i3), np.asarray(i1))
+
+
+def test_flat_index_int8(corpus):
+    """FlatIPIndex.build(dtype=int8): search equals the dequantized oracle;
+    recall vs the fp32 corpus stays high on random data."""
+    q, c, ids = corpus
+    k = 20
+    index = FlatIPIndex.build(c, ids, mesh=None, dtype=jnp.int8,
+                              block_rows=512)
+    assert index.embeddings.dtype == jnp.int8
+    assert index.row_scales is not None
+    s, i = index.search(q, k)
+
+    codes, sc = _quantize_rows(c)
+    deq = codes.astype(np.float32) * sc[:, None]
+    # the index casts queries to bf16 (codes are exact in bf16; queries are
+    # rounded like every bf16-store search) — the oracle must match that
+    q_bf = np.asarray(jnp.asarray(q, jnp.bfloat16).astype(jnp.float32))
+    es, ei = _numpy_topk(q_bf, deq, ids, k)
+    np.testing.assert_allclose(s, es, rtol=1e-3, atol=1e-3)
+    assert (i == ei).mean() > 0.95
+
+    # quantization recall vs the true fp32 corpus (random-normal rows are
+    # a mild case; the adversarial study lives in quantization_study.py)
+    _, fi = _numpy_topk(q, c, ids, k)
+    overlap = np.mean([
+        len(set(i[r]) & set(fi[r])) / k for r in range(len(q))
+    ])
+    assert overlap >= 0.9
+
+
+def test_flat_index_int8_sharded_8dev(corpus):
+    q, c, ids = corpus
+    mesh = make_mesh(8, CORPUS_AXIS)
+    index = FlatIPIndex.build(c, ids, mesh=mesh, dtype=jnp.int8,
+                              block_rows=128)
+    s, i = index.search(q, 25)
+    codes, sc = _quantize_rows(c)
+    deq = codes.astype(np.float32) * sc[:, None]
+    q_bf = np.asarray(jnp.asarray(q, jnp.bfloat16).astype(jnp.float32))
+    es, ei = _numpy_topk(q_bf, deq, ids, 25)
+    np.testing.assert_allclose(s, es, rtol=1e-3, atol=1e-3)
+    assert (i == ei).mean() > 0.95
+    # stream-method shard path with scales
+    import dataclasses as _dc
+    idx2 = _dc.replace(index, method="stream")
+    s2, i2 = idx2.search(q, 25)
+    np.testing.assert_allclose(s2, s, rtol=1e-5)
