@@ -244,17 +244,35 @@ def build_index_on_device(
     # which the tail is padding; the buffer must cover the largest write at
     # the largest offset (<= n) without clipping
     n_pad = _pad_rows(max(n, 1) + max_bz, block_rows)
+    int8 = jnp.dtype(dtype) == jnp.int8
     buf = jnp.zeros((n_pad, dim), dtype)
+    # int8 quantized store: per-row scales quantize each encoded batch on
+    # device (scores factorize as (q . c8) * s at search time); padding
+    # rows keep scale 1.0
+    scales_buf = jnp.ones((n_pad,), jnp.float32) if int8 else None
     ids_buf = np.full((n_pad,), -1, np.int64)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def append(buf, embs, offset):
         return jax.lax.dynamic_update_slice(buf, embs.astype(buf.dtype), (offset, 0))
 
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def append8(buf, sbuf, embs, offset):
+        s = jnp.max(jnp.abs(embs), axis=1).astype(jnp.float32) / 127.0
+        s = jnp.where(s == 0.0, 1.0, s)
+        codes = jnp.rint(embs.astype(jnp.float32) / s[:, None]).astype(jnp.int8)
+        buf = jax.lax.dynamic_update_slice(buf, codes, (offset, 0))
+        sbuf = jax.lax.dynamic_update_slice(sbuf, s, (offset,))
+        return buf, sbuf
+
     offset = 0
     for batch in prefetch(batches, depth=prefetch_depth):
         embs = encode_fn(batch.tokens)  # [bz, dim] on device
-        buf = append(buf, embs, jnp.asarray(offset, jnp.int32))
+        if int8:
+            buf, scales_buf = append8(buf, scales_buf, embs,
+                                      jnp.asarray(offset, jnp.int32))
+        else:
+            buf = append(buf, embs, jnp.asarray(offset, jnp.int32))
         ids_buf[offset : offset + batch.n_valid] = batch.ids[: batch.n_valid]
         # padded tail rows (ids stay -1, masked out of every search) are
         # overwritten by the next batch's write at offset + n_valid —
@@ -267,6 +285,7 @@ def build_index_on_device(
         row_ids=jnp.asarray(ids_buf.astype(np.int32)),
         mesh=None,
         block_rows=block_rows,
+        row_scales=scales_buf,
     )
 
 
@@ -303,10 +322,14 @@ def _build_index_on_device_sharded(
     n_pad = local_rows * ndev
 
     shard = NamedSharding(mesh, P(axis_name))
+    int8 = jnp.dtype(dtype) == jnp.int8
     # allocate the buffer directly sharded — never materialized on host
     buf = jax.jit(
         lambda: jnp.zeros((n_pad, dim), dtype), out_shardings=shard
     )()
+    scales_buf = (jax.jit(
+        lambda: jnp.ones((n_pad,), jnp.float32), out_shardings=shard
+    )() if int8 else None)
     ids_buf = np.full((n_pad,), -1, np.int64)
 
     def _append(buf_l, embs_l, offset):
@@ -315,6 +338,14 @@ def _build_index_on_device_sharded(
         return jax.lax.dynamic_update_slice(
             buf_l, embs_l.astype(buf_l.dtype), (offset, 0)
         )
+
+    def _append8(buf_l, sbuf_l, embs_l, offset):
+        # per-row int8 quantization of this device's slice, in place
+        s = jnp.max(jnp.abs(embs_l), axis=1).astype(jnp.float32) / 127.0
+        s = jnp.where(s == 0.0, 1.0, s)
+        codes = jnp.rint(embs_l.astype(jnp.float32) / s[:, None]).astype(jnp.int8)
+        return (jax.lax.dynamic_update_slice(buf_l, codes, (offset, 0)),
+                jax.lax.dynamic_update_slice(sbuf_l, s, (offset,)))
 
     append = jax.jit(
         jax.shard_map(
@@ -325,13 +356,26 @@ def _build_index_on_device_sharded(
         ),
         donate_argnums=(0,),
     )
+    append8 = jax.jit(
+        jax.shard_map(
+            _append8,
+            mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name), P(axis_name), P()),
+            out_specs=(P(axis_name), P(axis_name)),
+        ),
+        donate_argnums=(0, 1),
+    )
 
     local_offset = 0
     for batch in prefetch(batches, depth=prefetch_depth):
         bz = batch.tokens["input_ids"].shape[0]
         per_dev = bz // ndev
         embs = encode_fn(batch.tokens)  # [bz, dim], row-sharded
-        buf = append(buf, embs, jnp.asarray(local_offset, jnp.int32))
+        if int8:
+            buf, scales_buf = append8(buf, scales_buf, embs,
+                                      jnp.asarray(local_offset, jnp.int32))
+        else:
+            buf = append(buf, embs, jnp.asarray(local_offset, jnp.int32))
         # host-side id bookkeeping: device j's shard covers global rows
         # [j*local_rows, (j+1)*local_rows); batch rows [j*per_dev,
         # (j+1)*per_dev) land at its local_offset
@@ -350,4 +394,5 @@ def _build_index_on_device_sharded(
         mesh=mesh,
         axis_name=axis_name,
         block_rows=block_rows,
+        row_scales=scales_buf,
     )

@@ -906,6 +906,19 @@ def topk_binmax(
     segment_rows = min(segment_rows, n)
     # segments must be bin-aligned
     segment_rows -= segment_rows % bin_rows
+    # Prefer an EQUAL split: when segments divide n, the scan consumes
+    # reshape(corpus) — a zero-copy bitcast — instead of slicing a
+    # head copy (corpus[:tail_start] materializes an n-sized HLO temp:
+    # 6 GB at 8.8M int8 rows, the difference between fitting one chip and
+    # OOM). Scanning a few percent more segments costs ~nothing.
+    if n % segment_rows:
+        nseg = -(-n // segment_rows)
+        for cand in range(nseg, nseg + 8):
+            seg2 = n // cand
+            if (n % cand == 0 and seg2 > k and seg2 % bin_rows == 0
+                    and seg2 % _SUPER_ROWS == 0):
+                segment_rows = seg2
+                break
     if segment_rows <= k:
         # degenerate caller choice: _binmax_segment needs > k rows to
         # narrow into; grow segments to the smallest bin-aligned size > k

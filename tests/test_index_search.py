@@ -991,3 +991,55 @@ def test_flat_index_int8_sharded_8dev(corpus):
     idx2 = _dc.replace(index, method="stream")
     s2, i2 = idx2.search(q, 25)
     np.testing.assert_allclose(s2, s, rtol=1e-5)
+
+
+def test_build_index_on_device_int8(corpus):
+    """Device-resident int8 build: per-batch quantization on device must
+    match the host-path int8 build's search results (same quantizer), both
+    unsharded and on the 8-device mesh."""
+    import jax.numpy as jnp
+
+    from cldrd_tpu.data.sequence_dataset import SequenceDataset
+    from cldrd_tpu.data.tokenization import HashTokenizer
+    from cldrd_tpu.index import build_index_on_device, encode_dataset, make_encode_fn
+    from cldrd_tpu.models import DistilBertConfig, NwayDualEncoder
+
+    cfg = DistilBertConfig.tiny()
+    model = NwayDualEncoder(config=cfg, dtype=jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        {"input_ids": jnp.zeros((1, 4), jnp.int32),
+         "attention_mask": jnp.ones((1, 4), jnp.int32)},
+        {"input_ids": jnp.zeros((1, 1, 4), jnp.int32),
+         "attention_mask": jnp.ones((1, 1, 4), jnp.int32)},
+    )["params"]
+    id_to_seq = {i + 50: f"text number {i} body" for i in range(101)}
+    ds = SequenceDataset(id_to_seq, HashTokenizer(cfg.vocab_size), 8,
+                         is_query=False)
+    encode = make_encode_fn(model, params, "passage_embs", dtype=jnp.float32)
+
+    dev_index = build_index_on_device(encode, ds, batch_size=16, dim=cfg.dim,
+                                      dtype=jnp.int8, block_rows=64)
+    assert dev_index.embeddings.dtype == jnp.int8
+    assert dev_index.row_scales is not None
+    embs, ids = encode_dataset(encode, ds, 16)
+    host_index = FlatIPIndex.build(embs, ids, dtype=jnp.int8, block_rows=64)
+
+    q = embs[:5]
+    s_d, i_d = dev_index.search(q, k=10)
+    s_h, i_h = host_index.search(q, k=10)
+    np.testing.assert_allclose(s_d, s_h, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(i_d, i_h)
+
+    # sharded SPMD int8 build agrees too
+    mesh = make_mesh(8, CORPUS_AXIS)
+    encode_sh = make_encode_fn(model, params, "passage_embs", mesh=mesh,
+                               axis_name=CORPUS_AXIS, dtype=jnp.float32)
+    dev_sh = build_index_on_device(
+        encode_sh, ds, batch_size=16, dim=cfg.dim,
+        dtype=jnp.int8, block_rows=16, mesh=mesh, axis_name=CORPUS_AXIS,
+    )
+    assert dev_sh.embeddings.dtype == jnp.int8
+    s_s, i_s = dev_sh.search(q, k=10)
+    np.testing.assert_allclose(s_s, s_h, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(i_s, i_h)
