@@ -28,9 +28,11 @@ fixed shape). Request threads enqueue; a single device worker drains the
 queue for up to ``--max-batch-wait-ms`` (default 2 ms, ~the device time
 of one small pass) or until the encode batch fills, runs ONE
 encode+search over the union, and scatters per-request slices back.
-Requests asking different ``k`` share the pass at ``max(k)`` and slice.
-``/healthz`` reports ``requests`` vs ``device_batches`` so the
-coalescing ratio is observable.
+Every pass computes top-``--topk`` and slices each request's ``k`` from
+it (requests with ``k > topk`` are rejected up front): one compiled
+executable forever, and no request can couple strangers to a bigger k
+or a fresh XLA compile. ``/healthz`` reports ``requests`` vs
+``device_batches`` so the coalescing ratio is observable.
 """
 from __future__ import annotations
 
@@ -94,6 +96,13 @@ class SearchService:
         self.max_batch_wait_ms = max_batch_wait_ms
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "queries": 0, "device_batches": 0}
+        # guards stats increments (handler threads race) and the
+        # enqueue-vs-close ordering: enqueues hold it, and close() swaps
+        # _worker to None under it BEFORE posting the shutdown sentinel, so
+        # the sentinel is always the LAST queue item — the FIFO worker
+        # therefore drains every real request before it exits and no
+        # waiter can be abandoned
+        self._state_lock = threading.Lock()
         self._queue: "queue.Queue" = queue.Queue()
         self._worker: Optional[threading.Thread] = None
         if dynamic_batching:
@@ -104,10 +113,12 @@ class SearchService:
             self._worker.start()
 
     def close(self) -> None:
-        if self._worker is not None:
+        with self._state_lock:
+            worker, self._worker = self._worker, None
+            if worker is None:
+                return
             self._queue.put(_SHUTDOWN)
-            self._worker.join(timeout=5)
-            self._worker = None
+        worker.join(timeout=60)
 
     # ------------------------------------------------- batching worker
     def _worker_loop(self) -> None:
@@ -137,9 +148,12 @@ class SearchService:
         texts: List[str] = []
         for p in group:
             texts.extend(p.texts)
-        k_max = max(p.k for p in group)
+        # every pass runs at default_k (requests validate k <= default_k
+        # before enqueuing): one compiled executable forever — a novel k
+        # can neither force a fresh XLA compile inside a shared pass nor
+        # couple strangers to its cost
         try:
-            all_results = self._search_device(texts, k_max)
+            all_results = self._search_device(texts, self.default_k)
         except Exception as e:  # deliver the failure to every waiter
             for p in group:
                 p.error = e
@@ -172,15 +186,29 @@ class SearchService:
 
     def search(self, texts: List[str], k: Optional[int]):
         k = int(k or self.default_k)
+        if not 1 <= k <= self.default_k:
+            # validated in the REQUEST thread, before any coalescing:
+            # a bad k 400s its own request and never joins a group
+            raise ValueError(
+                f"k must be in [1, {self.default_k}] (--topk sets the "
+                f"serving ceiling; every pass computes top-{self.default_k} "
+                f"and slices)"
+            )
         if not texts:
             return []
-        self.stats["requests"] += 1
-        self.stats["queries"] += len(texts)
-        if self._worker is None:
-            return self._search_device(texts, k)
-        pending = _Pending(texts, k)
-        self._queue.put(pending)
-        pending.event.wait()
+        with self._state_lock:
+            self.stats["requests"] += 1
+            self.stats["queries"] += len(texts)
+            worker = self._worker
+            if worker is not None:
+                pending = _Pending(texts, k)
+                self._queue.put(pending)
+        if worker is None:
+            return [r[:k] for r in self._search_device(texts, self.default_k)]
+        # the worker always answers (see _state_lock invariant); the
+        # timeout is a safety valve, not an expected path
+        if not pending.event.wait(timeout=600):
+            raise RuntimeError("search timed out waiting for the device worker")
         if pending.error is not None:
             raise pending.error
         return pending.results

@@ -1,4 +1,4 @@
-from .flat_index import FlatIPIndex
+from .flat_index import FlatIPIndex, quantize_rows
 from .builder import (
     build_index_from_dataset,
     build_index_on_device,
@@ -14,6 +14,7 @@ from .persistence import (
 
 __all__ = [
     "FlatIPIndex",
+    "quantize_rows",
     "build_index_from_dataset",
     "build_index_on_device",
     "encode_dataset",

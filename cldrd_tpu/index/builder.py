@@ -236,7 +236,7 @@ def build_index_on_device(
 
     from cldrd_tpu.data.prefetch import prefetch
 
-    from .flat_index import FlatIPIndex, _pad_rows
+    from .flat_index import FlatIPIndex, _pad_rows, quantize_rows
 
     n = len(dataset)
     batches, max_bz, _ = _batch_stream(dataset, batch_size, bucket_lengths)
@@ -258,9 +258,7 @@ def build_index_on_device(
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def append8(buf, sbuf, embs, offset):
-        s = jnp.max(jnp.abs(embs), axis=1).astype(jnp.float32) / 127.0
-        s = jnp.where(s == 0.0, 1.0, s)
-        codes = jnp.rint(embs.astype(jnp.float32) / s[:, None]).astype(jnp.int8)
+        codes, s = quantize_rows(embs, xp=jnp)
         buf = jax.lax.dynamic_update_slice(buf, codes, (offset, 0))
         sbuf = jax.lax.dynamic_update_slice(sbuf, s, (offset,))
         return buf, sbuf
@@ -307,7 +305,7 @@ def _build_index_on_device_sharded(
 
     from cldrd_tpu.data.prefetch import prefetch
 
-    from .flat_index import FlatIPIndex, _pad_rows
+    from .flat_index import FlatIPIndex, _pad_rows, quantize_rows
 
     ndev = mesh.devices.size
     assert batch_size % ndev == 0, (batch_size, ndev)
@@ -341,9 +339,7 @@ def _build_index_on_device_sharded(
 
     def _append8(buf_l, sbuf_l, embs_l, offset):
         # per-row int8 quantization of this device's slice, in place
-        s = jnp.max(jnp.abs(embs_l), axis=1).astype(jnp.float32) / 127.0
-        s = jnp.where(s == 0.0, 1.0, s)
-        codes = jnp.rint(embs_l.astype(jnp.float32) / s[:, None]).astype(jnp.int8)
+        codes, s = quantize_rows(embs_l, xp=jnp)
         return (jax.lax.dynamic_update_slice(buf_l, codes, (offset, 0)),
                 jax.lax.dynamic_update_slice(sbuf_l, s, (offset,)))
 

@@ -30,6 +30,22 @@ def _pad_rows(n: int, multiple: int) -> int:
     return int(math.ceil(n / multiple) * multiple)
 
 
+def quantize_rows(c, xp=np):
+    """Per-row symmetric int8 quantization: ``s[j] = max|c[j]| / 127``
+    (zero rows get scale 1), ``c8[j] = rint(c[j] / s[j])``.
+
+    THE one definition shared by the host build (``xp=numpy``), the
+    device-resident builds (``xp=jax.numpy``, inside jit), and the
+    quantization study — device-build == host-build equivalence
+    (``test_build_index_on_device_int8``) depends on these staying
+    byte-identical. Returns ``(codes int8 [N, D], scales fp32 [N])``;
+    real scores factorize exactly as ``(q . c8[j]) * s[j]``."""
+    s = xp.abs(c).max(axis=1).astype(xp.float32) / xp.float32(127.0)
+    s = xp.where(s == 0.0, xp.float32(1.0), s)
+    codes = xp.rint(c.astype(xp.float32) / s[:, None]).astype(xp.int8)
+    return codes, s
+
+
 @dataclass
 class FlatIPIndex:
     """Exact MIPS index: embeddings [N_pad, D] + row ids [N_pad] on device."""
@@ -61,9 +77,13 @@ class FlatIPIndex:
     @property
     def _query_dtype(self):
         """Queries never quantize: int8 stores score bf16 queries against
-        bf16-cast int8 codes (codes <= 127 are exact in bf16)."""
-        return (jnp.bfloat16 if self.embeddings.dtype == jnp.int8
-                else self.embeddings.dtype)
+        bf16-cast int8 codes (codes <= 127 are exact in bf16). Under a
+        non-default precision the caller is paying for exact input
+        precision, so queries stay fp32 — the factorized (q . c8) * s
+        scores are then fp32-exact (codes are exact in fp32 too)."""
+        if self.embeddings.dtype == jnp.int8:
+            return jnp.float32 if self.precision != "default" else jnp.bfloat16
+        return self.embeddings.dtype
 
     @property
     def n_vectors(self) -> int:
@@ -100,9 +120,7 @@ class FlatIPIndex:
         int8 = jnp.dtype(dtype) == jnp.int8
         scales = None
         if int8:
-            s = np.abs(embeddings).max(axis=1).astype(np.float32) / 127.0
-            s[s == 0.0] = 1.0
-            codes = np.rint(embeddings / s[:, None]).astype(np.int8)
+            codes, s = quantize_rows(embeddings, xp=np)
             embs = np.zeros((n_pad, d), np.int8)
             embs[:n] = codes
             scales = np.ones((n_pad,), np.float32)

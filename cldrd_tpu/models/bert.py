@@ -11,6 +11,9 @@ model-in-the-loop reranking evaluator.
 Architecture relative to :mod:`.distilbert` (HF ``BertModel`` parity):
 
 - embeddings = word + position + **token_type**, then LayerNorm (eps 1e-12)
+  — the shared :class:`~cldrd_tpu.models.distilbert.Embeddings` module,
+  which grows the segment table exactly when the config carries a nonzero
+  ``type_vocab_size``.
 - the transformer blocks are structurally identical to DistilBERT's
   (post-LN MHA -> residual+LN -> GELU FFN -> residual+LN), so this module
   REUSES :class:`~cldrd_tpu.models.distilbert.TransformerBlock` — same
@@ -31,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .distilbert import DistilBertConfig, TransformerBlock
+from .distilbert import DistilBertConfig, Embeddings, TransformerBlock
 
 Dtype = Any
 
@@ -76,70 +79,6 @@ class BertConfig(DistilBertConfig):
         return cls(**base)
 
 
-class BertEmbeddings(nn.Module):
-    """word + position + token_type embeddings -> LayerNorm -> dropout."""
-
-    config: BertConfig
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(
-        self,
-        input_ids: jax.Array,
-        deterministic: bool,
-        token_type_ids: Optional[jax.Array] = None,
-        position_ids: Optional[jax.Array] = None,
-    ) -> jax.Array:
-        cfg = self.config
-        word_emb = nn.Embed(
-            cfg.vocab_size,
-            cfg.dim,
-            embedding_init=nn.initializers.normal(cfg.initializer_range),
-            param_dtype=jnp.float32,
-            dtype=self.dtype,
-            name="word_embeddings",
-        )(input_ids)
-        seq_len = input_ids.shape[-1]
-        if seq_len > cfg.max_position_embeddings:
-            raise ValueError(
-                f"sequence length {seq_len} exceeds the model's "
-                f"max_position_embeddings={cfg.max_position_embeddings}"
-            )
-        pos_table = self.param(
-            "position_embeddings",
-            nn.initializers.normal(cfg.initializer_range),
-            (cfg.max_position_embeddings, cfg.dim),
-            jnp.float32,
-        )
-        if position_ids is None:
-            pos_emb = jax.lax.dynamic_slice_in_dim(pos_table, 0, seq_len, axis=0)
-            pos_emb = pos_emb.astype(self.dtype)[None, :, :]
-        else:
-            pos_emb = jnp.take(pos_table, position_ids, axis=0).astype(self.dtype)
-        type_emb = nn.Embed(
-            cfg.type_vocab_size,
-            cfg.dim,
-            embedding_init=nn.initializers.normal(cfg.initializer_range),
-            param_dtype=jnp.float32,
-            dtype=self.dtype,
-            name="token_type_embeddings",
-        )
-        if token_type_ids is None:
-            # All-zero segment ids: one embedding row broadcast — skips the
-            # [B, L] gather entirely (the common single-sequence case).
-            tte = type_emb(jnp.zeros((1, 1), jnp.int32))
-        else:
-            tte = type_emb(token_type_ids)
-        hidden = word_emb + pos_emb + tte
-        hidden = nn.LayerNorm(
-            epsilon=cfg.layer_norm_eps,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="LayerNorm",
-        )(hidden)
-        return nn.Dropout(cfg.dropout)(hidden, deterministic=deterministic)
-
-
 class BertEncoder(nn.Module):
     """Token ids + mask (+ token types) -> hidden states [B, L, D].
 
@@ -162,9 +101,9 @@ class BertEncoder(nn.Module):
         position_ids: Optional[jax.Array] = None,
         segment_ids: Optional[jax.Array] = None,
     ) -> jax.Array:
-        hidden = BertEmbeddings(self.config, self.dtype, name="embeddings")(
+        hidden = Embeddings(self.config, self.dtype, name="embeddings")(
             input_ids, deterministic,
-            token_type_ids=token_type_ids, position_ids=position_ids,
+            position_ids=position_ids, token_type_ids=token_type_ids,
         )
         block_cls = TransformerBlock
         if self.config.remat:

@@ -81,6 +81,13 @@ class DistilBertConfig:
 
 
 class Embeddings(nn.Module):
+    """word + position (+ optional token-type) embeddings -> LN -> dropout.
+
+    Shared by the DistilBERT and BERT families: a config carrying a nonzero
+    ``type_vocab_size`` (``BertConfig``) adds the segment-embedding table;
+    DistilBERT configs have no such field, so the param tree stays exactly
+    HF-DistilBERT-shaped."""
+
     config: DistilBertConfig
     dtype: Dtype = jnp.float32
 
@@ -90,6 +97,7 @@ class Embeddings(nn.Module):
         input_ids: jax.Array,
         deterministic: bool,
         position_ids: Optional[jax.Array] = None,
+        token_type_ids: Optional[jax.Array] = None,
     ) -> jax.Array:
         cfg = self.config
         word_emb = nn.Embed(
@@ -122,6 +130,22 @@ class Embeddings(nn.Module):
             # an explicit [B, L] gather from the learned table.
             pos_emb = jnp.take(pos_table, position_ids, axis=0).astype(self.dtype)
         hidden = word_emb + pos_emb
+        tvs = getattr(cfg, "type_vocab_size", 0)
+        if tvs:
+            type_emb = nn.Embed(
+                tvs,
+                cfg.dim,
+                embedding_init=nn.initializers.normal(cfg.initializer_range),
+                param_dtype=jnp.float32,
+                dtype=self.dtype,
+                name="token_type_embeddings",
+            )
+            if token_type_ids is None:
+                # All-zero segment ids: one embedding row broadcast — skips
+                # the [B, L] gather (the common single-sequence case).
+                hidden = hidden + type_emb(jnp.zeros((1, 1), jnp.int32))
+            else:
+                hidden = hidden + type_emb(token_type_ids)
         hidden = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps,
             dtype=self.dtype,
