@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "halves it vs bfloat16 — per-row-scaled codes, "
                         "full 8.8M MS MARCO on ONE v5e chip; recall cost "
                         "measured in examples/quantization_study.py)")
+    p.add_argument("--shards", type=int, default=1,
+                   help="shard the corpus over this many local devices "
+                        "(corpus-axis mesh: per-shard bin-max top-k + ICI "
+                        "all-gather merge, the FAISS co.shard=True "
+                        "replacement); 0 = all local devices")
     p.add_argument("--precision", default="default",
                    choices=("default", "high", "highest"),
                    help="score matmul precision: 'default' = MXU-native "
@@ -92,8 +97,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     encode = make_encode_fn(model, params, "query_embs")
     q_embs, qids = encode_dataset(encode, dataset, args.encode_batch_size)
 
+    mesh = None
+    if args.shards != 1:
+        from cldrd_tpu.parallel import CORPUS_AXIS, make_mesh
+
+        mesh = make_mesh(args.shards or None, CORPUS_AXIS)
     index = load_index(
         args.index,
+        mesh=mesh,
         dtype=jnp.dtype({"float32": jnp.float32, "int8": jnp.int8}
                         .get(args.hbm_dtype, jnp.bfloat16)),
         precision=args.precision,

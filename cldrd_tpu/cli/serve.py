@@ -296,6 +296,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--encode-batch-size", type=int, default=128)
     p.add_argument("--hbm-dtype", default="bfloat16",
                    choices=("bfloat16", "float32", "int8"))
+    p.add_argument("--shards", type=int, default=1,
+                   help="shard the corpus over this many local devices; "
+                        "0 = all local devices")
     p.add_argument("--max-batch-wait-ms", type=float, default=2.0,
                    help="dynamic micro-batching window: how long the "
                         "device worker waits for more concurrent requests "
@@ -319,8 +322,14 @@ def make_service(args) -> SearchService:
         args.checkpoint, model, cfg, args.share_weights,
         max_query_len=args.max_length,
     )
+    mesh = None
+    if args.shards != 1:
+        from cldrd_tpu.parallel import CORPUS_AXIS, make_mesh
+
+        mesh = make_mesh(args.shards or None, CORPUS_AXIS)
     index = load_index(
         args.index,
+        mesh=mesh,
         dtype=jnp.dtype({"float32": jnp.float32, "int8": jnp.int8}
                         .get(args.hbm_dtype, jnp.bfloat16)),
         precision=args.precision,

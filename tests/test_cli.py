@@ -136,6 +136,19 @@ def test_cli_pipeline(corpus_files, tmp_path):
         assert a[qid][0] == b[qid][0], qid
         assert len(set(a[qid]) & set(b[qid])) >= 4, qid
 
+    # 3c. corpus-sharded retrieval (8 virtual devices, per-shard top-k +
+    #     all-gather merge) returns the identical run file
+    run_sh = str(tmp_path / "dev.sharded.run.tsv")
+    rc = cli_retrieve.main([
+        "--index", index_dir, "--queries", f["queries"],
+        "--checkpoint", ckpt, "--run", run_sh,
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "12", "--topk", "5", "--shards", "0",
+        "--encode-batch-size", "32", "--search-batch-size", "8",
+    ])
+    assert rc == 0
+    assert open(run_sh).read() == open(run_path).read()
+
     # 4b. file-based evaluation runs over the run file (a 2-layer dim-32
     #     hash-token model cannot win *full-corpus* retrieval in 16 steps,
     #     so only structural properties are asserted here; quality is

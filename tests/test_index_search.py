@@ -1043,3 +1043,22 @@ def test_build_index_on_device_int8(corpus):
     s_s, i_s = dev_sh.search(q, k=10)
     np.testing.assert_allclose(s_s, s_h, rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(i_s, i_h)
+
+
+def test_int8_precision_highest_fp32_exact(corpus):
+    """--hbm-dtype int8 --precision highest: queries stay fp32, so the
+    factorized (q . c8) * s scores are fp32-exact against the numpy oracle
+    over the dequantized corpus (codes <= 127 are exact in fp32)."""
+    from cldrd_tpu.index.flat_index import quantize_rows
+
+    q, c, ids = corpus
+    k = 20
+    index = FlatIPIndex.build(c, ids, mesh=None, dtype=jnp.int8,
+                              block_rows=512, precision="highest")
+    s, i = index.search(q, k)
+
+    codes, sc = quantize_rows(c)
+    deq = codes.astype(np.float32) * sc[:, None]
+    es, ei = _numpy_topk(q, deq, ids, k)  # fp32 queries, NOT bf16-rounded
+    np.testing.assert_allclose(s, es, rtol=1e-6, atol=1e-6)
+    assert (i == ei).mean() > 0.99
