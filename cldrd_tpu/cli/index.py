@@ -42,10 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-length", type=int, default=256)
     p.add_argument("--batch-size", type=int, default=512)
     p.add_argument("--store-dtype", default="float32",
-                   choices=("float16", "float32"),
+                   choices=("float16", "float32", "int8"),
                    help="on-disk embedding dtype; fp32 matches the reference "
                         "store (fp16 halves disk at a measured near-tie tail "
-                        "cost — see examples/quantization_study.py)")
+                        "cost; int8 = per-row-scaled quantized store, 4x "
+                        "smaller, loads straight into --hbm-dtype int8 — "
+                        "see examples/quantization_study.py)")
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=("bfloat16", "float32"),
                    help="encoder activation dtype; float32 for bit-parity "

@@ -117,36 +117,64 @@ class FlatIPIndex:
         row_ids = np.full((n_pad,), -1, np.int32)
         row_ids[:n] = ids.astype(np.int32)
 
-        int8 = jnp.dtype(dtype) == jnp.int8
-        scales = None
-        if int8:
+        if jnp.dtype(dtype) == jnp.int8:
             codes, s = quantize_rows(embeddings, xp=np)
-            embs = np.zeros((n_pad, d), np.int8)
-            embs[:n] = codes
-            scales = np.ones((n_pad,), np.float32)
-            scales[:n] = s
-        else:
-            embs = np.zeros((n_pad, d), np.float32)
-            embs[:n] = embeddings
+            return cls.build_quantized(codes, s, ids, mesh, axis_name,
+                                       block_rows, method, precision)
+        embs = np.zeros((n_pad, d), np.float32)
+        embs[:n] = embeddings
 
         if mesh is not None:
             sh = NamedSharding(mesh, P(axis_name))
-            if int8:
-                dev_embs = jax.device_put(embs, sh)
-                scales = jax.device_put(scales, sh)
-            else:
-                dev_embs = jax.device_put(embs.astype(np.float32), sh)
-                dev_embs = jax.jit(
-                    lambda x: x.astype(dtype), out_shardings=sh
-                )(dev_embs)
+            dev_embs = jax.device_put(embs.astype(np.float32), sh)
+            dev_embs = jax.jit(
+                lambda x: x.astype(dtype), out_shardings=sh
+            )(dev_embs)
             dev_ids = jax.device_put(row_ids, sh)
         else:
             dev_embs = jnp.asarray(embs, dtype=dtype)
             dev_ids = jnp.asarray(row_ids)
-            if scales is not None:
-                scales = jnp.asarray(scales)
         return cls(dev_embs, dev_ids, mesh, axis_name, block_rows, method,
-                   precision, scales)
+                   precision)
+
+    @classmethod
+    def build_quantized(
+        cls,
+        codes: np.ndarray,
+        scales: np.ndarray,
+        ids: np.ndarray,
+        mesh: Optional[Mesh] = None,
+        axis_name: str = CORPUS_AXIS,
+        block_rows: int = 8192,
+        method: str = "binmax",
+        precision: str = "default",
+    ) -> "FlatIPIndex":
+        """Stand up the int8 index from PRE-QUANTIZED per-row codes +
+        scales (e.g. an int8 disk store, ``persistence.py``) — no
+        dequantize/requantize round trip; padding rows get scale 1 and
+        id -1."""
+        n, d = codes.shape
+        assert codes.dtype == np.int8 and ids.shape == (n,)
+        assert scales.shape == (n,)
+        ndev = mesh.devices.size if mesh is not None else 1
+        n_pad = _pad_rows(max(n, 1), block_rows * ndev)
+        embs = np.zeros((n_pad, d), np.int8)
+        embs[:n] = codes
+        sc = np.ones((n_pad,), np.float32)
+        sc[:n] = scales
+        row_ids = np.full((n_pad,), -1, np.int32)
+        row_ids[:n] = ids.astype(np.int32)
+        if mesh is not None:
+            sh = NamedSharding(mesh, P(axis_name))
+            dev_embs = jax.device_put(embs, sh)
+            dev_sc = jax.device_put(sc, sh)
+            dev_ids = jax.device_put(row_ids, sh)
+        else:
+            dev_embs = jnp.asarray(embs)
+            dev_sc = jnp.asarray(sc)
+            dev_ids = jnp.asarray(row_ids)
+        return cls(dev_embs, dev_ids, mesh, axis_name, block_rows, method,
+                   precision, dev_sc)
 
     def _host_ids(self) -> np.ndarray:
         """Host copy of the row-id array (cached) for positions -> ids."""

@@ -30,6 +30,9 @@ META_NAME = "meta.json"
 IDS_NAME = "ids.npy"
 
 
+SCALES_NAME = "scales.npy"
+
+
 def write_embeddings(
     out_dir: str,
     embeddings: np.ndarray,
@@ -37,10 +40,21 @@ def write_embeddings(
     rows_per_shard: int = 500_000,
     dtype: str = "float32",
 ) -> None:
-    """Write [N, D] embeddings as blocked binary shards + ids + meta."""
+    """Write [N, D] embeddings as blocked binary shards + ids + meta.
+
+    ``dtype='int8'`` writes the per-row-scaled quantized store (codes
+    shards + ``scales.npy``): a 4x smaller artifact than fp32 that loads
+    STRAIGHT into the int8 HBM index with no dequantize/requantize (the
+    full 8.8M x 768 artifact shrinks 27 GB -> 6.8 GB)."""
     os.makedirs(out_dir, exist_ok=True)
     n, d = embeddings.shape
     assert ids.shape == (n,)
+    int8 = dtype == "int8"
+    if int8:
+        from .flat_index import quantize_rows
+
+        embeddings, scales = quantize_rows(embeddings, xp=np)
+        np.save(os.path.join(out_dir, SCALES_NAME), scales)
     shards = []
     for shard_idx, start in enumerate(range(0, n, rows_per_shard)):
         end = min(start + rows_per_shard, n)
@@ -61,15 +75,12 @@ def write_embeddings(
         json.dump(meta, f, indent=2)
 
 
-def read_embeddings(
-    out_dir: str, mmap: bool = True
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Read back (embeddings fp32 [N, D], ids int64 [N])."""
+def _read_raw(out_dir: str, mmap: bool, out_dtype) -> Tuple[np.ndarray, np.ndarray, dict]:
     with open(os.path.join(out_dir, META_NAME)) as f:
         meta = json.load(f)
     n, d = meta["n_vectors"], meta["dim"]
     dt = np.dtype(meta["dtype"])
-    out = np.empty((n, d), np.float32)
+    out = np.empty((n, d), out_dtype)
     row = 0
     for shard in meta["shards"]:
         path = os.path.join(out_dir, shard["file"])
@@ -80,6 +91,22 @@ def read_embeddings(
         row += rows
     assert row == n
     ids = np.load(os.path.join(out_dir, IDS_NAME))
+    return out, ids, meta
+
+
+def read_embeddings(
+    out_dir: str, mmap: bool = True
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Read back (embeddings fp32 [N, D], ids int64 [N]). An int8 store
+    dequantizes (codes x per-row scale) — lossless w.r.t. the stored
+    codes (re-quantizing reproduces them bit-for-bit)."""
+    with open(os.path.join(out_dir, META_NAME)) as f:
+        meta = json.load(f)
+    if meta["dtype"] == "int8":
+        codes, ids, _ = _read_raw(out_dir, mmap, np.int8)
+        scales = np.load(os.path.join(out_dir, SCALES_NAME))
+        return codes.astype(np.float32) * scales[:, None], ids
+    out, ids, _ = _read_raw(out_dir, mmap, np.float32)
     return out, ids
 
 
@@ -94,11 +121,23 @@ def load_index(
     block_rows: int = 8192,
     precision: str = "default",
 ):
-    """Read an embedding store and stand up the in-HBM ``FlatIPIndex``."""
+    """Read an embedding store and stand up the in-HBM ``FlatIPIndex``.
+
+    An int8 disk store loaded with ``dtype=int8`` goes codes->HBM directly
+    (no dequantize/requantize, 4x less disk read than fp32)."""
     import jax.numpy as jnp
 
     from .flat_index import FlatIPIndex
 
+    with open(os.path.join(out_dir, META_NAME)) as f:
+        disk_dtype = json.load(f)["dtype"]
+    if disk_dtype == "int8" and jnp.dtype(dtype or jnp.bfloat16) == jnp.int8:
+        codes, ids, _ = _read_raw(out_dir, True, np.int8)
+        scales = np.load(os.path.join(out_dir, SCALES_NAME))
+        return FlatIPIndex.build_quantized(
+            codes, scales, ids, mesh=mesh, block_rows=block_rows,
+            precision=precision,
+        )
     embs, ids = read_embeddings(out_dir)
     return FlatIPIndex.build(
         embs,

@@ -1062,3 +1062,41 @@ def test_int8_precision_highest_fp32_exact(corpus):
     es, ei = _numpy_topk(q, deq, ids, k)  # fp32 queries, NOT bf16-rounded
     np.testing.assert_allclose(s, es, rtol=1e-6, atol=1e-6)
     assert (i == ei).mean() > 0.99
+
+
+def test_int8_disk_store_roundtrip(tmp_path, corpus):
+    """--store-dtype int8: the quantized disk store (codes shards +
+    scales.npy) loads straight into the int8 HBM index with results
+    identical to quantizing the fp32 store at load time; read_embeddings
+    dequantizes losslessly w.r.t. the stored codes."""
+    from cldrd_tpu.index.flat_index import quantize_rows
+    from cldrd_tpu.index.persistence import (
+        load_index, read_embeddings, write_embeddings,
+    )
+
+    q, c, ids = corpus
+    out = str(tmp_path / "int8_store")
+    write_embeddings(out, c, ids, rows_per_shard=1500, dtype="int8")
+
+    # dequantized read-back re-quantizes to the same codes (lossless)
+    embs, rids = read_embeddings(out)
+    codes, sc = quantize_rows(c)
+    codes2, sc2 = quantize_rows(embs)
+    np.testing.assert_array_equal(codes2, codes)
+    np.testing.assert_allclose(sc2, sc, rtol=1e-6)
+    np.testing.assert_array_equal(rids, ids)
+
+    # direct codes->HBM load == quantize-from-fp32-store load
+    idx_direct = load_index(out, dtype=jnp.int8, block_rows=512)
+    assert idx_direct.embeddings.dtype == jnp.int8
+    ref_idx = FlatIPIndex.build(c, ids, dtype=jnp.int8, block_rows=512)
+    s1, i1 = idx_direct.search(q, 15)
+    s2, i2 = ref_idx.search(q, 15)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+    np.testing.assert_array_equal(i1, i2)
+
+    # and an int8 store still serves a bf16 HBM request (dequantized)
+    idx_bf16 = load_index(out, dtype=jnp.bfloat16, block_rows=512)
+    assert idx_bf16.embeddings.dtype == jnp.bfloat16
+    s3, _ = idx_bf16.search(q, 15)
+    assert np.isfinite(s3).all()
