@@ -136,6 +136,29 @@ def test_cli_pipeline(corpus_files, tmp_path):
         assert a[qid][0] == b[qid][0], qid
         assert len(set(a[qid]) & set(b[qid])) >= 4, qid
 
+    # 3b'. int8 DISK store -> int8 HBM (codes load directly): same
+    #      top-1 winners as the fp32-store int8 run
+    idx8 = str(tmp_path / "index_int8")
+    rc = cli_index.main([
+        "--collection", f["passages"], "--checkpoint", ckpt,
+        "--out", idx8, "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "16", "--batch-size", "32",
+        "--store-dtype", "int8",
+    ])
+    assert rc == 0
+    run_int8d = str(tmp_path / "dev.int8disk.run.tsv")
+    rc = cli_retrieve.main([
+        "--index", idx8, "--queries", f["queries"],
+        "--checkpoint", ckpt, "--run", run_int8d,
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "12", "--topk", "5", "--hbm-dtype", "int8",
+        "--encode-batch-size", "32", "--search-batch-size", "8",
+    ])
+    assert rc == 0
+    c_ = ranked_by_qid(run_int8d)
+    for qid in a:
+        assert c_[qid][0] == b[qid][0], qid
+
     # 3c. corpus-sharded retrieval (8 virtual devices, per-shard top-k +
     #     all-gather merge) returns the identical run file
     run_sh = str(tmp_path / "dev.sharded.run.tsv")

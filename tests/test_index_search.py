@@ -1100,3 +1100,4 @@ def test_int8_disk_store_roundtrip(tmp_path, corpus):
     assert idx_bf16.embeddings.dtype == jnp.bfloat16
     s3, _ = idx_bf16.search(q, 15)
     assert np.isfinite(s3).all()
+
