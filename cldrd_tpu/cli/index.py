@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "Identical embeddings, ~token-proportional encode "
                         "time; index row order becomes length-grouped "
                         "(immaterial: identity rides on the id map)")
+    p.add_argument("--devices", type=int, default=1,
+                   help="data-parallel encode over this many local devices "
+                        "(batch rows shard over the mesh; 0 = all local "
+                        "devices). The reference's 4-GPU DDP encode "
+                        "equivalent, as one SPMD program")
     p.add_argument("--token-cache", default=None,
                    help="directory for the pre-tokenized corpus cache: "
                         "built on first use, then streamed at memmap speed "
@@ -107,11 +112,26 @@ def main(argv: Optional[List[str]] = None) -> int:
         dataset = SequenceDataset.create_from_seqs_file(
             args.collection, tokenizer, args.max_length, is_query=False
         )
-    encode = make_encode_fn(model, params, "passage_embs")
+    batch_multiple = 1
+    if args.devices != 1:
+        from cldrd_tpu.parallel import DATA_AXIS, make_mesh
+
+        mesh = make_mesh(args.devices or None, DATA_AXIS)
+        ndev = mesh.devices.size
+        if args.batch_size % ndev:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must be a multiple of the "
+                f"{ndev} devices (rows shard evenly)")
+        batch_multiple = ndev
+        encode = make_encode_fn(model, params, "passage_embs",
+                                mesh=mesh, axis_name=DATA_AXIS)
+    else:
+        encode = make_encode_fn(model, params, "passage_embs")
     t0 = time.perf_counter()
     embeddings, ids = encode_dataset(
         encode, dataset, args.batch_size,
         bucket_lengths=args.bucket_lengths,
+        batch_multiple=batch_multiple,
     )
     elapsed = time.perf_counter() - t0
     logger.info(

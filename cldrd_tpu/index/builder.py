@@ -129,6 +129,7 @@ def encode_dataset(
     log_every: int = 200,
     prefetch_depth: int = 4,
     bucket_lengths=None,
+    batch_multiple: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Encode every sequence; returns (embeddings fp32 [N, D], ids int64 [N]).
 
@@ -145,7 +146,10 @@ def encode_dataset(
     raises instead of printing-and-continuing."""
     from cldrd_tpu.data.prefetch import prefetch
 
-    batches, _, _ = _batch_stream(dataset, batch_size, bucket_lengths)
+    # batch_multiple: SPMD encode shards batch rows over the mesh, so every
+    # (possibly bucket-specific) batch size must divide the device count
+    batches, _, _ = _batch_stream(dataset, batch_size, bucket_lengths,
+                                  batch_multiple)
     emb_chunks, id_chunks = [], []
     t0 = time.perf_counter()
     n_batches = 0

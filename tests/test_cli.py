@@ -136,6 +136,28 @@ def test_cli_pipeline(corpus_files, tmp_path):
         assert a[qid][0] == b[qid][0], qid
         assert len(set(a[qid]) & set(b[qid])) >= 4, qid
 
+    # 2b. SPMD multi-device encode (--devices 0 = all 8 virtual devices):
+    #     identical persisted embeddings, bucketed batches forced to
+    #     device-divisible sizes
+    idx_dp = str(tmp_path / "index_dp")
+    rc = cli_index.main([
+        "--collection", f["passages"], "--checkpoint", ckpt,
+        "--out", idx_dp, "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "16", "--batch-size", "32", "--devices", "0",
+        "--bucket-lengths",
+    ])
+    assert rc == 0
+    from cldrd_tpu.index.persistence import read_embeddings
+
+    e1, i1 = read_embeddings(index_dir)
+    e2, i2 = read_embeddings(idx_dp)
+    # bucketed order may group by length: compare per-id embeddings
+    m1 = {int(i): e1[r] for r, i in enumerate(i1)}
+    m2 = {int(i): e2[r] for r, i in enumerate(i2)}
+    assert set(m1) == set(m2)
+    for pid in m1:
+        np.testing.assert_allclose(m2[pid], m1[pid], rtol=1e-5, atol=1e-6)
+
     # 3b'. int8 DISK store -> int8 HBM (codes load directly): same
     #      top-1 winners as the fp32-store int8 run
     idx8 = str(tmp_path / "index_int8")
