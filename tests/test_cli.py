@@ -468,3 +468,48 @@ def test_cli_create_training_data_both_teacher_arches(corpus_files, tmp_path):
     a = open(str(tmp_path / "distilbert_") + "30relT.train.jsonl").read()
     b = open(str(tmp_path / "bert_") + "30relT.train.jsonl").read()
     assert a != b
+
+
+def test_cli_serve_sharded(corpus_files, tmp_path):
+    """cldrd-serve --shards 0: the daemon stands the index up sharded over
+    the 8 virtual devices and answers identically to direct search."""
+    import threading
+    import urllib.request
+
+    from cldrd_tpu.cli import serve as cli_serve
+
+    f = corpus_files
+    idx_dir = str(tmp_path / "serve_sh_idx")
+    rc = cli_index.main([
+        "--collection", f["passages"], "--out", idx_dir,
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "16", "--batch-size", "8",
+        "--compute-dtype", "float32",
+    ])
+    assert rc == 0
+    args = cli_serve.build_parser().parse_args([
+        "--index", idx_dir, "--port", "0", "--shards", "0",
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "12", "--encode-batch-size", "8", "--topk", "5",
+    ])
+    httpd = cli_serve.serve(args)
+    svc = httpd.RequestHandlerClass.service
+    try:
+        assert svc.index.mesh is not None
+        assert svc.index.mesh.devices.size == 8
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/search",
+            data=json.dumps({"queries": ["find subject5 info"], "k": 5}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            results = json.loads(r.read())["results"]
+        assert len(results) == 1 and len(results[0]) == 5
+        direct = svc.search(["find subject5 info"], 5)
+        assert direct == results
+    finally:
+        svc.close()
+        httpd.shutdown()
+        httpd.server_close()
