@@ -513,3 +513,93 @@ def test_cli_serve_sharded(corpus_files, tmp_path):
         svc.close()
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_cli_rerank_eval(corpus_files, tmp_path):
+    """cldrd-rerank-eval: the continue_rerank_evaluator workflow — every
+    checkpoint in a run folder scored over candidate pairs (dual mode),
+    plus single-checkpoint cross mode with the BERT teacher family."""
+    from cldrd_tpu.cli import rerank_eval as cli_rerank_eval
+
+    f = corpus_files
+    run_folder = str(tmp_path / "runs")
+    rc = cli_train.main([
+        "--queries-path", f["queries"], "--passages-path", f["passages"],
+        "--training-path", f["train"], "--label-mode", "1",
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--batch-size", "8", "--num-train-epochs", "4",
+        "--learning-rate", "2e-3", "--warmup-steps", "2",
+        "--max-query-len", "12", "--max-passage-len", "16",
+        "--compute-dtype", "float32",
+        "--run-folder", run_folder, "--experiment-name", "re",
+        "--logging-steps", "4", "--evaluate-steps", "4",
+    ])
+    assert rc == 0
+    folder = os.path.join(run_folder, "re")
+    n_ckpts = len([p for p in os.listdir(folder) if p.endswith(".msgpack")])
+    assert n_ckpts >= 2, "need multiple checkpoints for folder mode"
+
+    # candidates: each query's 6 candidate pids (rel + 5 noise)
+    cand = str(tmp_path / "cands.run.tsv")
+    with open(cand, "w") as fh:
+        for q in range(16):
+            for rank, p in enumerate(range(q * 6, q * 6 + 6), start=1):
+                fh.write(f"{q}\t{p}\t{rank}\t{1.0/rank:.4f}\n")
+
+    # folder mode (dual): one metric row per checkpoint, quality improves
+    # (or at least is perfect at the end on this separable task)
+    results_tsv = str(tmp_path / "rerank_results.tsv")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_rerank_eval.main([
+            "--candidates-run", cand, "--queries", f["queries"],
+            "--passages", f["passages"], "--qrels", f["qrels"],
+            "--run-folder", folder, "--results", results_tsv,
+            "--mode", "dual", "--model-size", "tiny", "--tokenizer", "hash",
+            "--max-query-len", "12", "--max-passage-len", "16",
+            "--batch-size", "16", "--compute-dtype", "float32",
+        ])
+    assert rc == 0
+    per_step = json.loads(buf.getvalue())
+    assert len(per_step) == n_ckpts
+    last = per_step[max(per_step, key=int)]
+    assert last["MRR@10"] > 0.9  # in-candidate reranking is learnable
+    assert os.path.exists(results_tsv)
+
+    # single checkpoint, cross mode, bert teacher family: write a real
+    # (random-init) teacher msgpack and evaluate with it (structure only)
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from cldrd_tpu.models import BertConfig, CrossEncoder
+
+    teacher = CrossEncoder(config=BertConfig.tiny(), arch="bert",
+                           dtype=jnp.float32)
+    tparams = teacher.init(jax.random.PRNGKey(0), {
+        "input_ids": jnp.zeros((1, 8), jnp.int32),
+        "attention_mask": jnp.ones((1, 8), jnp.int32),
+        "token_type_ids": jnp.zeros((1, 8), jnp.int32),
+    })["params"]
+    teacher_ckpt = str(tmp_path / "teacher.msgpack")
+    with open(teacher_ckpt, "wb") as fh:
+        fh.write(serialization.msgpack_serialize(
+            {"params": serialization.to_state_dict(tparams)}))
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_rerank_eval.main([
+            "--candidates-run", cand, "--queries", f["queries"],
+            "--passages", f["passages"], "--qrels", f["qrels"],
+            "--checkpoint", teacher_ckpt,
+            "--mode", "cross", "--teacher-arch", "bert",
+            "--model-size", "tiny", "--tokenizer", "hash",
+            "--max-length", "32", "--batch-size", "16",
+            "--compute-dtype", "float32",
+        ])
+    assert rc == 0
+    metrics = json.loads(buf.getvalue())
+    assert metrics["QueriesRanked"] == 16
