@@ -31,6 +31,7 @@ def build_parser() -> argparse.ArgumentParser:
     for field in (
         "max_query_len", "max_passage_len", "num_train_epochs", "batch_size",
         "warmup_steps", "seed", "logging_steps", "evaluate_steps", "n_devices",
+        "grad_accum_steps",
     ):
         p.add_argument(f"--{field.replace('_', '-')}", dest=field, type=int, default=None)
     for field in (

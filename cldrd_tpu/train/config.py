@@ -49,6 +49,13 @@ class TrainConfig:
     adam_epsilon: float = 1e-8
     max_grad_norm: float = 1.0
     seed: int = 4680
+    # accumulate gradients over this many micro-batches before one AdamW
+    # update (optax.MultiSteps, mean of micro-grads == the large-batch
+    # mean-loss gradient when examples are independent, i.e. without
+    # in_batch_loss): effective batch = batch_size * grad_accum_steps at
+    # batch_size's activation memory. The reference has no equivalent
+    # (DDP scaled batch by adding GPUs).
+    grad_accum_steps: int = 1
 
     # loss
     loss: str = "lambda_mrr"           # lambda_mrr | ranknet | lambda_loss |

@@ -291,17 +291,28 @@ class Trainer:
 
     def _make_optimizer(self, total_steps: int) -> optax.GradientTransformation:
         cfg = self.cfg
+        k = max(1, int(getattr(cfg, "grad_accum_steps", 1)))
+        # the schedule counts OPTIMIZER steps (HF parity: the reference
+        # steps its scheduler once per optimizer.step()); with
+        # accumulation each optimizer step consumes k micro-batches
+        opt_steps = max(1, total_steps // k)
         self._schedule = linear_warmup_schedule(
-            cfg.learning_rate, cfg.warmup_steps, total_steps
+            cfg.learning_rate, cfg.warmup_steps, opt_steps
         )
-        return make_optimizer(
+        opt = make_optimizer(
             cfg.learning_rate,
-            total_steps,
+            opt_steps,
             warmup_steps=cfg.warmup_steps,
             weight_decay=cfg.weight_decay,
             adam_epsilon=cfg.adam_epsilon,
             max_grad_norm=cfg.max_grad_norm,
         )
+        if k > 1:
+            # mean of k micro-grads == the (batch_size * k)-batch mean-loss
+            # gradient (per-example-mean losses, no in-batch coupling);
+            # MultiSteps state rides opt_state through checkpoint/resume
+            opt = optax.MultiSteps(opt, every_k_schedule=k)
+        return opt
 
     # ---------------------------------------------------------- main loop
 

@@ -6,6 +6,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 import pytest
 
 from cldrd_tpu.data.nway_dataset import NwayDataset
@@ -420,3 +421,67 @@ def test_train_loop_packed_loss_decreases(tmp_path):
     history = []
     trainer.train(dataset, step_hook=lambda s, m: history.append(m["loss"]))
     assert np.mean(history[-4:]) < np.mean(history[:4])
+
+
+def test_grad_accum_optimizer_exact_equivalence(tmp_path):
+    """Two accumulated micro-updates == ONE inner update with the mean
+    gradient, exactly — including the schedule advancing per OPTIMIZER
+    step, not per micro-batch (HF parity: the reference steps its
+    scheduler once per optimizer.step())."""
+    cfg1 = _tiny_cfg(tmp_path, experiment_name="o1")
+    cfg2 = _tiny_cfg(tmp_path, experiment_name="o2", grad_accum_steps=2)
+    mcfg = DistilBertConfig.tiny()
+    t1 = Trainer(cfg1, mcfg, mesh=make_mesh(4))
+    t2 = Trainer(cfg2, mcfg, mesh=make_mesh(4))
+    # total micro-steps 8 for the accum config -> 4 optimizer steps, the
+    # same schedule horizon as 4 plain steps
+    opt1 = t1._make_optimizer(4)
+    opt2 = t2._make_optimizer(8)
+
+    params = {"w": jnp.ones((3,), jnp.float32),
+              "layer_norm_bias": jnp.ones((3,), jnp.float32)}
+    g1 = {"w": jnp.asarray([0.1, -0.2, 0.3]),
+          "layer_norm_bias": jnp.asarray([0.5, 0.0, -0.1])}
+    g2 = {"w": jnp.asarray([-0.3, 0.4, 0.1]),
+          "layer_norm_bias": jnp.asarray([0.1, 0.2, 0.3])}
+    g_mean = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, g1, g2)
+
+    s1 = opt1.init(params)
+    u, s1 = opt1.update(g_mean, s1, params)
+    ref = optax.apply_updates(params, u)
+
+    s2 = opt2.init(params)
+    p2 = params
+    for g in (g1, g2):
+        u, s2 = opt2.update(g, s2, p2)
+        p2 = optax.apply_updates(p2, u)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(p2[k]), np.asarray(ref[k]),
+                                   rtol=1e-7, atol=1e-7)
+
+
+def test_grad_accumulation_tracks_large_batch(tmp_path):
+    """End-to-end: grad_accum_steps=2 at batch_size=4 follows the
+    batch_size=8 run (same examples per optimizer step, same schedule).
+    AdamW's normalizer amplifies last-ulp gradient-summation differences
+    where a gradient is ~0, so params match to a loose tolerance rather
+    than exactly; step accounting is exact."""
+    ds = _tiny_dataset()
+    cfg_a = _tiny_cfg(tmp_path, experiment_name="big", batch_size=8,
+                      num_train_epochs=2)
+    cfg_b = _tiny_cfg(tmp_path, experiment_name="acc", batch_size=4,
+                      grad_accum_steps=2, num_train_epochs=2)
+    mesh = make_mesh(4)
+    # dropout draws a fresh mask per micro-step, which no accumulation
+    # scheme can reconcile with the large-batch run — compare without it
+    mcfg = DistilBertConfig.tiny(dropout=0.0, attention_dropout=0.0)
+    sa = Trainer(cfg_a, mcfg, mesh=mesh).train(ds)
+    sb = Trainer(cfg_b, mcfg, mesh=mesh).train(ds)
+    assert int(sa.step) * 2 == int(sb.step)  # micro-steps double
+    fa = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree_util.tree_leaves(sa.params)])
+    fb = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree_util.tree_leaves(sb.params)])
+    # trajectories agree to ~lr-scale noise on a tiny fraction of params
+    assert np.abs(fa - fb).mean() < 5e-5
+    assert (np.abs(fa - fb) > 1e-3).mean() < 0.01
