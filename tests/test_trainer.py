@@ -485,3 +485,32 @@ def test_grad_accumulation_tracks_large_batch(tmp_path):
     # trajectories agree to ~lr-scale noise on a tiny fraction of params
     assert np.abs(fa - fb).mean() < 5e-5
     assert (np.abs(fa - fb) > 1e-3).mean() < 0.01
+
+
+def test_resume_with_grad_accumulation(tmp_path):
+    """MultiSteps accumulation state rides opt_state through the msgpack
+    checkpoint: resuming mid-run with grad_accum_steps=2 reproduces the
+    uninterrupted run exactly (same mid-cycle accumulator)."""
+    dataset = _tiny_dataset()
+    mesh = make_mesh(4)
+    mcfg = DistilBertConfig.tiny()
+
+    cfg1 = _tiny_cfg(tmp_path, experiment_name="ga1", batch_size=4,
+                     grad_accum_steps=2, num_train_epochs=2,
+                     evaluate_steps=1)
+    t1 = Trainer(cfg1, mcfg, mesh=mesh)
+    s_full = t1.train(dataset)
+    assert int(s_full.step) == 8  # 16/4 micro-steps x 2 epochs
+    # resume from an ODD micro-step: the accumulator is mid-cycle
+    ckpt5 = os.path.join(t1.run_dir, "checkpoint_5.msgpack")
+    assert os.path.exists(ckpt5)
+
+    cfg2 = _tiny_cfg(tmp_path, experiment_name="ga2", batch_size=4,
+                     grad_accum_steps=2, num_train_epochs=2,
+                     evaluate_steps=100, resume=ckpt5)
+    t2 = Trainer(cfg2, mcfg, mesh=mesh)
+    s_res = t2.train(dataset)
+    assert int(s_res.step) == 8
+    for a, b in zip(jax.tree_util.tree_leaves(s_res.params),
+                    jax.tree_util.tree_leaves(s_full.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
