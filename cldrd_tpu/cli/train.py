@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "rows (segment-masked attention + position reset): "
                         "~token-proportional passage-tower FLOPs, "
                         "numerically identical logits")
+    p.add_argument("--tensorboard", action="store_true", default=None,
+                   help="also write TensorBoard event files under "
+                        "<run_dir>/tb (TSV/JSONL logs are always written)")
     return p
 
 

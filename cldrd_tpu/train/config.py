@@ -49,6 +49,10 @@ class TrainConfig:
     adam_epsilon: float = 1e-8
     max_grad_norm: float = 1.0
     seed: int = 4680
+    # optional TensorBoard event files under <run_dir>/tb (the TSV/JSONL
+    # logs stay the contract; reference left TB commented out,
+    # nway_listwise_3.py:19)
+    tensorboard: bool = False
     # accumulate gradients over this many micro-batches before one AdamW
     # update (optax.MultiSteps, mean of micro-grads == the large-batch
     # mean-loss gradient when examples are independent, i.e. without

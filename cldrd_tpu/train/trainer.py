@@ -251,6 +251,18 @@ class Trainer:
         self.run_dir = os.path.join(cfg.run_folder, cfg.experiment_name)
         os.makedirs(self.run_dir, exist_ok=True)
         cfg.save_yaml(os.path.join(self.run_dir, "config.yaml"))
+        # optional TensorBoard (SURVEY §5.5: the reference left its import
+        # commented out, nway_listwise_3.py:19); the TSV/JSONL contract
+        # stays the source of truth
+        self._tb = None
+        if getattr(cfg, "tensorboard", False):
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(self.run_dir, "tb"))
+            except ImportError:
+                logger.warning("tensorboard requested but unavailable; "
+                               "TSV/JSONL logs only")
         self._step_fn = None
         self._schedule = None
 
@@ -429,7 +441,10 @@ class Trainer:
                     flush_pending()
 
                 if global_step % cfg.logging_steps == 0:
-                    lr = float(self._schedule(global_step))
+                    # the schedule counts OPTIMIZER steps; with gradient
+                    # accumulation each one consumes k micro-steps
+                    k_acc = max(1, int(getattr(cfg, "grad_accum_steps", 1)))
+                    lr = float(self._schedule(global_step // k_acc))
                     kwargs = {}
                     if cfg.reg_lambda > 0.0:
                         kwargs = dict(
@@ -440,6 +455,12 @@ class Trainer:
                         epoch + 1, global_step, loss_m.avg, mrr_m.avg,
                         recall_m.avg, lr, filename=log_path, **kwargs,
                     )
+                    if self._tb is not None:
+                        for tag, val in (("loss", loss_m.avg),
+                                         ("mrr@10", mrr_m.avg),
+                                         ("recall@10", recall_m.avg),
+                                         ("lr", lr)):
+                            self._tb.add_scalar(tag, val, global_step)
                     loss_m.reset(), mrr_m.reset(), recall_m.reset()
 
                 if global_step % cfg.evaluate_steps == 0:

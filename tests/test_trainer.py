@@ -514,3 +514,18 @@ def test_resume_with_grad_accumulation(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(s_res.params),
                     jax.tree_util.tree_leaves(s_full.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_tensorboard_optional_logging(tmp_path):
+    """cfg.tensorboard=True writes event files under <run_dir>/tb at every
+    logging boundary; the TSV/JSONL contract is unchanged."""
+    pytest.importorskip("torch.utils.tensorboard")
+    cfg = _tiny_cfg(tmp_path, experiment_name="tb", num_train_epochs=1,
+                    tensorboard=True)
+    trainer = Trainer(cfg, DistilBertConfig.tiny(), mesh=make_mesh(8))
+    trainer.train(_tiny_dataset())
+    tb_dir = os.path.join(trainer.run_dir, "tb")
+    events = [p for p in os.listdir(tb_dir) if "tfevents" in p]
+    assert events, os.listdir(tb_dir)
+    # TSV log still written alongside
+    assert os.path.exists(os.path.join(trainer.run_dir, "train_logs.log"))
