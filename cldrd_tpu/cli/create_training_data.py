@@ -10,7 +10,6 @@ into the curriculum JSONL stages (5relT_25neg / 10relT_20neg / 20relT_10neg
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import logging
 import sys
@@ -101,10 +100,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         from cldrd_tpu.models import BertConfig
 
         if getattr(args, "model_config", None):
-            cfg = model_config_from_args(args)
-            cfg = BertConfig(**{
-                f.name: getattr(cfg, f.name) for f in dataclasses.fields(cfg)
-            })
+            # overrides go straight into BertConfig so BERT-only fields
+            # (type_vocab_size) are accepted
+            import os as _os
+
+            spec = args.model_config
+            overrides = (json.load(open(spec)) if _os.path.exists(spec)
+                         else json.loads(spec))
+            overrides.setdefault("attention_impl", args.attention_impl)
+            cfg = BertConfig(**overrides)
         elif args.model_size == "tiny":
             cfg = BertConfig.tiny(attention_impl=args.attention_impl)
         else:

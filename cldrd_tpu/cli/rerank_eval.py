@@ -18,7 +18,6 @@ Modes:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import logging
 import sys
@@ -81,17 +80,21 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _cross_config(args):
-    if getattr(args, "model_config", None) or args.teacher_arch != "bert":
-        cfg = model_config_from_args(args)
-        if args.teacher_arch == "bert":
-            from cldrd_tpu.models import BertConfig
-
-            cfg = BertConfig(**{
-                f.name: getattr(cfg, f.name) for f in dataclasses.fields(cfg)
-            })
-        return cfg
+    if args.teacher_arch != "bert":
+        return model_config_from_args(args)
     from cldrd_tpu.models import BertConfig
 
+    spec = getattr(args, "model_config", None)
+    if spec:
+        # overrides go straight into BertConfig so BERT-only fields
+        # (type_vocab_size) are accepted
+        import json as _json
+        import os as _os
+
+        overrides = (_json.load(open(spec)) if _os.path.exists(spec)
+                     else _json.loads(spec))
+        overrides.setdefault("attention_impl", args.attention_impl)
+        return BertConfig(**overrides)
     return (BertConfig.tiny(attention_impl=args.attention_impl)
             if args.model_size == "tiny"
             else BertConfig.minilm_l6(attention_impl=args.attention_impl))
@@ -150,7 +153,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     cre = ContinueRerankEvaluator(
         evaluator, dataset, score_fn_factory, params_loader,
-        batch_size=args.batch_size,
+        batch_size=args.batch_size, bucket_lengths=args.bucket_lengths,
     )
     results = cre.evaluate_folder(args.run_folder, results_path=args.results)
     print(json.dumps({str(k): v for k, v in results.items()},

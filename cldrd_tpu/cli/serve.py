@@ -280,6 +280,10 @@ class _Handler(BaseHTTPRequestHandler):
             })
         except (KeyError, ValueError, json.JSONDecodeError) as e:
             self._reply(400, {"error": str(e)})
+        except RuntimeError as e:
+            # e.g. the device-worker wait timed out: the client gets a
+            # status-coded JSON error, not a dropped connection
+            self._reply(503, {"error": str(e)})
 
     def log_message(self, fmt, *args):
         logger.info("%s " + fmt, self.address_string(), *args)

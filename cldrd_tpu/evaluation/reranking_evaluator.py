@@ -157,12 +157,14 @@ class ContinueRerankEvaluator:
         score_fn_factory: Callable[[object], ScoreFn],
         params_loader: Callable[[str], object],
         batch_size: int = 128,
+        bucket_lengths: Optional[List[int]] = None,
     ):
         self.evaluator = evaluator
         self.dataset = dataset
         self.score_fn_factory = score_fn_factory
         self.params_loader = params_loader
         self.batch_size = batch_size
+        self.bucket_lengths = bucket_lengths
 
     def checkpoints(self, folder: str, prefix: str = "checkpoint") -> List[Tuple[int, str]]:
         out = []
@@ -182,7 +184,8 @@ class ContinueRerankEvaluator:
         for step, path in self.checkpoints(folder):
             params = self.params_loader(path)
             metrics = self.evaluator.compute_metrics(
-                self.score_fn_factory(params), self.dataset, self.batch_size
+                self.score_fn_factory(params), self.dataset, self.batch_size,
+                bucket_lengths=self.bucket_lengths,
             )
             results[step] = metrics
             monitor.update(step, **{k: float(v) for k, v in metrics.items()})

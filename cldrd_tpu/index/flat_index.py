@@ -112,15 +112,14 @@ class FlatIPIndex:
         store precision for capacity the same way)."""
         n, d = embeddings.shape
         assert ids.shape == (n,)
-        ndev = mesh.devices.size if mesh is not None else 1
-        n_pad = _pad_rows(max(n, 1), block_rows * ndev)
-        row_ids = np.full((n_pad,), -1, np.int32)
-        row_ids[:n] = ids.astype(np.int32)
-
         if jnp.dtype(dtype) == jnp.int8:
             codes, s = quantize_rows(embeddings, xp=np)
             return cls.build_quantized(codes, s, ids, mesh, axis_name,
                                        block_rows, method, precision)
+        ndev = mesh.devices.size if mesh is not None else 1
+        n_pad = _pad_rows(max(n, 1), block_rows * ndev)
+        row_ids = np.full((n_pad,), -1, np.int32)
+        row_ids[:n] = ids.astype(np.int32)
         embs = np.zeros((n_pad, d), np.float32)
         embs[:n] = embeddings
 

@@ -474,6 +474,17 @@ class Trainer:
 
         # end-of-training save (the reference has none — a known gap)
         save_checkpoint(state, self.run_dir, global_step)
+        k_acc = max(1, int(getattr(cfg, "grad_accum_steps", 1)))
+        if k_acc > 1 and global_step % k_acc:
+            logger.warning(
+                "grad_accum_steps=%d does not divide the %d micro-steps: the "
+                "final %d micro-batch gradients sit in the accumulator and "
+                "were never applied", k_acc, global_step, global_step % k_acc,
+            )
+        if self._tb is not None:
+            # tensorboard's writer thread is a daemon with no atexit hook —
+            # unflushed scalars die with the process
+            self._tb.flush()
         return state
 
     def _check_finite(self, m: Dict[str, float], step: int) -> None:
