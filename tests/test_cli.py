@@ -603,3 +603,74 @@ def test_cli_rerank_eval(corpus_files, tmp_path):
     assert rc == 0
     metrics = json.loads(buf.getvalue())
     assert metrics["QueriesRanked"] == 16
+
+
+def test_cli_export_roundtrip(corpus_files, tmp_path):
+    """cldrd-export: a trained msgpack checkpoint exports to (a) the
+    reference's .pth.tar layout, reloadable by our own reference-format
+    loader with identical embeddings, and (b) per-tower HF state_dicts
+    that load into transformers DistilBertModel."""
+    from cldrd_tpu.cli import export as cli_export
+
+    f = corpus_files
+    run_folder = str(tmp_path / "runs")
+    rc = cli_train.main([
+        "--queries-path", f["queries"], "--passages-path", f["passages"],
+        "--training-path", f["train"], "--label-mode", "1",
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--batch-size", "8", "--num-train-epochs", "1",
+        "--learning-rate", "2e-3", "--warmup-steps", "2",
+        "--max-query-len", "12", "--max-passage-len", "16",
+        "--compute-dtype", "float32",
+        "--run-folder", run_folder, "--experiment-name", "ex",
+        "--logging-steps", "4", "--evaluate-steps", "100",
+    ])
+    assert rc == 0
+    folder = os.path.join(run_folder, "ex")
+    ckpt = os.path.join(folder, sorted(
+        p for p in os.listdir(folder) if p.endswith(".msgpack"))[-1])
+
+    # (a) reference layout round trip through our own torch loader
+    ref_path = str(tmp_path / "export" / "ckpt.pth.tar")
+    rc = cli_export.main([
+        "--checkpoint", ckpt, "--out", ref_path,
+        "--model-size", "tiny", "--tokenizer", "hash",
+    ])
+    assert rc == 0
+
+    import jax
+    import jax.numpy as jnp
+
+    from cldrd_tpu.cli.common import load_dual_encoder_params
+    from cldrd_tpu.models import DistilBertConfig, NwayDualEncoder
+
+    cfg = DistilBertConfig.tiny()
+    model = NwayDualEncoder(config=cfg, dtype=jnp.float32)
+    p_orig = load_dual_encoder_params(ckpt, model, cfg, False)
+    p_back = load_dual_encoder_params(ref_path, model, cfg, False)
+    for a, b in zip(jax.tree_util.tree_leaves(p_orig),
+                    jax.tree_util.tree_leaves(p_back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # (b) HF per-tower state_dicts load into transformers
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    hf_dir = str(tmp_path / "export_hf")
+    rc = cli_export.main([
+        "--checkpoint", ckpt, "--out", hf_dir, "--format", "hf",
+        "--model-size", "tiny", "--tokenizer", "hash",
+    ])
+    assert rc == 0
+    hf_cfg = transformers.DistilBertConfig(
+        vocab_size=cfg.vocab_size, max_position_embeddings=cfg.max_position_embeddings,
+        dim=cfg.dim, n_layers=cfg.n_layers, n_heads=cfg.n_heads,
+        hidden_dim=cfg.hidden_dim,
+    )
+    for tower in ("query_encoder", "passage_encoder"):
+        sd = torch.load(os.path.join(hf_dir, tower, "pytorch_model.bin"),
+                        weights_only=True)
+        hf = transformers.DistilBertModel(hf_cfg)
+        missing, unexpected = hf.load_state_dict(sd, strict=False)
+        assert not unexpected, unexpected
+        assert not [m for m in missing if "position_ids" not in m], missing
