@@ -37,6 +37,7 @@ or a fresh XLA compile. ``/healthz`` reports ``requests`` vs
 from __future__ import annotations
 
 import argparse
+import collections
 import json
 import logging
 import queue
@@ -103,6 +104,8 @@ class SearchService:
         # therefore drains every real request before it exits and no
         # waiter can be abandoned
         self._state_lock = threading.Lock()
+        # request latency ring (seconds), for /healthz p50/p99
+        self._latencies = collections.deque(maxlen=2048)
         self._queue: "queue.Queue" = queue.Queue()
         self._worker: Optional[threading.Thread] = None
         if dynamic_batching:
@@ -196,6 +199,7 @@ class SearchService:
             )
         if not texts:
             return []
+        t0 = time.perf_counter()
         with self._state_lock:
             self.stats["requests"] += 1
             self.stats["queries"] += len(texts)
@@ -204,14 +208,29 @@ class SearchService:
                 pending = _Pending(texts, k)
                 self._queue.put(pending)
         if worker is None:
-            return [r[:k] for r in self._search_device(texts, self.default_k)]
+            out = [r[:k] for r in self._search_device(texts, self.default_k)]
+            self._latencies.append(time.perf_counter() - t0)
+            return out
         # the worker always answers (see _state_lock invariant); the
         # timeout is a safety valve, not an expected path
         if not pending.event.wait(timeout=600):
             raise RuntimeError("search timed out waiting for the device worker")
         if pending.error is not None:
             raise pending.error
+        self._latencies.append(time.perf_counter() - t0)
         return pending.results
+
+    def latency_ms(self) -> dict:
+        """p50/p99/mean over the most recent requests (ring of 2048)."""
+        lat = sorted(self._latencies)
+        if not lat:
+            return {}
+        n = len(lat)
+        return {
+            "latency_p50_ms": round(lat[n // 2] * 1e3, 2),
+            "latency_p99_ms": round(lat[min(n - 1, int(n * 0.99))] * 1e3, 2),
+            "latency_mean_ms": round(sum(lat) / n * 1e3, 2),
+        }
 
     def _search_device(self, texts: List[str], k: int):
         """One locked encode+search pass over ``texts`` (chunked to the
@@ -256,6 +275,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "n_vectors": self.service.index.n_vectors,
                 "dim": self.service.index.dim,
                 **self.service.stats,
+                **self.service.latency_ms(),
             })
         else:
             self._reply(404, {"error": f"unknown path {self.path}"})

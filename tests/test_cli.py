@@ -414,6 +414,14 @@ def test_cli_serve(corpus_files, tmp_path):
         extra_requests = svc.stats["requests"] - before["requests"]
         assert extra_requests == 8
         assert extra_batches < 8  # the burst actually coalesced
+
+        # /healthz reports latency percentiles alongside the counters
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            health = json.loads(r.read())
+        assert health["latency_p50_ms"] > 0
+        assert health["latency_p99_ms"] >= health["latency_p50_ms"]
     finally:
         svc.close()
         httpd.shutdown()
