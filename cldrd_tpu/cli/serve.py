@@ -209,7 +209,8 @@ class SearchService:
                 self._queue.put(pending)
         if worker is None:
             out = [r[:k] for r in self._search_device(texts, self.default_k)]
-            self._latencies.append(time.perf_counter() - t0)
+            with self._state_lock:
+                self._latencies.append(time.perf_counter() - t0)
             return out
         # the worker always answers (see _state_lock invariant); the
         # timeout is a safety valve, not an expected path
@@ -217,12 +218,14 @@ class SearchService:
             raise RuntimeError("search timed out waiting for the device worker")
         if pending.error is not None:
             raise pending.error
-        self._latencies.append(time.perf_counter() - t0)
+        with self._state_lock:
+            self._latencies.append(time.perf_counter() - t0)
         return pending.results
 
     def latency_ms(self) -> dict:
         """p50/p99/mean over the most recent requests (ring of 2048)."""
-        lat = sorted(self._latencies)
+        with self._state_lock:  # deque iteration races concurrent appends
+            lat = sorted(self._latencies)
         if not lat:
             return {}
         n = len(lat)
