@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "halves it vs bfloat16 — per-row-scaled codes, "
                         "full 8.8M MS MARCO on ONE v5e chip; recall cost "
                         "measured in examples/quantization_study.py)")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler device trace of the "
+                        "search phase into this directory (TensorBoard- "
+                        "loadable; SURVEY §5.1)")
     p.add_argument("--shards", type=int, default=1,
                    help="shard the corpus over this many local devices "
                         "(corpus-axis mesh: per-shard bin-max top-k + ICI "
@@ -109,10 +113,19 @@ def main(argv: Optional[List[str]] = None) -> int:
                         .get(args.hbm_dtype, jnp.bfloat16)),
         precision=args.precision,
     )
-    stats = retrieve_to_run_file(
-        index, q_embs, qids, args.run,
-        topk=args.topk, batch_size=args.search_batch_size,
-    )
+    if args.profile_dir:
+        from cldrd_tpu.utils.profiling import trace
+
+        with trace(args.profile_dir):
+            stats = retrieve_to_run_file(
+                index, q_embs, qids, args.run,
+                topk=args.topk, batch_size=args.search_batch_size,
+            )
+    else:
+        stats = retrieve_to_run_file(
+            index, q_embs, qids, args.run,
+            topk=args.topk, batch_size=args.search_batch_size,
+        )
     print(json.dumps({"queries": len(qids), **{k: round(v, 3) for k, v in stats.items()}}))
     return 0
 

@@ -682,3 +682,29 @@ def test_cli_export_roundtrip(corpus_files, tmp_path):
         missing, unexpected = hf.load_state_dict(sd, strict=False)
         assert not unexpected, unexpected
         assert not [m for m in missing if "position_ids" not in m], missing
+
+
+def test_cli_retrieve_profile_dir(corpus_files, tmp_path):
+    """--profile-dir captures a TensorBoard-loadable jax.profiler trace of
+    the search phase."""
+    f = corpus_files
+    idx_dir = str(tmp_path / "prof_idx")
+    rc = cli_index.main([
+        "--collection", f["passages"], "--out", idx_dir,
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "16", "--batch-size", "32",
+    ])
+    assert rc == 0
+    prof = str(tmp_path / "trace")
+    rc = cli_retrieve.main([
+        "--index", idx_dir, "--queries", f["queries"],
+        "--run", str(tmp_path / "p.run.tsv"),
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "12", "--topk", "5",
+        "--encode-batch-size", "32", "--search-batch-size", "8",
+        "--profile-dir", prof,
+    ])
+    assert rc == 0
+    traces = [p for _, _, files in os.walk(prof) for p in files
+              if p.endswith((".trace.json.gz", ".xplane.pb"))]
+    assert traces, list(os.walk(prof))

@@ -1101,3 +1101,68 @@ def test_int8_disk_store_roundtrip(tmp_path, corpus):
     s3, _ = idx_bf16.search(q, 15)
     assert np.isfinite(s3).all()
 
+
+
+def test_randomized_invariant_sweep():
+    """Seeded randomized sweep over the whole search stack: random shapes,
+    k, padding patterns, dtypes (fp32/bf16-store/int8-store), segmenting,
+    and ragged query batches — every configuration must agree with the
+    numpy oracle over the (de)quantized corpus it actually stores.
+    Catches shape-edge regressions the targeted tests don't enumerate."""
+    from cldrd_tpu.index.flat_index import quantize_rows
+    from cldrd_tpu.search import topk_binmax
+
+    rng = np.random.default_rng(123)
+    for case in range(12):
+        n = int(rng.choice([48, 257, 1024, 2048, 4096, 5120]))
+        d = int(rng.choice([16, 32, 64]))
+        bz = int(rng.choice([1, 3, 8, 17]))
+        k = int(rng.choice([1, 5, 37, min(128, n)]))
+        n_valid = int(rng.integers(max(1, n // 2), n + 1))
+        dtype = rng.choice(["float32", "int8"])
+        seg = int(rng.choice([512, 2048, 1 << 21]))
+
+        c = rng.standard_normal((n_valid, d)).astype(np.float32)
+        ids_ext = rng.permutation(n_valid).astype(np.int64) + 7
+        q = rng.standard_normal((bz, d)).astype(np.float32)
+
+        idx = FlatIPIndex.build(
+            c, ids_ext, dtype=jnp.dtype(dtype), block_rows=512,
+        )
+        s, i = idx.search(q, k)
+
+        if dtype == "int8":
+            codes, sc = quantize_rows(c)
+            stored = codes.astype(np.float32) * sc[:, None]
+        else:
+            stored = c
+        # the oracle scores with the queries as the index actually casts
+        # them (bf16 for the int8 store)
+        q_used = np.asarray(jnp.asarray(q, idx._query_dtype)
+                            .astype(jnp.float32))
+        es, ei = _numpy_topk(q_used, stored, ids_ext, min(k, n_valid))
+
+        k_eff = min(k, n_valid)
+        # ranks beyond the corpus: -1 ids, -inf scores
+        assert (i[:, k_eff:] == -1).all(), case
+        # scores agree with the oracle (fp32 on CPU; ties may reorder ids)
+        np.testing.assert_allclose(
+            s[:, :k_eff], es, rtol=1e-4, atol=1e-4, err_msg=str(case))
+        assert (i[:, :k_eff] == ei).mean() > 0.95, case
+        # padding never surfaces
+        assert ((i == -1) | (i >= 7)).all(), case
+
+        # raw topk_binmax with explicit segmenting agrees too
+        n_pad = idx.embeddings.shape[0]
+        v2, p2 = topk_binmax(
+            jnp.asarray(q, idx._query_dtype), idx.embeddings, idx.row_ids,
+            k, segment_rows=seg, return_positions=True,
+            row_scales=idx.row_scales,
+        )
+        ids_host = np.asarray(idx.row_ids)
+        i2 = np.where(np.asarray(p2) >= 0,
+                      ids_host[np.maximum(np.asarray(p2), 0)], -1)
+        np.testing.assert_allclose(
+            np.asarray(v2)[:, :k_eff], s[:, :k_eff], rtol=1e-4, atol=1e-4,
+            err_msg=f"case {case} seg {seg}")
+        assert (i2[:, :k_eff] == i[:, :k_eff]).mean() > 0.95, case
