@@ -708,3 +708,54 @@ def test_cli_retrieve_profile_dir(corpus_files, tmp_path):
     traces = [p for _, _, files in os.walk(prof) for p in files
               if p.endswith((".trace.json.gz", ".xplane.pb"))]
     assert traces, list(os.walk(prof))
+
+
+def test_serve_close_never_abandons_requests():
+    """Hammer close() against a burst of in-flight searches: every request
+    must either return results or raise — no waiter may hang (the
+    sentinel-last invariant under the state lock)."""
+    import threading
+    import time as _time
+
+    from cldrd_tpu.cli.serve import SearchService
+
+    class FakeIndex:
+        n_vectors, dim = 8, 4
+
+        def search(self, embs, k):
+            _time.sleep(0.002)  # emulate a device pass
+            n = np.asarray(embs).shape[0]
+            ids = np.tile(np.arange(k), (n, 1))
+            return np.zeros((n, k), np.float32), ids
+
+    def fake_tokenizer(texts, max_length, **kw):
+        n = len(texts)
+        return {"input_ids": np.ones((n, max_length), np.int32),
+                "attention_mask": np.ones((n, max_length), np.int32)}
+
+    fake_encode = lambda tokens: np.zeros(  # noqa: E731
+        (tokens["input_ids"].shape[0], 4), np.float32)
+
+    for trial in range(5):
+        svc = SearchService(fake_tokenizer, fake_encode, FakeIndex(), 8, 16,
+                            5, dynamic_batching=True, max_batch_wait_ms=1.0)
+        outcomes = []
+
+        def one(i):
+            try:
+                r = svc.search([f"q{i}"], 5)
+                outcomes.append(("ok", len(r)))
+            except Exception as e:  # noqa: BLE001
+                outcomes.append(("err", type(e).__name__))
+
+        threads = [threading.Thread(target=one, args=(i,)) for i in range(16)]
+        for t in threads:
+            t.start()
+        _time.sleep(0.001 * trial)  # vary the race window
+        svc.close()
+        for t in threads:
+            t.join(timeout=30)
+        assert not any(t.is_alive() for t in threads), "a request hung"
+        assert len(outcomes) == 16
+        # post-close searches run direct (worker is None) and still answer
+        assert len(svc.search(["late"], 5)) == 1
