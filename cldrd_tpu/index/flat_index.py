@@ -175,6 +175,94 @@ class FlatIPIndex:
         return cls(dev_embs, dev_ids, mesh, axis_name, block_rows, method,
                    precision, dev_sc)
 
+    # ------------------------------------------------------- live updates
+
+    def add(self, embeddings: np.ndarray, ids: np.ndarray) -> "FlatIPIndex":
+        """Append documents to a resident index (FAISS ``add_with_ids``
+        equivalence, incremental): returns a NEW index whose corpus is the
+        old device array plus a block-aligned appended slab — the existing
+        rows never leave the device. int8 stores quantize the new rows
+        with the shared quantizer. Unsharded indexes only (a sharded add
+        would redistribute every shard)."""
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "add() on a sharded index would redistribute shards; "
+                "rebuild with FlatIPIndex.build(mesh=...)")
+        n, d = embeddings.shape
+        assert ids.shape == (n,) and d == self.dim
+        n_pad = _pad_rows(max(n, 1), self.block_rows)
+        new_ids = np.full((n_pad,), -1, np.int32)
+        new_ids[:n] = ids.astype(np.int32)
+        int8 = self.embeddings.dtype == jnp.int8
+        if int8:
+            codes, s = quantize_rows(embeddings, xp=np)
+            slab = np.zeros((n_pad, d), np.int8)
+            slab[:n] = codes
+            sc = np.ones((n_pad,), np.float32)
+            sc[:n] = s
+            row_scales = jnp.concatenate([self.row_scales, jnp.asarray(sc)])
+        else:
+            slab = np.zeros((n_pad, d), np.float32)
+            slab[:n] = embeddings
+            row_scales = None
+        return FlatIPIndex(
+            embeddings=jnp.concatenate(
+                [self.embeddings,
+                 jnp.asarray(slab, dtype=self.embeddings.dtype)]),
+            row_ids=jnp.concatenate([self.row_ids, jnp.asarray(new_ids)]),
+            mesh=None,
+            axis_name=self.axis_name,
+            block_rows=self.block_rows,
+            method=self.method,
+            precision=self.precision,
+            row_scales=row_scales,
+        )
+
+    def remove(self, ids) -> "FlatIPIndex":
+        """Tombstone documents (FAISS ``remove_ids`` equivalence): matching
+        rows get id -1 and are masked out of every search. Capacity is not
+        reclaimed (rows stay as padding); returns a NEW index sharing the
+        embedding array."""
+        if self.mesh is not None:
+            raise NotImplementedError("remove() on a sharded index: "
+                                      "rebuild instead")
+        drop = np.asarray(sorted(set(int(i) for i in ids)), np.int32)
+        host = self._host_ids()
+        new_ids = np.where(np.isin(host, drop), -1, host).astype(np.int32)
+        return FlatIPIndex(
+            embeddings=self.embeddings,
+            row_ids=jnp.asarray(new_ids),
+            mesh=None,
+            axis_name=self.axis_name,
+            block_rows=self.block_rows,
+            method=self.method,
+            precision=self.precision,
+            row_scales=self.row_scales,
+        )
+
+    def save(self, out_dir: str, rows_per_shard: int = 500_000) -> None:
+        """Persist the resident index (padding rows dropped): fp32 store
+        for float stores, int8 codes + scales for quantized ones —
+        ``load_index`` round-trips either."""
+        from .persistence import write_embeddings
+
+        host_ids = self._host_ids()
+        valid = host_ids >= 0
+        ids = host_ids[valid].astype(np.int64)
+        if self.embeddings.dtype == jnp.int8:
+            # bypass re-quantization: dequantize codes x scales (the
+            # shared quantizer reproduces the codes bit-for-bit on load)
+            codes = np.asarray(self.embeddings)[valid]
+            scales = np.asarray(self.row_scales)[valid]
+            write_embeddings(out_dir, codes.astype(np.float32)
+                             * scales[:, None], ids,
+                             rows_per_shard=rows_per_shard, dtype="int8")
+        else:
+            embs = np.asarray(
+                self.embeddings.astype(jnp.float32))[valid]
+            write_embeddings(out_dir, embs, ids,
+                             rows_per_shard=rows_per_shard)
+
     def _host_ids(self) -> np.ndarray:
         """Host copy of the row-id array (cached) for positions -> ids."""
         ids = getattr(self, "_host_ids_cache", None)

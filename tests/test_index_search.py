@@ -1166,3 +1166,53 @@ def test_randomized_invariant_sweep():
             np.asarray(v2)[:, :k_eff], s[:, :k_eff], rtol=1e-4, atol=1e-4,
             err_msg=f"case {case} seg {seg}")
         assert (i2[:, :k_eff] == i[:, :k_eff]).mean() > 0.95, case
+
+
+# ------------------------------------------------------- live index updates
+
+
+def test_index_add_remove_save(tmp_path, corpus):
+    """FAISS add_with_ids / remove_ids equivalence on the resident index:
+    added docs are retrievable exactly, tombstoned docs never surface, and
+    save() -> load_index round-trips the live state (fp32 and int8)."""
+    from cldrd_tpu.index.persistence import load_index
+
+    q, c, ids = corpus
+    rng = np.random.default_rng(42)
+    new_c = rng.standard_normal((300, c.shape[1])).astype(np.float32)
+    new_ids = np.arange(10_000, 10_300, dtype=np.int64)
+
+    for dtype in (jnp.float32, jnp.int8):
+        idx = FlatIPIndex.build(c, ids, dtype=dtype, block_rows=512)
+        idx2 = idx.add(new_c, new_ids)
+        assert idx2.n_vectors == idx.n_vectors + 300
+
+        # a query aimed straight at a new doc retrieves it at rank 1
+        probe = new_c[:4] * 10.0
+        s, i = idx2.search(probe, 5)
+        assert list(i[:, 0]) == [10_000, 10_001, 10_002, 10_003]
+
+        # old content still retrieved as before (same oracle winners)
+        s_old, i_old = idx.search(q, 10)
+        s_new, i_new = idx2.search(q, 10)
+        # new random rows can enter the top-10, but old winners keep order
+        # when filtered to old ids
+        for r in range(len(q)):
+            kept = [x for x in i_new[r] if x < 10_000]
+            assert kept == list(i_old[r])[: len(kept)]
+
+        # remove the first 2 new docs: they never surface again
+        idx3 = idx2.remove([10_000, 10_001])
+        assert idx3.n_vectors == idx2.n_vectors - 2
+        s, i = idx3.search(probe, 5)
+        assert 10_000 not in i and 10_001 not in i
+        assert list(i[:2, 0]) != [10_000, 10_001]
+
+        # save -> load round trip preserves the live state
+        out = str(tmp_path / f"live_{np.dtype(dtype).name}")
+        idx3.save(out)
+        back = load_index(out, dtype=dtype, block_rows=512)
+        assert back.n_vectors == idx3.n_vectors
+        sb, ib = back.search(probe, 5)
+        np.testing.assert_array_equal(ib, i)
+        np.testing.assert_allclose(sb, s, rtol=1e-5, atol=1e-5)
