@@ -12,7 +12,12 @@ API (stdlib ``http.server``, JSON over POST — zero extra dependencies):
 - ``POST /search``  {"queries": ["text", ...], "k": 10}
   -> {"results": [[{"id": int, "score": float}, ...], ...],
       "elapsed_ms": float}
-- ``GET /healthz``  -> {"ok": true, "n_vectors": N, "dim": D}
+- ``POST /add``     {"ids": [int, ...], "texts": ["doc", ...]}
+  -> {"ok": true, "n_vectors": N}   (passage-tower encode ->
+  ``FlatIPIndex.add``: FAISS add_with_ids on the LIVE index)
+- ``POST /remove``  {"ids": [int, ...]} -> {"ok": true, "n_vectors": N}
+- ``GET /healthz``  -> {"ok": true, "n_vectors": N, "dim": D,
+      requests/queries/device_batches counters, latency p50/p99/mean}
 
 Queries tokenize host-side, encode on device (batch padded to a fixed
 shape so the steady state reuses one executable), and search through
@@ -86,13 +91,18 @@ class SearchService:
     def __init__(self, tokenizer, encode_fn, index, max_length: int,
                  encode_batch: int, default_k: int,
                  dynamic_batching: bool = True,
-                 max_batch_wait_ms: float = 2.0):
+                 max_batch_wait_ms: float = 2.0,
+                 passage_encode_fn=None,
+                 passage_max_length: int = 256):
         self.tokenizer = tokenizer
         self.encode_fn = encode_fn
         self.index = index
         self.max_length = max_length
         self.encode_batch = encode_batch
         self.default_k = default_k
+        # live updates (POST /add): documents encode with the passage tower
+        self.passage_encode_fn = passage_encode_fn
+        self.passage_max_length = passage_max_length
         self.dynamic_batching = dynamic_batching
         self.max_batch_wait_ms = max_batch_wait_ms
         self._lock = threading.Lock()
@@ -222,6 +232,40 @@ class SearchService:
             self._latencies.append(time.perf_counter() - t0)
         return pending.results
 
+    # ------------------------------------------------------- live updates
+
+    def add_documents(self, ids: List[int], texts: List[str]) -> int:
+        """Encode with the passage tower and append to the resident index
+        (FAISS ``add_with_ids``; ``FlatIPIndex.add``). The swapped index
+        becomes visible to the next device pass; an in-flight pass
+        finishes against the old one (eventual consistency)."""
+        if self.passage_encode_fn is None:
+            raise ValueError("this service was built without a passage "
+                             "tower; restart with one to use /add")
+        if len(ids) != len(texts) or not texts:
+            raise ValueError("'ids' and 'texts' must be equal-length, "
+                             "non-empty lists")
+        embs = []
+        with self._lock:
+            for s in range(0, len(texts), self.encode_batch):
+                chunk = texts[s : s + self.encode_batch]
+                tokens = self.tokenizer(chunk, self.passage_max_length)
+                tokens = self._pad(tokens, self.encode_batch)
+                embs.append(
+                    np.asarray(self.passage_encode_fn(tokens))[: len(chunk)])
+            new = self.index.add(
+                np.concatenate(embs), np.asarray(ids, np.int64))
+            self.index = new
+        return new.n_vectors
+
+    def remove_documents(self, ids: List[int]) -> int:
+        """Tombstone documents (FAISS ``remove_ids``; ``FlatIPIndex.remove``)."""
+        if not ids:
+            raise ValueError("'ids' must be a non-empty list")
+        with self._lock:
+            self.index = self.index.remove([int(i) for i in ids])
+            return self.index.n_vectors
+
     def latency_ms(self) -> dict:
         """p50/p99/mean over the most recent requests (ring of 2048)."""
         with self._state_lock:  # deque iteration races concurrent appends
@@ -284,24 +328,34 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self):  # noqa: N802
-        if self.path != "/search":
+        if self.path not in ("/search", "/add", "/remove"):
             self._reply(404, {"error": f"unknown path {self.path}"})
             return
         try:
             length = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(length) or b"{}")
-            queries = req["queries"]
-            if not isinstance(queries, list) or not all(
-                isinstance(q, str) for q in queries
-            ):
-                raise ValueError("'queries' must be a list of strings")
             t0 = time.perf_counter()
-            results = self.service.search(queries, req.get("k"))
-            self._reply(200, {
-                "results": results,
-                "elapsed_ms": round((time.perf_counter() - t0) * 1e3, 2),
-            })
-        except (KeyError, ValueError, json.JSONDecodeError) as e:
+            if self.path == "/search":
+                queries = req["queries"]
+                if not isinstance(queries, list) or not all(
+                    isinstance(q, str) for q in queries
+                ):
+                    raise ValueError("'queries' must be a list of strings")
+                results = self.service.search(queries, req.get("k"))
+                payload = {"results": results}
+            elif self.path == "/add":
+                n = self.service.add_documents(
+                    [int(i) for i in req["ids"]], list(req["texts"]))
+                payload = {"ok": True, "n_vectors": n}
+            else:
+                n = self.service.remove_documents(
+                    [int(i) for i in req["ids"]])
+                payload = {"ok": True, "n_vectors": n}
+            payload["elapsed_ms"] = round((time.perf_counter() - t0) * 1e3, 2)
+            self._reply(200, payload)
+        except (KeyError, TypeError, ValueError, json.JSONDecodeError) as e:
+            self._reply(400, {"error": str(e)})
+        except NotImplementedError as e:
             self._reply(400, {"error": str(e)})
         except RuntimeError as e:
             # e.g. the device-worker wait timed out: the client gets a
@@ -320,6 +374,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--topk", type=int, default=1000, help="default k")
     p.add_argument("--max-length", type=int, default=30)
+    p.add_argument("--passage-max-length", type=int, default=256,
+                   help="tokenized length for documents added live via "
+                        "POST /add")
     p.add_argument("--encode-batch-size", type=int, default=128)
     p.add_argument("--hbm-dtype", default="bfloat16",
                    choices=("bfloat16", "float32", "int8"))
@@ -362,11 +419,14 @@ def make_service(args) -> SearchService:
         precision=args.precision,
     )
     encode = make_encode_fn(model, params, "query_embs")
+    passage_encode = make_encode_fn(model, params, "passage_embs")
     return SearchService(
         tokenizer, encode, index, args.max_length,
         args.encode_batch_size, args.topk,
         dynamic_batching=not args.no_dynamic_batching,
         max_batch_wait_ms=args.max_batch_wait_ms,
+        passage_encode_fn=passage_encode,
+        passage_max_length=args.passage_max_length,
     )
 
 

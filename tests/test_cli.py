@@ -339,7 +339,8 @@ def test_cli_serve(corpus_files, tmp_path):
     args = cli_serve.build_parser().parse_args([
         "--index", idx_dir, "--port", "0",
         "--model-size", "tiny", "--tokenizer", "hash",
-        "--max-length", "12", "--encode-batch-size", "8", "--topk", "5",
+        "--max-length", "12", "--passage-max-length", "16",
+        "--encode-batch-size", "8", "--topk", "5",
     ])
     httpd = cli_serve.serve(args)
     port = httpd.server_address[1]
@@ -422,6 +423,38 @@ def test_cli_serve(corpus_files, tmp_path):
             health = json.loads(r.read())
         assert health["latency_p50_ms"] > 0
         assert health["latency_p99_ms"] >= health["latency_p50_ms"]
+
+        # live updates: /add makes new docs retrievable, /remove tombstones
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.loads(r.read())
+
+        # the daemon's tiny model is random-init, so assertions are
+        # structural/deterministic rather than semantic:
+        n0 = svc.index.n_vectors
+        out = post("/add", {"ids": [9000, 9001], "texts":
+                            ["find zebra info inside", "find yak info inside"]})
+        assert out["ok"] and out["n_vectors"] == n0 + 2
+        assert {9000, 9001} <= set(svc.index._host_ids().tolist())
+
+        # tombstoning the current top-1 of a query removes it from results
+        top1 = post("/search", {"queries": ["find subject3 info"],
+                                "k": 5})["results"][0][0]["id"]
+        out = post("/remove", {"ids": [top1]})
+        assert out["n_vectors"] == n0 + 1
+        hits = post("/search", {"queries": ["find subject3 info"], "k": 5})
+        assert all(h["id"] != top1 for h in hits["results"][0])
+        # malformed add -> 400
+        try:
+            post("/add", {"ids": [1], "texts": []})
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         svc.close()
         httpd.shutdown()
