@@ -116,3 +116,109 @@ def test_throughput_faster_than_python(tmp_path):
     assert native_out == py_out
     # require only a 1.2x margin, not "comfortably faster"
     assert t_native < t_py / 1.2, (t_native, t_py)
+
+
+# --------------------------------------------------------------- jsonlparse
+
+
+def _native_jsonl():
+    from cldrd_tpu import native
+
+    if native.parse_jsonl is None:
+        pytest.skip("native jsonlparse unavailable")
+    return native.parse_jsonl
+
+
+def test_jsonl_parity_with_json_loads(tmp_path):
+    import json
+
+    parse = _native_jsonl()
+    lines = [
+        {"qid": 188714, "relT_pids": [1, 2, 3], "most_hard_pids": [],
+         "semi_hard_pids": [9, -8, 70000000000]},
+        {"qid": 0, "relT_pids": [5], "relT_scores": [9.25, -0.5, 1e-3],
+         "neg_scores": [2.0, 3.5]},
+        {"text": "plain words", "esc": "tab\there \"q\" back\\slash",
+         "mixed": [1, 2.5, -3]},
+        {"empty": [], "strs": ["a", "b c"], "unicode": "naïve café ≤"},
+        {},
+    ]
+    p = str(tmp_path / "train.jsonl")
+    with open(p, "w", encoding="utf-8") as f:
+        for obj in lines:
+            # ensure_ascii=False: raw UTF-8 (the supported path); \uXXXX
+            # escapes trigger the whole-file json.loads fallback instead
+            f.write(json.dumps(obj, ensure_ascii=False) + "\n")
+    got = parse(p)
+    assert got == lines
+    # and the exact types survive (ints stay ints, floats floats)
+    assert isinstance(got[0]["semi_hard_pids"][2], int)
+    assert isinstance(got[1]["relT_scores"][0], float)
+
+
+def test_jsonl_out_of_schema_falls_back(tmp_path):
+    import json
+
+    parse = _native_jsonl()
+    for bad in (
+        {"nested": {"x": 1}},
+        {"flag": True},
+        {"nil": None},
+        {"u_escape": "caf\u00e9"},  # ensure_ascii json.dumps output
+    ):
+        p = str(tmp_path / "bad.jsonl")
+        with open(p, "w") as f:
+            f.write(json.dumps(bad) + "\n")
+        with pytest.raises(ValueError):
+            parse(p)
+        # the loaders-level entry point silently falls back to json.loads
+        from cldrd_tpu.data.loaders import iter_jsonl
+
+        assert list(iter_jsonl(p)) == [bad]
+
+
+def test_jsonl_rank_sharding_matches_python(tmp_path):
+    import json
+
+    from cldrd_tpu.data.loaders import iter_jsonl
+
+    _native_jsonl()
+    p = str(tmp_path / "sharded.jsonl")
+    rows = [{"qid": i, "relT_pids": [i * 2]} for i in range(17)]
+    with open(p, "w") as f:
+        for obj in rows:
+            f.write(json.dumps(obj) + "\n")
+    for rank in range(3):
+        got = list(iter_jsonl(p, rank=rank, nranks=3))
+        want = [r for i, r in enumerate(rows) if i % 3 == rank]
+        assert got == want
+
+
+def test_jsonl_throughput_faster_than_python(tmp_path):
+    import json
+
+    parse = _native_jsonl()
+    p = str(tmp_path / "big.jsonl")
+    rng = np.random.default_rng(0)
+    with open(p, "w") as f:
+        for q in range(20_000):
+            f.write(json.dumps({
+                "qid": int(q),
+                "relT_pids": [int(x) for x in rng.integers(0, 9_000_000, 5)],
+                "most_hard_pids": [int(x) for x in rng.integers(0, 9_000_000, 12)],
+                "semi_hard_pids": [int(x) for x in rng.integers(0, 9_000_000, 13)],
+                "relT_scores": [float(x) for x in rng.normal(size=5)],
+            }) + "\n")
+
+    t0 = time.perf_counter()
+    native_rows = parse(p)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    py_rows = [json.loads(l) for l in open(p)]
+    t_py = time.perf_counter() - t0
+    assert native_rows == py_rows
+    # don't assert a strict speedup factor (CI noise) — just that the
+    # native path isn't slower, and report the ratio for the logs
+    print(f"\njsonlparse: native {20_000/t_native:,.0f} rows/s vs "
+          f"python {20_000/t_py:,.0f} rows/s ({t_py/t_native:.1f}x)")
+    assert t_native <= t_py * 1.2
