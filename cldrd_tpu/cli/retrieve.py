@@ -113,15 +113,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                         .get(args.hbm_dtype, jnp.bfloat16)),
         precision=args.precision,
     )
+    import contextlib
+
     if args.profile_dir:
         from cldrd_tpu.utils.profiling import trace
 
-        with trace(args.profile_dir):
-            stats = retrieve_to_run_file(
-                index, q_embs, qids, args.run,
-                topk=args.topk, batch_size=args.search_batch_size,
-            )
+        ctx = trace(args.profile_dir)
     else:
+        ctx = contextlib.nullcontext()
+    with ctx:
         stats = retrieve_to_run_file(
             index, q_embs, qids, args.run,
             topk=args.topk, batch_size=args.search_batch_size,

@@ -242,6 +242,9 @@ class SearchService:
         if self.passage_encode_fn is None:
             raise ValueError("this service was built without a passage "
                              "tower; restart with one to use /add")
+        if (not isinstance(texts, list)
+                or not all(isinstance(t, str) for t in texts)):
+            raise ValueError("'texts' must be a list of strings")
         if len(ids) != len(texts) or not texts:
             raise ValueError("'ids' and 'texts' must be equal-length, "
                              "non-empty lists")
@@ -345,7 +348,7 @@ class _Handler(BaseHTTPRequestHandler):
                 payload = {"results": results}
             elif self.path == "/add":
                 n = self.service.add_documents(
-                    [int(i) for i in req["ids"]], list(req["texts"]))
+                    [int(i) for i in req["ids"]], req["texts"])
                 payload = {"ok": True, "n_vectors": n}
             else:
                 n = self.service.remove_documents(

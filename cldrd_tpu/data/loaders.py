@@ -70,29 +70,29 @@ def iter_jsonl(path: str, rank: int = -1, nranks: Optional[int] = None) -> Itera
     ``line_idx % nranks == rank`` (the reference's DDP file sharding,
     ``nway_dataset.py:172-176``).
 
-    Fast path: the native mmap flat-JSONL parser
+    Fast path (unsharded reads): the native mmap flat-JSONL parser
     (``cldrd_tpu/native/jsonlparse.cpp``, the ujson replacement) parses the
     whole file in one pass; any construct outside the training-file schema
-    falls the WHOLE file back to per-line ``json.loads``, so correctness
-    never depends on the native scope."""
+    (including blank lines) falls the WHOLE file back to per-line
+    ``json.loads``, so correctness never depends on the native scope.
+    Rank-sharded reads stay on the streaming Python path — each rank then
+    parses only its own lines instead of the full file."""
     if rank >= 0:
         assert nranks and 0 <= rank < nranks
-    rows = None
-    try:
-        from cldrd_tpu import native
+    else:
+        rows = None
+        try:
+            from cldrd_tpu import native
 
-        if native.parse_jsonl is not None:
-            rows = native.parse_jsonl(path)
-    except ImportError:
-        rows = None
-    except ValueError:  # outside the flat training schema
-        rows = None
-    if rows is not None:
-        for line_idx, obj in enumerate(rows):
-            if rank >= 0 and line_idx % nranks != rank:
-                continue
-            yield obj
-        return
+            if native.parse_jsonl is not None:
+                rows = native.parse_jsonl(path)
+        except ImportError:
+            rows = None
+        except ValueError:  # outside the flat training schema
+            rows = None
+        if rows is not None:
+            yield from rows
+            return
     with open(path, "r", encoding="utf-8") as f:
         for line_idx, line in enumerate(f):
             if rank >= 0 and line_idx % nranks != rank:

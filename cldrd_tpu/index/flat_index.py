@@ -13,6 +13,7 @@ Unlike FAISS there is no CPU->GPU "clone" step (the reference's
 """
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 from typing import Optional, Tuple
@@ -28,6 +29,30 @@ from cldrd_tpu.search.mips import sharded_topk, topk_binmax_jit, topk_jit
 
 def _pad_rows(n: int, multiple: int) -> int:
     return int(math.ceil(n / multiple) * multiple)
+
+
+def _check_ids(ids: np.ndarray) -> None:
+    """External ids live in an int32 device array with -1 as the padding
+    sentinel; anything outside [0, 2^31) would silently truncate/alias
+    (np.int32 cast wraps) — reject loudly instead. The reference's FAISS
+    IndexIDMap took int64 ids; callers with larger ids must remap."""
+    ids = np.asarray(ids)
+    if ids.size and (int(ids.min()) < 0 or int(ids.max()) >= 2**31):
+        raise ValueError(
+            "external ids must be in [0, 2**31): the id map is int32 with "
+            f"-1 reserved for padding (got min={ids.min()}, max={ids.max()})"
+        )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _update_rows(buf, rows, offset):
+    """In-place (donated) row write into the corpus buffer."""
+    return jax.lax.dynamic_update_slice(buf, rows, (offset, 0))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _update_scales(buf, scales, offset):
+    return jax.lax.dynamic_update_slice(buf, scales, (offset,))
 
 
 def quantize_rows(c, xp=np):
@@ -112,6 +137,7 @@ class FlatIPIndex:
         store precision for capacity the same way)."""
         n, d = embeddings.shape
         assert ids.shape == (n,)
+        _check_ids(ids)
         if jnp.dtype(dtype) == jnp.int8:
             codes, s = quantize_rows(embeddings, xp=np)
             return cls.build_quantized(codes, s, ids, mesh, axis_name,
@@ -155,6 +181,7 @@ class FlatIPIndex:
         n, d = codes.shape
         assert codes.dtype == np.int8 and ids.shape == (n,)
         assert scales.shape == (n,)
+        _check_ids(ids)
         ndev = mesh.devices.size if mesh is not None else 1
         n_pad = _pad_rows(max(n, 1), block_rows * ndev)
         embs = np.zeros((n_pad, d), np.int8)
@@ -177,33 +204,78 @@ class FlatIPIndex:
 
     # ------------------------------------------------------- live updates
 
+    def _free_tail(self) -> int:
+        """Rows of contiguous id==-1 padding at the END of the id array —
+        spare capacity that add() can fill in place."""
+        host = self._host_ids()
+        valid = np.flatnonzero(host >= 0)
+        used = int(valid[-1]) + 1 if valid.size else 0
+        return len(host) - used
+
     def add(self, embeddings: np.ndarray, ids: np.ndarray) -> "FlatIPIndex":
         """Append documents to a resident index (FAISS ``add_with_ids``
-        equivalence, incremental): returns a NEW index whose corpus is the
-        old device array plus a block-aligned appended slab — the existing
-        rows never leave the device. int8 stores quantize the new rows
-        with the shared quantizer. Unsharded indexes only (a sharded add
-        would redistribute every shard)."""
+        equivalence, incremental): returns a NEW index. New rows first fill
+        the existing padding tail IN PLACE (a device ``dynamic_update_slice``
+        — no shape change, so the compiled search executable is reused and
+        no second corpus materializes); only when capacity is exhausted
+        does a block-aligned slab concatenate on, which changes the corpus
+        shape and recompiles the next search. Batch adds accordingly. int8
+        stores quantize new rows with the shared quantizer. Unsharded
+        indexes only (a sharded add would redistribute every shard)."""
         if self.mesh is not None:
             raise NotImplementedError(
                 "add() on a sharded index would redistribute shards; "
                 "rebuild with FlatIPIndex.build(mesh=...)")
         n, d = embeddings.shape
         assert ids.shape == (n,) and d == self.dim
+        _check_ids(ids)
+        int8 = self.embeddings.dtype == jnp.int8
+        free = self._free_tail()
+        n_total = len(self._host_ids())
+
+        if int8:
+            rows, scales_new = quantize_rows(embeddings, xp=np)
+        else:
+            rows, scales_new = embeddings.astype(np.float32), None
+
+        if n <= free:
+            # in-place fill of the padding tail: the corpus buffer is
+            # DONATED to a jitted dynamic_update_slice, so XLA aliases it
+            # (no transient second corpus) and the search executable keeps
+            # its shape. The OLD index object is consumed — do not use it
+            # after add() (serve swaps under its device lock).
+            offset = n_total - free
+            embs = _update_rows(
+                self.embeddings,
+                jnp.asarray(rows, dtype=self.embeddings.dtype),
+                jnp.asarray(offset, jnp.int32))
+            host = self._host_ids().copy()
+            host[offset : offset + n] = ids.astype(np.int32)
+            row_scales = self.row_scales
+            if int8:
+                row_scales = _update_scales(
+                    self.row_scales, jnp.asarray(scales_new),
+                    jnp.asarray(offset, jnp.int32))
+            return FlatIPIndex(
+                embeddings=embs, row_ids=jnp.asarray(host), mesh=None,
+                axis_name=self.axis_name, block_rows=self.block_rows,
+                method=self.method, precision=self.precision,
+                row_scales=row_scales,
+            )
+
+        # capacity exhausted: append a block-aligned slab (shape change)
         n_pad = _pad_rows(max(n, 1), self.block_rows)
         new_ids = np.full((n_pad,), -1, np.int32)
         new_ids[:n] = ids.astype(np.int32)
-        int8 = self.embeddings.dtype == jnp.int8
         if int8:
-            codes, s = quantize_rows(embeddings, xp=np)
             slab = np.zeros((n_pad, d), np.int8)
-            slab[:n] = codes
+            slab[:n] = rows
             sc = np.ones((n_pad,), np.float32)
-            sc[:n] = s
+            sc[:n] = scales_new
             row_scales = jnp.concatenate([self.row_scales, jnp.asarray(sc)])
         else:
             slab = np.zeros((n_pad, d), np.float32)
-            slab[:n] = embeddings
+            slab[:n] = rows
             row_scales = None
         return FlatIPIndex(
             embeddings=jnp.concatenate(
@@ -250,13 +322,15 @@ class FlatIPIndex:
         valid = host_ids >= 0
         ids = host_ids[valid].astype(np.int64)
         if self.embeddings.dtype == jnp.int8:
-            # bypass re-quantization: dequantize codes x scales (the
-            # shared quantizer reproduces the codes bit-for-bit on load)
+            # codes + scales persist DIRECTLY (write_quantized): no fp32
+            # dequantized temporary, and the on-disk codes are bit-for-bit
+            # the resident ones by construction
+            from .persistence import write_quantized
+
             codes = np.asarray(self.embeddings)[valid]
             scales = np.asarray(self.row_scales)[valid]
-            write_embeddings(out_dir, codes.astype(np.float32)
-                             * scales[:, None], ids,
-                             rows_per_shard=rows_per_shard, dtype="int8")
+            write_quantized(out_dir, codes, scales, ids,
+                            rows_per_shard=rows_per_shard)
         else:
             embs = np.asarray(
                 self.embeddings.astype(jnp.float32))[valid]

@@ -75,6 +75,39 @@ def write_embeddings(
         json.dump(meta, f, indent=2)
 
 
+def write_quantized(
+    out_dir: str,
+    codes: np.ndarray,
+    scales: np.ndarray,
+    ids: np.ndarray,
+    rows_per_shard: int = 500_000,
+) -> None:
+    """Write an int8 store from PRE-QUANTIZED codes + scales (no
+    dequantize/requantize round trip — e.g. persisting a live int8 index)."""
+    assert codes.dtype == np.int8 and scales.shape == (codes.shape[0],)
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, SCALES_NAME), scales.astype(np.float32))
+    n, d = codes.shape
+    shards = []
+    for shard_idx, start in enumerate(range(0, n, rows_per_shard)):
+        end = min(start + rows_per_shard, n)
+        name = f"embs_{shard_idx:05d}.bin"
+        np.ascontiguousarray(codes[start:end]).tofile(
+            os.path.join(out_dir, name))
+        shards.append({"file": name, "rows": end - start})
+    np.save(os.path.join(out_dir, IDS_NAME), ids.astype(np.int64))
+    meta = {
+        "n_vectors": int(n),
+        "dim": int(d),
+        "dtype": "int8",
+        "rows_per_shard": int(rows_per_shard),
+        "shards": shards,
+        "format_version": 1,
+    }
+    with open(os.path.join(out_dir, META_NAME), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
 def _read_raw(out_dir: str, mmap: bool, out_dtype) -> Tuple[np.ndarray, np.ndarray, dict]:
     with open(os.path.join(out_dir, META_NAME)) as f:
         meta = json.load(f)

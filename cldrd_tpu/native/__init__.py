@@ -69,12 +69,11 @@ def _load(name: str, src_name: str):
         raise ImportError("native disabled via CLDRD_TPU_NO_NATIVE")
     if _HERE not in sys.path:
         sys.path.insert(0, _HERE)
-    try:
-        return __import__(name)
-    except ImportError:
-        if not _build_one(name, src_name):
-            raise
-        return __import__(name)
+    # build BEFORE import (mtime-checked, a no-op when fresh): importing
+    # first would let a stale .so permanently shadow newer source
+    if not _build_one(name, src_name) and not os.path.exists(_so_path(name)):
+        raise ImportError(f"native build of {name} failed")
+    return __import__(name)
 
 
 # _tsvparse is the package's import contract: failure here raises and the

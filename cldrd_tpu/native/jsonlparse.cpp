@@ -154,25 +154,32 @@ PyObject* parse_number(Cursor& cur) {
             break;
         }
     }
-    if (q == start) {
+    if (q == start || q - start >= 63) {
         cur.failed = true;
         return nullptr;
     }
+    // strtod/strtoll re-scan from their start pointer with NO end bound: on
+    // a raw mmap a truncated file ending in a digit at an exact page
+    // boundary would read past the mapping. Copy the bounded token into a
+    // stack buffer first.
+    char buf[64];
+    memcpy(buf, start, static_cast<size_t>(q - start));
+    buf[q - start] = '\0';
     if (is_float) {
         char* endp = nullptr;
-        double v = strtod(start, &endp);
-        if (endp != q) {
+        double v = strtod(buf, &endp);
+        if (endp != buf + (q - start)) {
             cur.failed = true;
             return nullptr;
         }
         cur.p = q;
         return PyFloat_FromDouble(v);
     }
-    // integer: inline parse (training pids fit int64; overflow -> fallback)
+    // integer: training pids fit int64; overflow -> fallback
     errno = 0;
     char* endp = nullptr;
-    long long v = strtoll(start, &endp, 10);
-    if (endp != q || errno == ERANGE) {
+    long long v = strtoll(buf, &endp, 10);
+    if (endp != buf + (q - start) || errno == ERANGE) {
         cur.failed = true;
         return nullptr;
     }
@@ -287,10 +294,18 @@ PyObject* parse_jsonl(PyObject*, PyObject* args) {
         const char* nl = static_cast<const char*>(
             memchr(p, '\n', static_cast<size_t>(end - p)));
         const char* line_end = nl != nullptr ? nl : end;
-        // skip blank lines
         const char* q = p;
         while (q < line_end && (*q == ' ' || *q == '\t' || *q == '\r')) ++q;
-        if (q < line_end) {
+        if (q >= line_end) {
+            // blank line: json.loads('') raises on the Python path, so the
+            // native path must not silently skip it (rank-sharded line
+            // numbering would diverge) — fall the whole file back
+            Py_DECREF(out);
+            PyErr_SetString(PyExc_ValueError,
+                            "jsonlparse: blank line (fallback)");
+            return nullptr;
+        }
+        {
             Cursor cur{q, line_end};
             PyObject* obj = parse_object(cur);
             if (obj == nullptr) {

@@ -1216,3 +1216,36 @@ def test_index_add_remove_save(tmp_path, corpus):
         sb, ib = back.search(probe, 5)
         np.testing.assert_array_equal(ib, i)
         np.testing.assert_allclose(sb, s, rtol=1e-5, atol=1e-5)
+
+
+def test_index_add_in_place_and_id_validation(corpus):
+    """Small adds fill the existing padding tail IN PLACE: the corpus shape
+    (and therefore the compiled search executable) is unchanged. Out-of-
+    range ids are rejected loudly instead of wrapping through int32."""
+    q, c, ids = corpus
+    for dtype in (jnp.float32, jnp.int8):
+        # 3000 rows pad to 3072 -> 72 free tail rows
+        idx = FlatIPIndex.build(c[:3000], ids[:3000], dtype=dtype,
+                                block_rows=512)
+        shape0 = idx.embeddings.shape
+        rng = np.random.default_rng(7)
+        new_c = rng.standard_normal((50, c.shape[1])).astype(np.float32)
+        new_ids = np.arange(20_000, 20_050, dtype=np.int64)
+        idx2 = idx.add(new_c, new_ids)  # consumes idx (donated buffer)
+        assert idx2.embeddings.shape == shape0  # in place: no growth
+        assert idx2.n_vectors == 3050
+        s, i = idx2.search(new_c[:3] * 10.0, 3)
+        assert list(i[:, 0]) == [20_000, 20_001, 20_002]
+
+        # beyond capacity: grows by a block-aligned slab
+        big = rng.standard_normal((100, c.shape[1])).astype(np.float32)
+        idx3 = idx2.add(big, np.arange(30_000, 30_100, dtype=np.int64))
+        assert idx3.embeddings.shape[0] > shape0[0]
+        assert idx3.n_vectors == 3150
+
+        # id range validation (int32 map, -1 reserved)
+        with pytest.raises(ValueError, match="2\\*\\*31"):
+            idx3.add(new_c[:1], np.asarray([2**31], np.int64))
+        with pytest.raises(ValueError, match="2\\*\\*31"):
+            FlatIPIndex.build(c[:10], np.asarray([-5] + [0] * 9, np.int64),
+                              dtype=dtype, block_rows=512)
