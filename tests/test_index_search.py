@@ -1249,3 +1249,22 @@ def test_index_add_in_place_and_id_validation(corpus):
         with pytest.raises(ValueError, match="2\\*\\*31"):
             FlatIPIndex.build(c[:10], np.asarray([-5] + [0] * 9, np.int64),
                               dtype=dtype, block_rows=512)
+
+
+def test_remove_then_add_reuses_tail_capacity(corpus):
+    """Tombstoning trailing docs turns them back into add() capacity: the
+    corpus shape stays constant through a remove -> add cycle."""
+    q, c, ids = corpus
+    idx = FlatIPIndex.build(c[:3072], np.arange(3072, dtype=np.int64),
+                            dtype=jnp.float32, block_rows=512)
+    shape0 = idx.embeddings.shape
+    assert idx._free_tail() == 0
+    idx = idx.remove(list(range(3000, 3072)))  # tail tombstones
+    assert idx._free_tail() == 72
+    rng = np.random.default_rng(3)
+    add_c = rng.standard_normal((72, c.shape[1])).astype(np.float32)
+    idx = idx.add(add_c, np.arange(50_000, 50_072, dtype=np.int64))
+    assert idx.embeddings.shape == shape0  # reused, no growth
+    assert idx.n_vectors == 3072
+    s, i = idx.search(add_c[:2] * 10.0, 2)
+    assert list(i[:, 0]) == [50_000, 50_001]
