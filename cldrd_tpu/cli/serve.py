@@ -180,12 +180,18 @@ class SearchService:
             p.event.set()
 
     def warmup(self) -> None:
-        """Compile the steady-state executables before serving traffic."""
+        """Compile the steady-state executables before serving traffic —
+        including the passage tower, so the first /add does not hold the
+        device lock through a multi-second XLA compile."""
         with self._lock:
             tokens = self.tokenizer(["warmup"], self.max_length)
             tokens = self._pad(tokens, self.encode_batch)
             embs = np.asarray(self.encode_fn(tokens))
             self.index.search(embs[:1], self.default_k)
+            if self.passage_encode_fn is not None:
+                ptokens = self.tokenizer(["warmup"], self.passage_max_length)
+                np.asarray(self.passage_encode_fn(
+                    self._pad(ptokens, self.encode_batch)))
 
     def _pad(self, tokens, to: int):
         n = tokens["input_ids"].shape[0]
@@ -356,7 +362,10 @@ class _Handler(BaseHTTPRequestHandler):
                 payload = {"ok": True, "n_vectors": n}
             payload["elapsed_ms"] = round((time.perf_counter() - t0) * 1e3, 2)
             self._reply(200, payload)
-        except (KeyError, TypeError, ValueError, json.JSONDecodeError) as e:
+        except (KeyError, TypeError, ValueError, OverflowError,
+                json.JSONDecodeError) as e:
+            # OverflowError: numpy >= 2 raises it for out-of-range int
+            # casts (e.g. a remove id beyond int64) — still a client error
             self._reply(400, {"error": str(e)})
         except NotImplementedError as e:
             self._reply(400, {"error": str(e)})
@@ -409,6 +418,12 @@ def make_service(args) -> SearchService:
         args.checkpoint, model, cfg, args.share_weights,
         max_query_len=args.max_length,
     )
+    for flag, val in (("--max-length", args.max_length),
+                      ("--passage-max-length", args.passage_max_length)):
+        if val > cfg.max_position_embeddings:
+            raise SystemExit(
+                f"{flag} {val} exceeds the model's max_position_embeddings"
+                f"={cfg.max_position_embeddings}")
     mesh = None
     if args.shards != 1:
         from cldrd_tpu.parallel import CORPUS_AXIS, make_mesh

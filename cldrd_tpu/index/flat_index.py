@@ -112,7 +112,10 @@ class FlatIPIndex:
 
     @property
     def n_vectors(self) -> int:
-        return int((np.asarray(self.row_ids) >= 0).sum())
+        # cached host copy: /healthz and every add/remove response read
+        # this — a fresh device fetch would stream the whole id array
+        # (35 MB at 8.8M rows) per call
+        return int((self._host_ids() >= 0).sum())
 
     @classmethod
     def build(
@@ -233,6 +236,13 @@ class FlatIPIndex:
         free = self._free_tail()
         n_total = len(self._host_ids())
 
+        if 0 < free < n:
+            # split: fill the tail in place, slab only the overflow —
+            # otherwise the free rows would become unreachable interior
+            # padding forever
+            mid = self.add(embeddings[:free], ids[:free])
+            return mid.add(embeddings[free:], ids[free:])
+
         if int8:
             rows, scales_new = quantize_rows(embeddings, xp=np)
         else:
@@ -298,7 +308,9 @@ class FlatIPIndex:
         if self.mesh is not None:
             raise NotImplementedError("remove() on a sharded index: "
                                       "rebuild instead")
-        drop = np.asarray(sorted(set(int(i) for i in ids)), np.int32)
+        drop_list = sorted(set(int(i) for i in ids))
+        _check_ids(np.asarray(drop_list, np.int64))
+        drop = np.asarray(drop_list, np.int32)
         host = self._host_ids()
         new_ids = np.where(np.isin(host, drop), -1, host).astype(np.int32)
         return FlatIPIndex(

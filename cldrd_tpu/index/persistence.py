@@ -49,24 +49,31 @@ def write_embeddings(
     os.makedirs(out_dir, exist_ok=True)
     n, d = embeddings.shape
     assert ids.shape == (n,)
-    int8 = dtype == "int8"
-    if int8:
+    if dtype == "int8":
         from .flat_index import quantize_rows
 
         embeddings, scales = quantize_rows(embeddings, xp=np)
         np.save(os.path.join(out_dir, SCALES_NAME), scales)
+    _write_store(out_dir, embeddings, ids, rows_per_shard, dtype)
+
+
+def _write_store(out_dir, rows, ids, rows_per_shard, dtype_str) -> None:
+    """Shared shard/meta writer for both store flavors."""
+    n, d = rows.shape
+    assert ids.shape == (n,), (ids.shape, n)
+    os.makedirs(out_dir, exist_ok=True)
     shards = []
     for shard_idx, start in enumerate(range(0, n, rows_per_shard)):
         end = min(start + rows_per_shard, n)
         name = f"embs_{shard_idx:05d}.bin"
-        block = np.ascontiguousarray(embeddings[start:end], dtype=np.dtype(dtype))
+        block = np.ascontiguousarray(rows[start:end], dtype=np.dtype(dtype_str))
         block.tofile(os.path.join(out_dir, name))
         shards.append({"file": name, "rows": end - start})
     np.save(os.path.join(out_dir, IDS_NAME), ids.astype(np.int64))
     meta = {
         "n_vectors": int(n),
         "dim": int(d),
-        "dtype": dtype,
+        "dtype": dtype_str,
         "rows_per_shard": int(rows_per_shard),
         "shards": shards,
         "format_version": 1,
@@ -87,25 +94,7 @@ def write_quantized(
     assert codes.dtype == np.int8 and scales.shape == (codes.shape[0],)
     os.makedirs(out_dir, exist_ok=True)
     np.save(os.path.join(out_dir, SCALES_NAME), scales.astype(np.float32))
-    n, d = codes.shape
-    shards = []
-    for shard_idx, start in enumerate(range(0, n, rows_per_shard)):
-        end = min(start + rows_per_shard, n)
-        name = f"embs_{shard_idx:05d}.bin"
-        np.ascontiguousarray(codes[start:end]).tofile(
-            os.path.join(out_dir, name))
-        shards.append({"file": name, "rows": end - start})
-    np.save(os.path.join(out_dir, IDS_NAME), ids.astype(np.int64))
-    meta = {
-        "n_vectors": int(n),
-        "dim": int(d),
-        "dtype": "int8",
-        "rows_per_shard": int(rows_per_shard),
-        "shards": shards,
-        "format_version": 1,
-    }
-    with open(os.path.join(out_dir, META_NAME), "w") as f:
-        json.dump(meta, f, indent=2)
+    _write_store(out_dir, codes, ids, rows_per_shard, "int8")
 
 
 def _read_raw(out_dir: str, mmap: bool, out_dtype) -> Tuple[np.ndarray, np.ndarray, dict]:

@@ -90,9 +90,15 @@ struct Cursor {
 PyObject* parse_string(Cursor& cur) {
     ++cur.p;  // opening quote
     const char* start = cur.p;
-    // fast path: no escapes
+    // fast path: no escapes; raw control chars are invalid JSON
     const char* q = start;
-    while (q < cur.end && *q != '"' && *q != '\\') ++q;
+    while (q < cur.end && *q != '"' && *q != '\\') {
+        if (static_cast<unsigned char>(*q) < 0x20) {
+            cur.failed = true;
+            return nullptr;
+        }
+        ++q;
+    }
     if (q >= cur.end) {
         cur.failed = true;
         return nullptr;
@@ -106,6 +112,10 @@ PyObject* parse_string(Cursor& cur) {
     buf.reserve(64);
     const char* r = start;
     while (r < cur.end && *r != '"') {
+        if (static_cast<unsigned char>(*r) < 0x20) {
+            cur.failed = true;
+            return nullptr;
+        }
         if (*r != '\\') {
             buf.push_back(*r++);
             continue;
@@ -143,15 +153,33 @@ PyObject* parse_number(Cursor& cur) {
     const char* q = start;
     bool is_float = false;
     if (q < cur.end && *q == '-') ++q;
-    while (q < cur.end) {
-        char c = *q;
-        if (c >= '0' && c <= '9') {
-            ++q;
-        } else if (c == '.' || c == 'e' || c == 'E' || c == '+' || c == '-') {
-            is_float = true;
-            ++q;
-        } else {
-            break;
+    // integer part: '0' or [1-9][0-9]* (JSON grammar; json.loads rejects 007)
+    const char* int_start = q;
+    while (q < cur.end && *q >= '0' && *q <= '9') ++q;
+    if (q == int_start ||
+        (*int_start == '0' && q - int_start > 1)) {
+        cur.failed = true;
+        return nullptr;
+    }
+    if (q < cur.end && *q == '.') {
+        is_float = true;
+        ++q;
+        const char* frac = q;
+        while (q < cur.end && *q >= '0' && *q <= '9') ++q;
+        if (q == frac) {  // '1.' is invalid JSON
+            cur.failed = true;
+            return nullptr;
+        }
+    }
+    if (q < cur.end && (*q == 'e' || *q == 'E')) {
+        is_float = true;
+        ++q;
+        if (q < cur.end && (*q == '+' || *q == '-')) ++q;
+        const char* exp = q;
+        while (q < cur.end && *q >= '0' && *q <= '9') ++q;
+        if (q == exp) {  // '1e' is invalid JSON
+            cur.failed = true;
+            return nullptr;
         }
     }
     if (q == start || q - start >= 63) {

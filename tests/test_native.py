@@ -222,3 +222,43 @@ def test_jsonl_throughput_faster_than_python(tmp_path):
     print(f"\njsonlparse: native {20_000/t_native:,.0f} rows/s vs "
           f"python {20_000/t_py:,.0f} rows/s ({t_py/t_native:.1f}x)")
     assert t_native <= t_py * 1.2
+
+
+def test_jsonl_strictness_matches_json_loads(tmp_path):
+    """Acceptance cannot depend on whether the extension built: inputs
+    json.loads REJECTS must make the native parser fall back (raise), not
+    silently parse — leading zeros, trailing-dot floats, bare exponents,
+    raw control characters."""
+    import json
+
+    parse = _native_jsonl()
+    for bad_line in (
+        '{"qid": 007}',
+        '{"x": 1.}',
+        '{"x": 1e}',
+        '{"t": "a\tb"}',  # raw tab inside a string literal
+    ):
+        with __import__("pytest").raises(json.JSONDecodeError):
+            json.loads(bad_line)
+        p = str(tmp_path / "bad.jsonl")
+        open(p, "w").write(bad_line + "\n")
+        with pytest.raises(ValueError):
+            parse(p)
+
+    # ... while valid spellings still parse identically
+    good = '{"a": 0, "b": -0.5, "c": 1e3, "d": 10.25e-2, "e": [0, 1]}'
+    p = str(tmp_path / "good.jsonl")
+    open(p, "w").write(good + "\n")
+    assert parse(p) == [json.loads(good)]
+
+
+def test_jsonl_blank_line_falls_back(tmp_path):
+    """Blank lines fall the whole file back (the Python path crashes on
+    them, so rank-sharded line numbering can never diverge silently)."""
+    import json
+
+    parse = _native_jsonl()
+    p = str(tmp_path / "blank.jsonl")
+    open(p, "w").write('{"qid": 1}\n\n{"qid": 2}\n')
+    with pytest.raises(ValueError):
+        parse(p)
