@@ -531,7 +531,8 @@ def test_cli_serve_sharded(corpus_files, tmp_path):
     args = cli_serve.build_parser().parse_args([
         "--index", idx_dir, "--port", "0", "--shards", "0",
         "--model-size", "tiny", "--tokenizer", "hash",
-        "--max-length", "12", "--encode-batch-size", "8", "--topk", "5",
+        "--max-length", "12", "--passage-max-length", "16",
+        "--encode-batch-size", "8", "--topk", "5",
     ])
     httpd = cli_serve.serve(args)
     svc = httpd.RequestHandlerClass.service
