@@ -407,6 +407,13 @@ class Trainer:
 
         from cldrd_tpu.data.prefetch import prefetch
 
+        # the packed layout is a COLLATION property: reconcile the dataset
+        # with the config here, otherwise a cfg.pack_passages=True run over
+        # a flat-collating dataset dies mid-loop with an opaque pjit
+        # pytree-structure error (packed_passages vs nway_passages)
+        if getattr(dataset, "pack_passages", None) != cfg.pack_passages:
+            dataset.pack_passages = cfg.pack_passages
+
         first_batch_checked = False
         for epoch in range(start_epoch, cfg.num_train_epochs):
             state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))

@@ -529,3 +529,19 @@ def test_tensorboard_optional_logging(tmp_path):
     assert events, os.listdir(tb_dir)
     # TSV log still written alongside
     assert os.path.exists(os.path.join(trainer.run_dir, "train_logs.log"))
+
+
+def test_packed_accum_tensorboard_compose(tmp_path):
+    """Feature composition smoke: sequence packing + gradient accumulation
+    + TensorBoard in one run — finite losses, correct step accounting."""
+    pytest.importorskip("torch.utils.tensorboard")
+    cfg = _tiny_cfg(tmp_path, experiment_name="combo", batch_size=4,
+                    grad_accum_steps=2, num_train_epochs=1,
+                    pack_passages=True, tensorboard=True)
+    trainer = Trainer(cfg, DistilBertConfig.tiny(), mesh=make_mesh(4))
+    metrics = []
+    state = trainer.train(_tiny_dataset(),
+                          step_hook=lambda s, m: metrics.append(m))
+    assert int(state.step) == 4  # 16/4 micro-steps
+    assert all(np.isfinite(m["loss"]) for m in metrics)
+    assert os.path.isdir(os.path.join(trainer.run_dir, "tb"))
