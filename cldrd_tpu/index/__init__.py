@@ -1,4 +1,6 @@
 from .flat_index import FlatIPIndex, quantize_rows
+from .ivf_index import IVFIndex, ivf_exists
+from .kmeans import assign_clusters, kmeans
 from .builder import (
     build_index_from_dataset,
     build_index_on_device,
@@ -14,6 +16,10 @@ from .persistence import (
 
 __all__ = [
     "FlatIPIndex",
+    "IVFIndex",
+    "ivf_exists",
+    "assign_clusters",
+    "kmeans",
     "quantize_rows",
     "build_index_from_dataset",
     "build_index_on_device",

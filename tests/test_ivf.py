@@ -1,0 +1,205 @@
+"""IVF index: k-means, exactness at full probe, recall, persistence.
+
+The IVF index is a capability ADDITION over the reference (whose FAISS
+build ships IndexIVFFlat even though CL-DRD uses Flat,
+``/root/reference/retriever/retrieval_utils.py:116-129``): it targets the
+low-batch serving regime where the flat scan cannot amortize the corpus
+stream over a large query batch.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cldrd_tpu.index.kmeans import assign_clusters, kmeans
+from cldrd_tpu.index.ivf_index import IVFIndex, ivf_exists
+from cldrd_tpu.index.flat_index import FlatIPIndex
+
+
+def _clustered(n_clusters=32, per=64, d=32, seed=0, spread=0.05):
+    """Well-separated Gaussian blobs; returns (x, true_centers)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, d)).astype(np.float32) * 3.0
+    x = (centers[np.repeat(np.arange(n_clusters), per)]
+         + rng.normal(size=(n_clusters * per, d)).astype(np.float32) * spread)
+    return x.astype(np.float32), centers
+
+
+class TestKMeans:
+    def test_recovers_separated_clusters(self):
+        x, centers = _clustered()
+        c = kmeans(x, 32, iters=25, seed=1)
+        assert c.shape == (32, x.shape[1]) and c.dtype == np.float32
+        # every true center should have a learned centroid within the blob
+        d2 = ((centers[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        assert float(d2.min(axis=1).max()) < 0.1
+        # and the assignment should split rows into 32 nonempty groups
+        a = assign_clusters(x, c)
+        assert a.shape == (len(x),) and a.dtype == np.int32
+        assert len(np.unique(a)) == 32
+
+    def test_assignment_is_nearest_centroid(self):
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(500, 16)).astype(np.float32)
+        c = rng.normal(size=(13, 16)).astype(np.float32)
+        a = assign_clusters(x, c, block=128)
+        oracle = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1).argmin(1)
+        np.testing.assert_array_equal(a, oracle)
+
+    def test_k_greater_than_n_raises(self):
+        with pytest.raises(ValueError):
+            kmeans(np.zeros((4, 8), np.float32), 5)
+
+    def test_no_nans_with_duplicate_points(self):
+        # degenerate input: many identical rows -> empty clusters reseed
+        x = np.ones((256, 8), np.float32)
+        c = kmeans(x, 16, iters=5, seed=0)
+        assert np.isfinite(c).all()
+
+
+def _random_corpus(n=3000, d=48, nq=32, seed=0):
+    rng = np.random.default_rng(seed)
+    corpus = rng.normal(size=(n, d)).astype(np.float32)
+    ids = rng.permutation(10 * n)[:n].astype(np.int64)
+    q = rng.normal(size=(nq, d)).astype(np.float32)
+    return corpus, ids, q
+
+
+class TestIVFIndex:
+    def test_full_probe_is_exact_fp32(self):
+        corpus, ids, q = _random_corpus()
+        idx = IVFIndex.build(corpus, ids, nlist=16, slot=256,
+                             dtype=jnp.float32, precision="highest",
+                             kmeans_iters=5, seed=0)
+        v, got = idx.search(q, 10, nprobe=idx.n_buckets)
+        oracle = ids[np.argsort(-(q @ corpus.T), axis=1)[:, :10]]
+        np.testing.assert_array_equal(got, oracle)
+        np.testing.assert_allclose(
+            v, np.sort(q @ corpus.T, axis=1)[:, ::-1][:, :10], rtol=1e-6)
+
+    def test_full_probe_matches_flat_index_bf16(self):
+        corpus, ids, q = _random_corpus(seed=1)
+        ivf = IVFIndex.build(corpus, ids, nlist=8, slot=512,
+                             kmeans_iters=4, seed=1)
+        flat = FlatIPIndex.build(corpus, ids, block_rows=1024)
+        vi, ii = ivf.search(q, 20, nprobe=ivf.n_buckets)
+        vf, fi = flat.search(q, 20)
+        # both pipelines round matmul inputs to bf16 and accumulate fp32,
+        # but the IVF einsum sums in bucket order while the flat kernel
+        # sums in corpus order — scores agree to accumulation-order LSBs,
+        # and the id SETS must agree everywhere scores are separated
+        np.testing.assert_allclose(vi, vf, rtol=1e-5)
+        overlap = np.mean([
+            len(set(ii[r]) & set(fi[r].astype(np.int32))) / 20
+            for r in range(len(q))
+        ])
+        assert overlap >= 0.99, overlap
+
+    def test_partial_probe_recall_on_clustered_data(self):
+        x, _ = _clustered(n_clusters=64, per=128, d=32, seed=5)
+        ids = np.arange(len(x)).astype(np.int64)
+        rng = np.random.default_rng(7)
+        # queries near blob members -> their true neighbors live in 1 cell
+        q = x[rng.choice(len(x), 64, replace=False)] + \
+            rng.normal(size=(64, 32)).astype(np.float32) * 0.01
+        idx = IVFIndex.build(x, ids, nlist=64, slot=256, kmeans_iters=10,
+                             seed=5)
+        exact = FlatIPIndex.build(x, ids, block_rows=1024)
+        ve, ie = exact.search(q, 10)
+        v, i = idx.search(q, 10, nprobe=8)
+        hit = np.mean([
+            len(set(i[r]) & set(ie[r].astype(np.int32))) / 10
+            for r in range(len(q))
+        ])
+        assert hit >= 0.9, hit
+
+    def test_recall_monotone_in_nprobe(self):
+        corpus, ids, q = _random_corpus(n=4096, seed=2)
+        idx = IVFIndex.build(corpus, ids, nlist=16, slot=512,
+                             kmeans_iters=5, seed=2)
+        oracle = ids[np.argsort(-(q @ corpus.T), axis=1)[:, :10]]
+
+        def recall(npr):
+            _, got = idx.search(q, 10, nprobe=npr)
+            return np.mean([
+                len(set(got[r]) & set(oracle[r].astype(np.int64))) / 10
+                for r in range(len(q))
+            ])
+
+        r1, r4, rall = recall(1), recall(4), recall(idx.n_buckets)
+        assert r1 <= r4 + 1e-9 and r4 <= rall + 1e-9
+        assert rall >= 0.99  # full probe == exact modulo bf16 ties
+
+    def test_int8_full_probe_matches_flat_int8(self):
+        corpus, ids, q = _random_corpus(seed=3)
+        ivf = IVFIndex.build(corpus, ids, nlist=8, slot=512,
+                             dtype=jnp.int8, kmeans_iters=4, seed=3)
+        flat = FlatIPIndex.build(corpus, ids, dtype=jnp.int8,
+                                 block_rows=1024)
+        vi, ii = ivf.search(q, 15, nprobe=ivf.n_buckets)
+        vf, fi = flat.search(q, 15)
+        np.testing.assert_allclose(vi, vf, rtol=1e-6)
+        for r in range(len(q)):
+            assert set(ii[r]) == set(fi[r].astype(np.int32))
+
+    def test_persistence_roundtrip(self, tmp_path):
+        corpus, ids, q = _random_corpus(seed=4)
+        idx = IVFIndex.build(corpus, ids, nlist=8, slot=256,
+                             kmeans_iters=4, seed=4, nprobe=3)
+        out = str(tmp_path / "ivf")
+        assert not ivf_exists(out)
+        idx.save(out)
+        assert ivf_exists(out)
+        back = IVFIndex.load(out)
+        assert back.slot == idx.slot and back.nprobe == 3
+        v0, i0 = idx.search(q, 10, nprobe=4)
+        v1, i1 = back.search(q, 10, nprobe=4)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(v0, v1, rtol=0, atol=0)
+
+    def test_persistence_roundtrip_int8(self, tmp_path):
+        corpus, ids, q = _random_corpus(seed=8)
+        idx = IVFIndex.build(corpus, ids, nlist=4, slot=512,
+                             dtype=jnp.int8, kmeans_iters=3, seed=8)
+        out = str(tmp_path / "ivf8")
+        idx.save(out)
+        back = IVFIndex.load(out)
+        v0, i0 = idx.search(q, 10, nprobe=2)
+        v1, i1 = back.search(q, 10, nprobe=2)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(v0, v1, rtol=0, atol=0)
+
+    def test_remove_tombstones(self):
+        corpus, ids, q = _random_corpus(seed=6)
+        idx = IVFIndex.build(corpus, ids, nlist=8, slot=512,
+                             dtype=jnp.float32, precision="highest",
+                             kmeans_iters=4, seed=6)
+        n0 = idx.n_vectors
+        drop = ids[:50]
+        idx2 = idx.remove(drop)
+        assert idx2.n_vectors == n0 - 50
+        _, got = idx2.search(q, 25, nprobe=idx2.n_buckets)
+        assert not (set(got.ravel()) & set(int(i) for i in drop))
+        # survivors still exact at full probe
+        keep = np.setdiff1d(np.arange(len(ids)), np.arange(50))
+        oracle = ids[keep][np.argsort(
+            -(q @ corpus[keep].T), axis=1)[:, :25]]
+        for r in range(len(q)):
+            assert set(got[r]) == set(oracle[r].astype(np.int32))
+
+    def test_k_exceeding_probed_rows_raises(self):
+        corpus, ids, q = _random_corpus(n=2048, seed=7)
+        idx = IVFIndex.build(corpus, ids, nlist=16, slot=128,
+                             kmeans_iters=3, seed=7)
+        with pytest.raises(ValueError):
+            idx.search(q, 1000, nprobe=1)
+
+    def test_nprobe_clamps_to_n_buckets(self):
+        corpus, ids, q = _random_corpus(n=1024, seed=9)
+        idx = IVFIndex.build(corpus, ids, nlist=4, slot=512,
+                             dtype=jnp.float32, precision="highest",
+                             kmeans_iters=3, seed=9)
+        v, i = idx.search(q, 5, nprobe=10_000)  # clamp, no error
+        oracle = ids[np.argsort(-(q @ corpus.T), axis=1)[:, :5]]
+        for r in range(len(q)):
+            assert set(i[r]) == set(oracle[r].astype(np.int64))
