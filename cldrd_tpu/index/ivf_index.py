@@ -106,6 +106,13 @@ def _ivf_search(
     return v, ids
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows(buf, idx, rows):
+    """In-place (donated) row scatter for live adds — the bucket matrix is
+    aliased, no second corpus materializes."""
+    return buf.at[idx].set(rows)
+
+
 @dataclass
 class IVFIndex:
     """Approximate MIPS index: bucketed corpus + per-bucket centroids."""
@@ -118,6 +125,8 @@ class IVFIndex:
     nprobe: int = 8             # default probes (override per search)
     precision: str = "default"
     bucket_scales: Optional[jax.Array] = None  # [n_buckets, slot] fp32 (int8)
+    bucket_cluster: Optional[np.ndarray] = None  # [n_buckets] int32 host map
+                                # bucket -> training cluster (add() routing)
 
     @property
     def dim(self) -> int:
@@ -184,7 +193,7 @@ class IVFIndex:
         # group rows by cluster, chunk each cluster into slot-row buckets
         order = np.argsort(assign, kind="stable")
         sizes = np.bincount(assign, minlength=nlist)
-        bucket_rows, bucket_rowids, bucket_cents = [], [], []
+        bucket_rows, bucket_rowids, bucket_cents, bucket_cl = [], [], [], []
         start = 0
         for c in range(nlist):
             rows = order[start : start + sizes[c]]
@@ -193,7 +202,6 @@ class IVFIndex:
                 continue
             for s0 in range(0, len(rows), slot):
                 chunk = rows[s0 : s0 + slot]
-                pad = slot - len(chunk)
                 blk = np.zeros((slot, d), np.float32)
                 blk[: len(chunk)] = embeddings[chunk]
                 bid = np.full((slot,), -1, np.int32)
@@ -201,9 +209,11 @@ class IVFIndex:
                 bucket_rows.append(blk)
                 bucket_rowids.append(bid)
                 bucket_cents.append(centroids[c])
+                bucket_cl.append(c)
         mat = np.stack(bucket_rows)                       # [nb, slot, D]
         bids = np.stack(bucket_rowids)                    # [nb, slot]
         cents = np.stack(bucket_cents)                    # [nb, D]
+        bcl = np.asarray(bucket_cl, np.int32)             # [nb]
 
         scales = None
         if jnp.dtype(dtype) == jnp.int8:
@@ -222,6 +232,7 @@ class IVFIndex:
             nprobe=nprobe,
             precision=precision,
             bucket_scales=scales,
+            bucket_cluster=bcl,
         )
 
     # ------------------------------------------------------------ search
@@ -250,6 +261,115 @@ class IVFIndex:
 
     # ------------------------------------------------------- live updates
 
+    def add(self, embeddings: np.ndarray, ids) -> "IVFIndex":
+        """Append documents to the resident IVF index (FAISS IVF
+        ``add_with_ids`` equivalence: assign to the nearest trained
+        centroid, no retraining). Returns a NEW index; the old object is
+        CONSUMED (its bucket matrix is donated to an in-place scatter).
+
+        New rows first fill free slots (padding or reclaimed tombstones)
+        in their cluster's existing buckets — a device row-scatter, no
+        shape change, so the compiled search executable is reused. Only
+        cluster overflow appends new buckets (shape change -> the next
+        search recompiles)."""
+        embeddings = np.asarray(embeddings, np.float32)
+        n, d = embeddings.shape
+        ids = np.asarray(ids)
+        assert ids.shape == (n,) and d == self.dim
+        _check_ids(ids)
+        if self.bucket_cluster is None:
+            raise ValueError("this IVFIndex carries no bucket->cluster map "
+                             "(pre-add-format store); rebuild to add()")
+        # route: nearest bucket centroid == nearest cluster centroid
+        # (a multi-bucket cluster duplicates its centroid; ties land on
+        # any of its buckets, and we re-route through the cluster map)
+        nearest_bucket = assign_clusters(embeddings,
+                                         np.asarray(self.centroids))
+        clusters = self.bucket_cluster[nearest_bucket]
+
+        cluster_buckets: dict = {}
+        for b, c in enumerate(self.bucket_cluster):
+            cluster_buckets.setdefault(int(c), []).append(b)
+        host_ids = self._host_ids().copy()
+        free: dict = {}
+        placements: dict = {}       # bucket -> [(slot_pos, new_row_idx)]
+        overflow: dict = {}         # cluster -> [new_row_idx]
+        for i in range(n):
+            c = int(clusters[i])
+            for b in cluster_buckets[c]:
+                fl = free.setdefault(
+                    b, list(np.flatnonzero(host_ids[b] == -1)))
+                if fl:
+                    placements.setdefault(b, []).append((int(fl.pop(0)), i))
+                    break
+            else:
+                overflow.setdefault(c, []).append(i)
+
+        int8 = self.buckets.dtype == jnp.int8
+        if int8:
+            codes_new, scales_new = quantize_rows(embeddings, xp=np)
+        buckets, scales = self.buckets, self.bucket_scales
+
+        if placements:
+            idx = np.asarray(sorted(placements), np.int32)
+            dev_idx = jnp.asarray(idx)
+            cur = np.asarray(jnp.take(buckets, dev_idx, axis=0))
+            cur = cur.reshape(len(idx), self.slot, d).copy()
+            cur_sc = (np.asarray(jnp.take(scales, dev_idx, axis=0)).copy()
+                      if int8 else None)
+            for j, b in enumerate(idx):
+                for s, i in placements[int(b)]:
+                    cur[j, s] = codes_new[i] if int8 else embeddings[i]
+                    host_ids[b, s] = np.int32(ids[i])
+                    if int8:
+                        cur_sc[j, s] = scales_new[i]
+            buckets = _scatter_rows(
+                buckets, dev_idx,
+                jnp.asarray(cur.reshape(len(idx), self.slot * d),
+                            dtype=buckets.dtype))
+            if int8:
+                scales = _scatter_rows(scales, dev_idx, jnp.asarray(cur_sc))
+
+        centroids, bcl = self.centroids, self.bucket_cluster
+        if overflow:
+            cent_host = np.asarray(self.centroids)
+            nbk_rows, nbk_ids, nbk_cents, nbk_cl, nbk_sc = [], [], [], [], []
+            for c, idxs in sorted(overflow.items()):
+                ccent = cent_host[cluster_buckets[c][0]]
+                for s0 in range(0, len(idxs), self.slot):
+                    chunk = idxs[s0 : s0 + self.slot]
+                    blk = np.zeros(
+                        (self.slot, d), np.int8 if int8 else np.float32)
+                    blk[: len(chunk)] = (codes_new[chunk] if int8
+                                         else embeddings[chunk])
+                    bid = np.full((self.slot,), -1, np.int32)
+                    bid[: len(chunk)] = ids[chunk].astype(np.int32)
+                    nbk_rows.append(blk)
+                    nbk_ids.append(bid)
+                    nbk_cents.append(ccent)
+                    nbk_cl.append(c)
+                    if int8:
+                        sc = np.ones((self.slot,), np.float32)
+                        sc[: len(chunk)] = scales_new[chunk]
+                        nbk_sc.append(sc)
+            slab = np.stack(nbk_rows).reshape(len(nbk_rows), self.slot * d)
+            buckets = jnp.concatenate(
+                [buckets, jnp.asarray(slab, dtype=buckets.dtype)])
+            host_ids = np.concatenate([host_ids, np.stack(nbk_ids)])
+            centroids = jnp.concatenate(
+                [centroids, jnp.asarray(np.stack(nbk_cents))])
+            bcl = np.concatenate([bcl, np.asarray(nbk_cl, np.int32)])
+            if int8:
+                scales = jnp.concatenate(
+                    [scales, jnp.asarray(np.stack(nbk_sc))])
+
+        return IVFIndex(
+            centroids=centroids, buckets=buckets,
+            bucket_ids=jnp.asarray(host_ids), slot=self.slot,
+            nprobe=self.nprobe, precision=self.precision,
+            bucket_scales=scales, bucket_cluster=bcl,
+        )
+
     def remove(self, ids) -> "IVFIndex":
         """Tombstone matching rows (id -> -1); FAISS ``remove_ids``
         equivalence. Capacity within the bucket is reclaimable by add()."""
@@ -262,6 +382,7 @@ class IVFIndex:
             bucket_ids=jnp.asarray(new_ids.astype(np.int32)),
             slot=self.slot, nprobe=self.nprobe, precision=self.precision,
             bucket_scales=self.bucket_scales,
+            bucket_cluster=self.bucket_cluster,
         )
 
     # -------------------------------------------------------- persistence
@@ -278,6 +399,9 @@ class IVFIndex:
         if self.bucket_scales is not None:
             np.save(os.path.join(out_dir, "bucket_scales.npy"),
                     np.asarray(self.bucket_scales))
+        if self.bucket_cluster is not None:
+            np.save(os.path.join(out_dir, "bucket_cluster.npy"),
+                    self.bucket_cluster.astype(np.int32))
         meta = {
             "slot": int(self.slot),
             "nprobe": int(self.nprobe),
@@ -305,6 +429,7 @@ class IVFIndex:
             dev = jnp.asarray(buckets)
         else:
             dev = jnp.asarray(buckets, dtype=dtype or jnp.bfloat16)
+        bcl_path = os.path.join(out_dir, "bucket_cluster.npy")
         return cls(
             centroids=jnp.asarray(cents),
             buckets=dev,
@@ -313,6 +438,8 @@ class IVFIndex:
             nprobe=int(meta["nprobe"]),
             precision=precision or meta.get("precision", "default"),
             bucket_scales=scales,
+            bucket_cluster=(np.load(bcl_path)
+                            if os.path.isfile(bcl_path) else None),
         )
 
 

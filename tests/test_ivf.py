@@ -187,6 +187,77 @@ class TestIVFIndex:
         for r in range(len(q)):
             assert set(got[r]) == set(oracle[r].astype(np.int32))
 
+    def test_add_fills_free_slots_then_overflows(self):
+        corpus, ids, q = _random_corpus(n=2000, seed=10)
+        idx = IVFIndex.build(corpus, ids, nlist=8, slot=512,
+                             dtype=jnp.float32, precision="highest",
+                             kmeans_iters=4, seed=10)
+        nb0 = idx.n_buckets
+        rng = np.random.default_rng(11)
+        new = rng.normal(size=(300, corpus.shape[1])).astype(np.float32)
+        new_ids = (np.arange(300) + 1_000_000).astype(np.int64)
+        idx2 = idx.add(new, new_ids)
+        assert idx2.n_vectors == 2300
+        # full probe over the grown index == exact oracle over the union
+        allc = np.concatenate([corpus, new])
+        alli = np.concatenate([ids, new_ids])
+        _, got = idx2.search(q, 20, nprobe=idx2.n_buckets)
+        oracle = alli[np.argsort(-(q @ allc.T), axis=1)[:, :20]]
+        np.testing.assert_array_equal(got, oracle)
+        # free capacity was plentiful: no overflow buckets appended
+        assert idx2.n_buckets == nb0
+
+    def test_add_overflow_appends_buckets(self):
+        corpus, ids, q = _random_corpus(n=1000, seed=12)
+        # slot chosen tight so adds MUST overflow
+        idx = IVFIndex.build(corpus, ids, nlist=4, slot=256,
+                             dtype=jnp.float32, precision="highest",
+                             kmeans_iters=4, seed=12)
+        rng = np.random.default_rng(13)
+        new = rng.normal(size=(1500, corpus.shape[1])).astype(np.float32)
+        new_ids = (np.arange(1500) + 2_000_000).astype(np.int64)
+        idx2 = idx.add(new, new_ids)
+        assert idx2.n_buckets > idx.n_buckets
+        assert idx2.n_vectors == 2500
+        allc = np.concatenate([corpus, new])
+        alli = np.concatenate([ids, new_ids])
+        _, got = idx2.search(q, 10, nprobe=idx2.n_buckets)
+        oracle = alli[np.argsort(-(q @ allc.T), axis=1)[:, :10]]
+        np.testing.assert_array_equal(got, oracle)
+
+    def test_add_reuses_tombstoned_slots(self):
+        corpus, ids, q = _random_corpus(n=1024, seed=14)
+        idx = IVFIndex.build(corpus, ids, nlist=4, slot=256,
+                             dtype=jnp.float32, precision="highest",
+                             kmeans_iters=3, seed=14)
+        nb0 = idx.n_buckets
+        idx = idx.remove(ids[:100])
+        rng = np.random.default_rng(15)
+        # re-add near the removed rows so they route to the same clusters
+        new = corpus[:100] + rng.normal(
+            size=(100, corpus.shape[1])).astype(np.float32) * 0.01
+        idx2 = idx.add(new, (np.arange(100) + 5_000_000).astype(np.int64))
+        assert idx2.n_vectors == 1024
+        assert idx2.n_buckets == nb0  # reclaimed, not grown
+
+    def test_add_int8_quantizes_like_flat(self):
+        corpus, ids, q = _random_corpus(n=1024, seed=16)
+        idx = IVFIndex.build(corpus, ids, nlist=4, slot=512,
+                             dtype=jnp.int8, kmeans_iters=3, seed=16)
+        rng = np.random.default_rng(17)
+        new = rng.normal(size=(64, corpus.shape[1])).astype(np.float32)
+        new_ids = (np.arange(64) + 7_000_000).astype(np.int64)
+        idx2 = idx.add(new, new_ids)
+        flat = FlatIPIndex.build(
+            np.concatenate([corpus, new]),
+            np.concatenate([ids, new_ids]),
+            dtype=jnp.int8, block_rows=1024)
+        vi, ii = idx2.search(q, 10, nprobe=idx2.n_buckets)
+        vf, fi = flat.search(q, 10)
+        np.testing.assert_allclose(vi, vf, rtol=1e-6)
+        for r in range(len(q)):
+            assert set(ii[r]) == set(fi[r].astype(np.int32))
+
     def test_k_exceeding_probed_rows_raises(self):
         corpus, ids, q = _random_corpus(n=2048, seed=7)
         idx = IVFIndex.build(corpus, ids, nlist=16, slot=128,
