@@ -69,6 +69,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "built on first use, then streamed at memmap speed "
                         "on every rebuild (the curriculum re-encodes the "
                         "same collection after each iteration)")
+    p.add_argument("--ivf-nlist", type=int, default=None,
+                   help="ALSO build an IVF index (k-means coarse quantizer "
+                        "with this many cells) into <out>/ivf — the "
+                        "low-latency serving companion to the exact flat "
+                        "store (cldrd-serve --ivf --nprobe N)")
+    p.add_argument("--ivf-slot", type=int, default=None,
+                   help="rows per IVF bucket (default: mean cluster size "
+                        "rounded up to 128)")
+    p.add_argument("--ivf-nprobe", type=int, default=8,
+                   help="default probe count stored with the IVF index")
     add_model_args(p)
     return p
 
@@ -140,6 +150,26 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     write_embeddings(args.out, embeddings, ids, dtype=args.store_dtype)
     logger.info("index written to %s", args.out)
+    if args.ivf_nlist:
+        import os
+
+        from cldrd_tpu.index import IVFIndex
+
+        t0 = time.perf_counter()
+        ivf = IVFIndex.build(
+            embeddings, ids, nlist=args.ivf_nlist, slot=args.ivf_slot,
+            nprobe=args.ivf_nprobe,
+            # fp32 build for a lossless store; int8 follows the flat
+            # store's quantization choice. The HBM dtype is picked at
+            # load time (cldrd-serve --hbm-dtype).
+            dtype=jnp.int8 if args.store_dtype == "int8" else jnp.float32,
+        )
+        ivf_dir = os.path.join(args.out, "ivf")
+        ivf.save(ivf_dir)
+        logger.info(
+            "IVF index (%d buckets x %d slot) written to %s in %.1fs",
+            ivf.n_buckets, ivf.slot, ivf_dir, time.perf_counter() - t0,
+        )
     return 0
 
 

@@ -395,6 +395,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shards", type=int, default=1,
                    help="shard the corpus over this many local devices; "
                         "0 = all local devices")
+    p.add_argument("--ivf", action="store_true",
+                   help="serve from the IVF index at <index>/ivf "
+                        "(built by cldrd-index --ivf-nlist): probes "
+                        "--nprobe cells per query instead of scanning the "
+                        "whole corpus — the low-latency mode for small "
+                        "request batches")
+    p.add_argument("--nprobe", type=int, default=None,
+                   help="IVF cells probed per query (default: the value "
+                        "stored at build time); higher = better recall, "
+                        "nprobe=n_buckets = exact")
     p.add_argument("--max-batch-wait-ms", type=float, default=2.0,
                    help="dynamic micro-batching window: how long the "
                         "device worker waits for more concurrent requests "
@@ -426,16 +436,39 @@ def make_service(args) -> SearchService:
                 f"={cfg.max_position_embeddings}")
     mesh = None
     if args.shards != 1:
+        if getattr(args, "ivf", False):
+            raise SystemExit("--ivf does not combine with --shards: the "
+                             "IVF index is single-device (it exists for "
+                             "the low-latency regime; shard the flat "
+                             "index for capacity)")
         from cldrd_tpu.parallel import CORPUS_AXIS, make_mesh
 
         mesh = make_mesh(args.shards or None, CORPUS_AXIS)
-    index = load_index(
-        args.index,
-        mesh=mesh,
-        dtype=jnp.dtype({"float32": jnp.float32, "int8": jnp.int8}
-                        .get(args.hbm_dtype, jnp.bfloat16)),
-        precision=args.precision,
-    )
+    hbm_dtype = jnp.dtype({"float32": jnp.float32, "int8": jnp.int8}
+                          .get(args.hbm_dtype, jnp.bfloat16))
+    if getattr(args, "ivf", False):
+        import os
+
+        from cldrd_tpu.index import IVFIndex, ivf_exists
+
+        ivf_dir = os.path.join(args.index, "ivf")
+        if not ivf_exists(ivf_dir):
+            raise SystemExit(
+                f"no IVF index at {ivf_dir}: build one with "
+                "cldrd-index --ivf-nlist N (or drop --ivf)")
+        index = IVFIndex.load(ivf_dir, dtype=hbm_dtype,
+                              precision=args.precision)
+        if args.nprobe:
+            index.nprobe = min(args.nprobe, index.n_buckets)
+        logger.info("IVF serving: %d buckets x %d slot, nprobe=%d",
+                    index.n_buckets, index.slot, index.nprobe)
+    else:
+        index = load_index(
+            args.index,
+            mesh=mesh,
+            dtype=hbm_dtype,
+            precision=args.precision,
+        )
     encode = make_encode_fn(model, params, "query_embs")
     passage_encode = make_encode_fn(model, params, "passage_embs")
     return SearchService(

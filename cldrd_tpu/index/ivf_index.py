@@ -428,6 +428,11 @@ class IVFIndex:
                 np.load(os.path.join(out_dir, "bucket_scales.npy")))
             dev = jnp.asarray(buckets)
         else:
+            if dtype is not None and jnp.dtype(dtype) == jnp.int8:
+                raise ValueError(
+                    "int8 HBM requested but this IVF store is float "
+                    "(a raw cast would destroy the rows); rebuild with "
+                    "cldrd-index --store-dtype int8 --ivf-nlist N")
             dev = jnp.asarray(buckets, dtype=dtype or jnp.bfloat16)
         bcl_path = os.path.join(out_dir, "bucket_cluster.npy")
         return cls(

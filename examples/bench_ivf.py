@@ -1,0 +1,172 @@
+"""IVF vs flat-scan latency in the LOW-BATCH serving regime (one chip).
+
+The flat kernel's 37k QPS headline is a large-batch number: 512 queries
+amortize one corpus stream. A single serving request cannot — it pays the
+whole HBM scan alone. The IVF index probes ``nprobe`` buckets instead, so
+per-pass HBM traffic drops from N rows to B * nprobe * slot rows.
+
+This bench measures, on device-generated data (the axon tunnel's ~5 MB/s
+host link must stay out of the build AND the measurement):
+
+1. flat exact search latency at B=8 and B=512 (context: the amortization)
+2. IVF search latency at B=8 for nprobe in {8, 16, 32, 64}
+3. recall@10 of each nprobe level against the flat exact ids
+
+The corpus is generated DIRECTLY in bucket layout (cluster centroids +
+intra-cluster noise on device) and the same rows are flattened for the
+flat index — identical data, identical HBM footprint, so the latency
+ratio is purely algorithmic. Queries perturb corpus rows so recall is a
+meaningful (clustered-data) number, plus a uniform-query recall line as
+the adversarial floor.
+
+Timing uses the marginal protocol (t(N)-t(1))/(N-1) with np.asarray
+syncs, cycling 4 distinct query sets to defeat any single-batch luck.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+NB = 2048          # buckets
+SLOT = 512         # rows per bucket -> 1.05M rows total
+DIM = 768
+K = 10
+B_SERVE = 8
+B_BATCH = 512
+N_QSETS = 4
+REPS = 12
+
+if "--small" in sys.argv:  # CPU smoke of the bench plumbing
+    NB, SLOT, DIM, B_BATCH, REPS = 64, 128, 64, 64, 3
+
+
+def _log(msg):
+    print(f"# {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
+
+
+def _sync(x):
+    return np.asarray(x[0, 0] if x.ndim >= 2 else x[0])
+
+
+def time_marginal(fn, qsets, reps=REPS):
+    """(t(reps) - t(1)) / (reps - 1), cycling distinct query sets."""
+    _sync(fn(qsets[0])[0])  # compile
+    t0 = time.perf_counter()
+    _sync(fn(qsets[0])[0])
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    outs = [fn(qsets[i % N_QSETS]) for i in range(reps)]
+    _sync(outs[-1][0])
+    tn = time.perf_counter() - t0
+    return (tn - t1) / (reps - 1)
+
+
+def main():
+    from cldrd_tpu.index.flat_index import FlatIPIndex
+    from cldrd_tpu.index.ivf_index import IVFIndex
+
+    _log(f"generating {NB}x{SLOT} bucketed corpus on device ...")
+    key = jax.random.PRNGKey(0)
+    kc, kn, kq, kp = jax.random.split(key, 4)
+    cents = jax.random.normal(kc, (NB, DIM), jnp.float32) * 2.0
+    noise = jax.random.normal(kn, (NB, SLOT, DIM), jnp.float32) * 0.35
+    buckets3 = (cents[:, None, :] + noise).astype(jnp.bfloat16)
+    ids = jnp.arange(NB * SLOT, dtype=jnp.int32).reshape(NB, SLOT)
+    _sync(buckets3[0])
+
+    ivf = IVFIndex(
+        centroids=cents,
+        buckets=buckets3.reshape(NB, SLOT * DIM),
+        bucket_ids=ids,
+        slot=SLOT,
+        bucket_cluster=np.arange(NB, dtype=np.int32),
+    )
+    flat = FlatIPIndex(
+        embeddings=buckets3.reshape(NB * SLOT, DIM),
+        row_ids=ids.reshape(-1),
+        mesh=None,
+    )
+
+    # clustered queries: perturbed corpus rows (realistic serving traffic)
+    row_pick = jax.random.randint(kp, (N_QSETS, B_SERVE), 0, NB * SLOT)
+    qsets8 = [
+        (buckets3.reshape(NB * SLOT, DIM)[row_pick[i]].astype(jnp.float32)
+         + jax.random.normal(jax.random.fold_in(kq, i),
+                             (B_SERVE, DIM), jnp.float32) * 0.1
+         ).astype(jnp.bfloat16)
+        for i in range(N_QSETS)
+    ]
+    qsets512 = [
+        jnp.tile(qsets8[i], (B_BATCH // B_SERVE, 1)) for i in range(N_QSETS)
+    ]
+    uniform8 = [
+        jax.random.normal(jax.random.fold_in(kq, 100 + i),
+                          (B_SERVE, DIM), jnp.bfloat16)
+        for i in range(N_QSETS)
+    ]
+    for q in qsets8 + qsets512 + uniform8:
+        _sync(q)
+
+    _log("flat exact search (B=8, B=512) ...")
+    t_flat8 = time_marginal(lambda q: flat.search(q, K), qsets8)
+    t_flat512 = time_marginal(lambda q: flat.search(q, K), qsets512)
+    print(json.dumps({
+        "config": "flat_exact", "rows": NB * SLOT,
+        "B8_ms": round(t_flat8 * 1e3, 2),
+        "B512_ms": round(t_flat512 * 1e3, 2),
+        "B8_qps": round(B_SERVE / t_flat8, 1),
+        "B512_qps": round(B_BATCH / t_flat512, 1),
+    }), flush=True)
+
+    # exact ids for recall (flat is the oracle; same bf16 pipeline)
+    exact8 = [flat.search(q, K)[1] for q in qsets8]
+    exact_u = [flat.search(q, K)[1] for q in uniform8]
+
+    best = None
+    for nprobe in (8, 16, 32, 64):
+        _log(f"IVF nprobe={nprobe} ...")
+        t_ivf = time_marginal(
+            lambda q, p=nprobe: ivf.search(q, K, nprobe=p), qsets8)
+
+        def recall(got_sets, oracle_sets):
+            vals = []
+            for i in range(N_QSETS):
+                got = got_sets[i]
+                for r in range(B_SERVE):
+                    vals.append(
+                        len(set(got[r]) & set(oracle_sets[i][r])) / K)
+            return float(np.mean(vals))
+
+        got8 = [ivf.search(q, K, nprobe=nprobe)[1] for q in qsets8]
+        gotu = [ivf.search(q, K, nprobe=nprobe)[1] for q in uniform8]
+        rec = recall(got8, exact8)
+        rec_u = recall(gotu, exact_u)
+        line = {
+            "config": f"ivf_nprobe{nprobe}",
+            "rows_probed": nprobe * SLOT,
+            "B8_ms": round(t_ivf * 1e3, 2),
+            "B8_qps": round(B_SERVE / t_ivf, 1),
+            "recall@10_clustered": round(rec, 4),
+            "recall@10_uniform": round(rec_u, 4),
+            "speedup_vs_flat_B8": round(t_flat8 / t_ivf, 2),
+        }
+        print(json.dumps(line), flush=True)
+        if rec >= 0.99 and best is None:
+            best = line
+
+    if best is not None:
+        print(json.dumps({
+            "metric": "ivf_serving_speedup_at_recall99",
+            "value": best["speedup_vs_flat_B8"],
+            "unit": "x",
+            "detail": best["config"],
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -461,6 +461,90 @@ def test_cli_serve(corpus_files, tmp_path):
         httpd.server_close()
 
 
+def test_cli_serve_ivf(corpus_files, tmp_path):
+    """cldrd-index --ivf-nlist builds the IVF companion store; cldrd-serve
+    --ivf serves it. At full probe the answers must match the exact flat
+    index loaded from the same artifacts; /add and /remove keep working."""
+    import threading
+    import urllib.request
+
+    from cldrd_tpu.cli import serve as cli_serve
+    from cldrd_tpu.index import load_index
+
+    f = corpus_files
+    idx_dir = str(tmp_path / "ivf_idx")
+    rc = cli_index.main([
+        "--collection", f["passages"], "--out", idx_dir,
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "16", "--batch-size", "8",
+        "--compute-dtype", "float32",
+        "--ivf-nlist", "4", "--ivf-slot", "128", "--ivf-nprobe", "2",
+    ])
+    assert rc == 0
+    assert os.path.isfile(os.path.join(idx_dir, "ivf", "ivf_meta.json"))
+
+    import jax.numpy as jnp
+
+    args = cli_serve.build_parser().parse_args([
+        "--index", idx_dir, "--port", "0",
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "12", "--passage-max-length", "16",
+        "--encode-batch-size", "8", "--topk", "5",
+        "--ivf", "--nprobe", "100",  # clamps to n_buckets -> exact
+        "--hbm-dtype", "float32", "--precision", "highest",
+    ])
+    httpd = cli_serve.serve(args)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    svc = httpd.RequestHandlerClass.service
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["n_vectors"] == 96
+
+        queries = ["find subject3 info", "find subject7 info"]
+        got = post("/search", {"queries": queries, "k": 5})["results"]
+
+        # exact-parity oracle: the FLAT index over the same artifacts,
+        # queried with the service's own encoder
+        flat = load_index(idx_dir, dtype=jnp.float32, precision="highest")
+        tokens = svc._pad(svc.tokenizer(queries, svc.max_length),
+                          svc.encode_batch)
+        embs = np.asarray(svc.encode_fn(tokens))[: len(queries)]
+        _, flat_ids = flat.search(embs, 5)
+        for r in range(len(queries)):
+            assert [h["id"] for h in got[r]] == flat_ids[r].tolist()
+
+        # live updates ride the IVF add/remove paths
+        n0 = svc.index.n_vectors
+        out = post("/add", {"ids": [9100, 9101], "texts":
+                            ["find walrus info inside", "find emu info inside"]})
+        assert out["ok"] and out["n_vectors"] == n0 + 2
+        top1 = post("/search", {"queries": [queries[0]],
+                                "k": 5})["results"][0][0]["id"]
+        out = post("/remove", {"ids": [top1]})
+        assert out["n_vectors"] == n0 + 1
+        hits = post("/search", {"queries": [queries[0]], "k": 5})
+        assert all(h["id"] != top1 for h in hits["results"][0])
+    finally:
+        svc.close()
+        httpd.shutdown()
+        httpd.server_close()
+
+
 def test_cli_create_training_data_both_teacher_arches(corpus_files, tmp_path):
     """cldrd-create-training-data end-to-end: candidates run -> teacher
     rerank -> 4 curriculum JSONL stages, with BOTH teacher families
