@@ -244,8 +244,22 @@ class IVFIndex:
         -1 fills ranks beyond the probed rows).
 
         ``nprobe`` clamps to ``n_buckets`` (at which point the search is
-        EXACT — every bucket is visited)."""
+        EXACT — every bucket is visited).
+
+        The query batch pads to the next power of two (>= 8) by
+        replicating the first row: the dynamic micro-batcher in
+        ``cldrd-serve`` produces arbitrary group sizes, and one compiled
+        executable per DISTINCT batch size would recompile constantly.
+        Power-of-two padding bounds the executable count at ~5 while the
+        wasted gather traffic stays < 2x (unlike the flat index's
+        pad-to-128, which is free there because the corpus scan does not
+        grow with B)."""
         q = jnp.asarray(queries, self._query_dtype)
+        b = q.shape[0]
+        b_pad = max(8, 1 << (b - 1).bit_length())
+        if b_pad != b:
+            q = jnp.concatenate(
+                [q, jnp.broadcast_to(q[:1], (b_pad - b, q.shape[1]))])
         p = min(nprobe or self.nprobe, self.n_buckets)
         if p * self.slot < k and p < self.n_buckets:
             raise ValueError(
@@ -257,7 +271,7 @@ class IVFIndex:
             q, self.centroids, self.buckets, self.bucket_ids, scales,
             k, p, self.slot, self.precision,
         )
-        return np.asarray(v), np.asarray(ids)
+        return np.asarray(v)[:b], np.asarray(ids)[:b]
 
     # ------------------------------------------------------- live updates
 

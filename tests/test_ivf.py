@@ -265,6 +265,22 @@ class TestIVFIndex:
         with pytest.raises(ValueError):
             idx.search(q, 1000, nprobe=1)
 
+    def test_ragged_batch_sizes_share_padded_shapes(self):
+        """Odd batch sizes (the dynamic micro-batcher produces arbitrary
+        group sizes) pad to powers of two and return exactly B rows,
+        identical to the full-batch answers."""
+        corpus, ids, q = _random_corpus(n=2048, nq=13, seed=18)
+        idx = IVFIndex.build(corpus, ids, nlist=4, slot=512,
+                             dtype=jnp.float32, precision="highest",
+                             kmeans_iters=3, seed=18)
+        v_all, i_all = idx.search(q, 5, nprobe=idx.n_buckets)
+        assert v_all.shape == (13, 5) and i_all.shape == (13, 5)
+        for b in (1, 3, 8, 13):
+            v, i = idx.search(q[:b], 5, nprobe=idx.n_buckets)
+            assert v.shape == (b, 5)
+            np.testing.assert_array_equal(i, i_all[:b])
+            np.testing.assert_array_equal(v, v_all[:b])
+
     def test_nprobe_clamps_to_n_buckets(self):
         corpus, ids, q = _random_corpus(n=1024, seed=9)
         idx = IVFIndex.build(corpus, ids, nlist=4, slot=512,
