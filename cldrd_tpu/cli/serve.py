@@ -458,7 +458,9 @@ def make_service(args) -> SearchService:
                 "cldrd-index --ivf-nlist N (or drop --ivf)")
         index = IVFIndex.load(ivf_dir, dtype=hbm_dtype,
                               precision=args.precision)
-        if args.nprobe:
+        if args.nprobe is not None:
+            if args.nprobe < 1:
+                raise SystemExit(f"--nprobe must be >= 1 (got {args.nprobe})")
             index.nprobe = min(args.nprobe, index.n_buckets)
         logger.info("IVF serving: %d buckets x %d slot, nprobe=%d",
                     index.n_buckets, index.slot, index.nprobe)

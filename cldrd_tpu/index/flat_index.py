@@ -71,8 +71,42 @@ def quantize_rows(c, xp=np):
     return codes, s
 
 
+def query_dtype_for(store_dtype, precision: str):
+    """THE query-dtype policy, shared by every resident index flavor:
+    int8 stores score bf16 queries against bf16-cast int8 codes (codes
+    <= 127 are exact in bf16); under a non-default precision the caller
+    is paying for exact input precision, so queries stay fp32 — the
+    factorized ``(q . c8) * s`` scores are then fp32-exact (codes are
+    exact in fp32 too). Float stores score in their own dtype."""
+    if store_dtype == jnp.int8:
+        return jnp.float32 if precision != "default" else jnp.bfloat16
+    return store_dtype
+
+
+class HostIdCacheMixin:
+    """Host-cached external-id map shared by the resident index classes.
+
+    ``_ids_field`` names the device id array (-1 = padding/tombstone).
+    The cache matters: /healthz and every add/remove response read
+    ``n_vectors`` — a fresh device fetch would stream the whole id array
+    (35 MB at 8.8M rows) per call."""
+
+    _ids_field = "row_ids"
+
+    def _host_ids(self) -> np.ndarray:
+        ids = getattr(self, "_host_ids_cache", None)
+        if ids is None:
+            ids = np.asarray(getattr(self, self._ids_field))
+            object.__setattr__(self, "_host_ids_cache", ids)
+        return ids
+
+    @property
+    def n_vectors(self) -> int:
+        return int((self._host_ids() >= 0).sum())
+
+
 @dataclass
-class FlatIPIndex:
+class FlatIPIndex(HostIdCacheMixin):
     """Exact MIPS index: embeddings [N_pad, D] + row ids [N_pad] on device."""
 
     embeddings: jax.Array
@@ -101,21 +135,7 @@ class FlatIPIndex:
 
     @property
     def _query_dtype(self):
-        """Queries never quantize: int8 stores score bf16 queries against
-        bf16-cast int8 codes (codes <= 127 are exact in bf16). Under a
-        non-default precision the caller is paying for exact input
-        precision, so queries stay fp32 — the factorized (q . c8) * s
-        scores are then fp32-exact (codes are exact in fp32 too)."""
-        if self.embeddings.dtype == jnp.int8:
-            return jnp.float32 if self.precision != "default" else jnp.bfloat16
-        return self.embeddings.dtype
-
-    @property
-    def n_vectors(self) -> int:
-        # cached host copy: /healthz and every add/remove response read
-        # this — a fresh device fetch would stream the whole id array
-        # (35 MB at 8.8M rows) per call
-        return int((self._host_ids() >= 0).sum())
+        return query_dtype_for(self.embeddings.dtype, self.precision)
 
     @classmethod
     def build(
@@ -348,14 +368,6 @@ class FlatIPIndex:
                 self.embeddings.astype(jnp.float32))[valid]
             write_embeddings(out_dir, embs, ids,
                              rows_per_shard=rows_per_shard)
-
-    def _host_ids(self) -> np.ndarray:
-        """Host copy of the row-id array (cached) for positions -> ids."""
-        ids = getattr(self, "_host_ids_cache", None)
-        if ids is None:
-            ids = np.asarray(self.row_ids)
-            object.__setattr__(self, "_host_ids_cache", ids)
-        return ids
 
     def search(self, queries, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """queries [B, D] (host or device) -> (scores [B, k], ids [B, k]).

@@ -46,11 +46,35 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .flat_index import _check_ids, quantize_rows
+from .flat_index import (
+    HostIdCacheMixin,
+    _check_ids,
+    quantize_rows,
+    query_dtype_for,
+)
 from .kmeans import assign_clusters, kmeans
 from cldrd_tpu.search.mips import _PRECISIONS, NEG_INF
 
 IVF_META_NAME = "ivf_meta.json"
+
+
+def _chunk_into_buckets(row_idx, values, ids, slot: int, scales=None):
+    """Chunk the given rows (indices into ``values``/``ids``[/``scales``])
+    into padded ``slot``-row buckets; the ONE bucket-padding convention
+    (zero rows, id -1, scale 1) shared by build() and add()-overflow.
+    Yields (blk [slot, d], bid [slot] int32, sc [slot] fp32 | None)."""
+    d = values.shape[1]
+    for s0 in range(0, len(row_idx), slot):
+        chunk = row_idx[s0 : s0 + slot]
+        blk = np.zeros((slot, d), values.dtype)
+        blk[: len(chunk)] = values[chunk]
+        bid = np.full((slot,), -1, np.int32)
+        bid[: len(chunk)] = ids[chunk].astype(np.int32)
+        sc = None
+        if scales is not None:
+            sc = np.ones((slot,), np.float32)
+            sc[: len(chunk)] = scales[chunk]
+        yield blk, bid, sc
 
 
 @functools.partial(
@@ -114,8 +138,10 @@ def _scatter_rows(buf, idx, rows):
 
 
 @dataclass
-class IVFIndex:
+class IVFIndex(HostIdCacheMixin):
     """Approximate MIPS index: bucketed corpus + per-bucket centroids."""
+
+    _ids_field = "bucket_ids"
 
     centroids: jax.Array        # [n_buckets, D] fp32 (clusters spanning
                                 # several buckets duplicate their centroid)
@@ -137,21 +163,8 @@ class IVFIndex:
         return self.centroids.shape[0]
 
     @property
-    def n_vectors(self) -> int:
-        return int((self._host_ids() >= 0).sum())
-
-    @property
     def _query_dtype(self):
-        if self.buckets.dtype == jnp.int8:
-            return jnp.float32 if self.precision != "default" else jnp.bfloat16
-        return self.buckets.dtype
-
-    def _host_ids(self) -> np.ndarray:
-        ids = getattr(self, "_host_ids_cache", None)
-        if ids is None:
-            ids = np.asarray(self.bucket_ids)
-            object.__setattr__(self, "_host_ids_cache", ids)
-        return ids
+        return query_dtype_for(self.buckets.dtype, self.precision)
 
     # ------------------------------------------------------------- build
 
@@ -190,24 +203,28 @@ class IVFIndex:
             mean = max(1, n // max(1, nlist))
             slot = max(128, -(-mean // 128) * 128)
 
-        # group rows by cluster, chunk each cluster into slot-row buckets
+        # quantize first (per-row, order-independent), then group rows by
+        # cluster and chunk each cluster into slot-row buckets via the ONE
+        # shared chunker (padding convention identical to add()-overflow)
+        int8 = jnp.dtype(dtype) == jnp.int8
+        values, row_scales = (quantize_rows(embeddings, xp=np) if int8
+                              else (embeddings, None))
         order = np.argsort(assign, kind="stable")
         sizes = np.bincount(assign, minlength=nlist)
-        bucket_rows, bucket_rowids, bucket_cents, bucket_cl = [], [], [], []
+        bucket_rows, bucket_rowids, bucket_scs = [], [], []
+        bucket_cents, bucket_cl = [], []
         start = 0
         for c in range(nlist):
             rows = order[start : start + sizes[c]]
             start += sizes[c]
             if sizes[c] == 0:
                 continue
-            for s0 in range(0, len(rows), slot):
-                chunk = rows[s0 : s0 + slot]
-                blk = np.zeros((slot, d), np.float32)
-                blk[: len(chunk)] = embeddings[chunk]
-                bid = np.full((slot,), -1, np.int32)
-                bid[: len(chunk)] = ids[chunk].astype(np.int32)
+            for blk, bid, sc in _chunk_into_buckets(
+                rows, values, ids, slot, row_scales
+            ):
                 bucket_rows.append(blk)
                 bucket_rowids.append(bid)
+                bucket_scs.append(sc)
                 bucket_cents.append(centroids[c])
                 bucket_cl.append(c)
         mat = np.stack(bucket_rows)                       # [nb, slot, D]
@@ -215,15 +232,10 @@ class IVFIndex:
         cents = np.stack(bucket_cents)                    # [nb, D]
         bcl = np.asarray(bucket_cl, np.int32)             # [nb]
 
-        scales = None
-        if jnp.dtype(dtype) == jnp.int8:
-            codes, s = quantize_rows(mat.reshape(-1, d), xp=np)
-            mat = codes.reshape(mat.shape)
-            scales = jnp.asarray(s.reshape(bids.shape))
-            dev_mat = jnp.asarray(mat.reshape(len(mat), slot * d))
-        else:
-            dev_mat = jnp.asarray(
-                mat.reshape(len(mat), slot * d), dtype=dtype)
+        scales = jnp.asarray(np.stack(bucket_scs)) if int8 else None
+        dev_mat = jnp.asarray(
+            mat.reshape(len(mat), slot * d),
+            dtype=jnp.int8 if int8 else dtype)
         return cls(
             centroids=jnp.asarray(cents),
             buckets=dev_mat,
@@ -256,11 +268,17 @@ class IVFIndex:
         grow with B)."""
         q = jnp.asarray(queries, self._query_dtype)
         b = q.shape[0]
+        p = self.nprobe if nprobe is None else int(nprobe)
+        if p < 1:
+            raise ValueError(f"nprobe must be >= 1 (got {p})")
+        p = min(p, self.n_buckets)
+        if b == 0:
+            return (np.zeros((0, k), np.float32),
+                    np.full((0, k), -1, np.int32))
         b_pad = max(8, 1 << (b - 1).bit_length())
         if b_pad != b:
             q = jnp.concatenate(
                 [q, jnp.broadcast_to(q[:1], (b_pad - b, q.shape[1]))])
-        p = min(nprobe or self.nprobe, self.n_buckets)
         if p * self.slot < k and p < self.n_buckets:
             raise ValueError(
                 f"nprobe*slot ({p}*{self.slot}) < k ({k}): raise nprobe "
@@ -306,66 +324,55 @@ class IVFIndex:
             cluster_buckets.setdefault(int(c), []).append(b)
         host_ids = self._host_ids().copy()
         free: dict = {}
+        cursor: dict = {}           # cluster -> first bucket with free slots
         placements: dict = {}       # bucket -> [(slot_pos, new_row_idx)]
         overflow: dict = {}         # cluster -> [new_row_idx]
-        for i in range(n):
-            c = int(clusters[i])
-            for b in cluster_buckets[c]:
-                fl = free.setdefault(
-                    b, list(np.flatnonzero(host_ids[b] == -1)))
-                if fl:
-                    placements.setdefault(b, []).append((int(fl.pop(0)), i))
-                    break
-            else:
-                overflow.setdefault(c, []).append(i)
-
         int8 = self.buckets.dtype == jnp.int8
         if int8:
             codes_new, scales_new = quantize_rows(embeddings, xp=np)
-        buckets, scales = self.buckets, self.bucket_scales
-
-        if placements:
-            idx = np.asarray(sorted(placements), np.int32)
-            dev_idx = jnp.asarray(idx)
-            cur = np.asarray(jnp.take(buckets, dev_idx, axis=0))
-            cur = cur.reshape(len(idx), self.slot, d).copy()
-            cur_sc = (np.asarray(jnp.take(scales, dev_idx, axis=0)).copy()
-                      if int8 else None)
-            for j, b in enumerate(idx):
-                for s, i in placements[int(b)]:
-                    cur[j, s] = codes_new[i] if int8 else embeddings[i]
+        else:
+            codes_new, scales_new = embeddings, None
+        for i in range(n):
+            c = int(clusters[i])
+            blist = cluster_buckets[c]
+            # per-cluster cursor: once a bucket's free list empties it is
+            # never re-visited in this call (free slots only get consumed),
+            # so routing stays O(n + buckets_touched) instead of
+            # O(n * buckets_per_cluster) when a hot cluster is full
+            j = cursor.get(c, 0)
+            while j < len(blist):
+                b = blist[j]
+                fl = free.setdefault(
+                    b, list(np.flatnonzero(host_ids[b] == -1)))
+                if fl:
+                    s = int(fl.pop(0))
+                    placements.setdefault(b, []).append((s, i))
                     host_ids[b, s] = np.int32(ids[i])
-                    if int8:
-                        cur_sc[j, s] = scales_new[i]
-            buckets = _scatter_rows(
-                buckets, dev_idx,
-                jnp.asarray(cur.reshape(len(idx), self.slot * d),
-                            dtype=buckets.dtype))
-            if int8:
-                scales = _scatter_rows(scales, dev_idx, jnp.asarray(cur_sc))
+                    break
+                j += 1
+            cursor[c] = j
+            if j == len(blist):
+                overflow.setdefault(c, []).append(i)
 
+        # Overflow FIRST: the concatenates below are fallible (host slab
+        # build + device alloc) but non-destructive — self.buckets is only
+        # DONATED in the final scatter, after which nothing can throw, so a
+        # failed add() never leaves the caller holding a consumed index.
+        buckets, scales = self.buckets, self.bucket_scales
         centroids, bcl = self.centroids, self.bucket_cluster
         if overflow:
             cent_host = np.asarray(self.centroids)
             nbk_rows, nbk_ids, nbk_cents, nbk_cl, nbk_sc = [], [], [], [], []
             for c, idxs in sorted(overflow.items()):
                 ccent = cent_host[cluster_buckets[c][0]]
-                for s0 in range(0, len(idxs), self.slot):
-                    chunk = idxs[s0 : s0 + self.slot]
-                    blk = np.zeros(
-                        (self.slot, d), np.int8 if int8 else np.float32)
-                    blk[: len(chunk)] = (codes_new[chunk] if int8
-                                         else embeddings[chunk])
-                    bid = np.full((self.slot,), -1, np.int32)
-                    bid[: len(chunk)] = ids[chunk].astype(np.int32)
+                for blk, bid, sc in _chunk_into_buckets(
+                    np.asarray(idxs), codes_new, ids, self.slot, scales_new
+                ):
                     nbk_rows.append(blk)
                     nbk_ids.append(bid)
                     nbk_cents.append(ccent)
                     nbk_cl.append(c)
-                    if int8:
-                        sc = np.ones((self.slot,), np.float32)
-                        sc[: len(chunk)] = scales_new[chunk]
-                        nbk_sc.append(sc)
+                    nbk_sc.append(sc)
             slab = np.stack(nbk_rows).reshape(len(nbk_rows), self.slot * d)
             buckets = jnp.concatenate(
                 [buckets, jnp.asarray(slab, dtype=buckets.dtype)])
@@ -376,6 +383,25 @@ class IVFIndex:
             if int8:
                 scales = jnp.concatenate(
                     [scales, jnp.asarray(np.stack(nbk_sc))])
+
+        if placements:
+            idx = np.asarray(sorted(placements), np.int32)
+            dev_idx = jnp.asarray(idx)
+            cur = np.asarray(jnp.take(buckets, dev_idx, axis=0))
+            cur = cur.reshape(len(idx), self.slot, d).copy()
+            cur_sc = (np.asarray(jnp.take(scales, dev_idx, axis=0)).copy()
+                      if int8 else None)
+            for j, b in enumerate(idx):
+                for s, i in placements[int(b)]:
+                    cur[j, s] = codes_new[i]
+                    if int8:
+                        cur_sc[j, s] = scales_new[i]
+            buckets = _scatter_rows(
+                buckets, dev_idx,
+                jnp.asarray(cur.reshape(len(idx), self.slot * d),
+                            dtype=buckets.dtype))
+            if int8:
+                scales = _scatter_rows(scales, dev_idx, jnp.asarray(cur_sc))
 
         return IVFIndex(
             centroids=centroids, buckets=buckets,
@@ -437,10 +463,21 @@ class IVFIndex:
         buckets = np.load(os.path.join(out_dir, "buckets.npy"))
         bids = np.load(os.path.join(out_dir, "bucket_ids.npy"))
         scales = None
+        # HBM dtype semantics MATCH persistence.load_index: an int8 store
+        # keeps its codes only when int8 HBM is explicitly requested;
+        # any float request (or the bf16 default) dequantizes codes x
+        # per-row scales — the caller asking for float scoring gets it.
         if meta["dtype"] == "int8":
-            scales = jnp.asarray(
-                np.load(os.path.join(out_dir, "bucket_scales.npy")))
-            dev = jnp.asarray(buckets)
+            sc = np.load(os.path.join(out_dir, "bucket_scales.npy"))
+            if jnp.dtype(dtype or jnp.bfloat16) == jnp.int8:
+                scales = jnp.asarray(sc)
+                dev = jnp.asarray(buckets)
+            else:
+                nb_, slot_ = sc.shape
+                deq = (buckets.reshape(nb_, slot_, meta["dim"])
+                       .astype(np.float32) * sc[:, :, None])
+                dev = jnp.asarray(deq.reshape(nb_, slot_ * meta["dim"]),
+                                  dtype=dtype or jnp.bfloat16)
         else:
             if dtype is not None and jnp.dtype(dtype) == jnp.int8:
                 raise ValueError(

@@ -163,11 +163,22 @@ class TestIVFIndex:
                              dtype=jnp.int8, kmeans_iters=3, seed=8)
         out = str(tmp_path / "ivf8")
         idx.save(out)
-        back = IVFIndex.load(out)
+        # explicit int8 HBM: codes load verbatim -> identical scores
+        back = IVFIndex.load(out, dtype=jnp.int8)
         v0, i0 = idx.search(q, 10, nprobe=2)
         v1, i1 = back.search(q, 10, nprobe=2)
         np.testing.assert_array_equal(i0, i1)
         np.testing.assert_allclose(v0, v1, rtol=0, atol=0)
+        # float request DEQUANTIZES (load_index parity): near-identical
+        # rankings, no scales carried
+        deq = IVFIndex.load(out, dtype=jnp.float32, precision="highest")
+        assert deq.bucket_scales is None
+        v2, i2 = deq.search(q, 10, nprobe=idx.n_buckets)
+        ve, ie = idx.search(q, 10, nprobe=idx.n_buckets)
+        overlap = np.mean([
+            len(set(i2[r]) & set(ie[r])) / 10 for r in range(len(q))
+        ])
+        assert overlap >= 0.99, overlap
 
     def test_remove_tombstones(self):
         corpus, ids, q = _random_corpus(seed=6)
@@ -280,6 +291,16 @@ class TestIVFIndex:
             assert v.shape == (b, 5)
             np.testing.assert_array_equal(i, i_all[:b])
             np.testing.assert_array_equal(v, v_all[:b])
+
+    def test_empty_batch_and_bad_nprobe(self):
+        corpus, ids, _ = _random_corpus(n=1024, seed=19)
+        idx = IVFIndex.build(corpus, ids, nlist=4, slot=512,
+                             kmeans_iters=3, seed=19)
+        v, i = idx.search(np.zeros((0, corpus.shape[1]), np.float32), 5)
+        assert v.shape == (0, 5) and i.shape == (0, 5)
+        with pytest.raises(ValueError):
+            idx.search(np.zeros((2, corpus.shape[1]), np.float32), 5,
+                       nprobe=0)
 
     def test_nprobe_clamps_to_n_buckets(self):
         corpus, ids, q = _random_corpus(n=1024, seed=9)
