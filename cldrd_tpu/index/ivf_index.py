@@ -211,8 +211,15 @@ class IVFIndex(HostIdCacheMixin):
                               else (embeddings, None))
         order = np.argsort(assign, kind="stable")
         sizes = np.bincount(assign, minlength=nlist)
-        bucket_rows, bucket_rowids, bucket_scs = [], [], []
-        bucket_cents, bucket_cl = [], []
+        # preallocate the bucket store (one host copy, not a list-of-blocks
+        # double: at 8.8M x 768 fp32 the transient second copy is 27 GB)
+        nb = int(sum(-(-int(s) // slot) for s in sizes if s))
+        mat = np.zeros((nb, slot, d), np.int8 if int8 else np.float32)
+        bids = np.full((nb, slot), -1, np.int32)
+        scs = np.ones((nb, slot), np.float32) if int8 else None
+        cents = np.empty((nb, d), np.float32)
+        bcl = np.empty((nb,), np.int32)
+        bi = 0
         start = 0
         for c in range(nlist):
             rows = order[start : start + sizes[c]]
@@ -222,19 +229,15 @@ class IVFIndex(HostIdCacheMixin):
             for blk, bid, sc in _chunk_into_buckets(
                 rows, values, ids, slot, row_scales
             ):
-                bucket_rows.append(blk)
-                bucket_rowids.append(bid)
-                bucket_scs.append(sc)
-                bucket_cents.append(centroids[c])
-                bucket_cl.append(c)
-        mat = np.stack(bucket_rows)                       # [nb, slot, D]
-        bids = np.stack(bucket_rowids)                    # [nb, slot]
-        cents = np.stack(bucket_cents)                    # [nb, D]
-        bcl = np.asarray(bucket_cl, np.int32)             # [nb]
+                mat[bi], bids[bi], cents[bi], bcl[bi] = blk, bid, centroids[c], c
+                if int8:
+                    scs[bi] = sc
+                bi += 1
+        assert bi == nb, (bi, nb)
 
-        scales = jnp.asarray(np.stack(bucket_scs)) if int8 else None
+        scales = jnp.asarray(scs) if int8 else None
         dev_mat = jnp.asarray(
-            mat.reshape(len(mat), slot * d),
+            mat.reshape(nb, slot * d),
             dtype=jnp.int8 if int8 else dtype)
         return cls(
             centroids=jnp.asarray(cents),

@@ -147,12 +147,28 @@ def _assign_block_scan(x, centroids, block: int):
 
 
 def assign_clusters(
-    x: np.ndarray, centroids: np.ndarray, block: int = 16384
+    x: np.ndarray, centroids: np.ndarray, block: int = 16384,
+    chunk_rows: int = 1_048_576,
 ) -> np.ndarray:
-    """Nearest-centroid (L2) assignment for every row of ``x`` -> int32 [N]."""
+    """Nearest-centroid (L2) assignment for every row of ``x`` -> int32 [N].
+
+    Rows stream to the device in ``chunk_rows`` slices: a production
+    corpus (8.8M x 768 fp32 = 27 GB) cannot live on device whole, and the
+    assignment only ever needs one chunk resident (chunks are padded to a
+    fixed shape so every slice reuses one compiled executable)."""
+    x = np.asarray(x, np.float32)
     n = x.shape[0]
+    if n > chunk_rows:
+        out = np.empty((n,), np.int32)
+        for s0 in range(0, n, chunk_rows):
+            pad = np.zeros((chunk_rows, x.shape[1]), np.float32)
+            got = x[s0 : s0 + chunk_rows]
+            pad[: len(got)] = got
+            out[s0 : s0 + chunk_rows] = assign_clusters(
+                pad, centroids, block, chunk_rows)[: len(got)]
+        return out
     block = min(block, n)
-    x_pad, _ = _pad_blocks(np.asarray(x, np.float32), block)
+    x_pad, _ = _pad_blocks(x, block)
     out = _assign_block_scan(jnp.asarray(x_pad),
                              jnp.asarray(centroids, jnp.float32), block)
     return np.asarray(out)[:n]
