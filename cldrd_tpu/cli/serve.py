@@ -182,12 +182,25 @@ class SearchService:
     def warmup(self) -> None:
         """Compile the steady-state executables before serving traffic —
         including the passage tower, so the first /add does not hold the
-        device lock through a multi-second XLA compile."""
+        device lock through a multi-second XLA compile.
+
+        Search warms EVERY batch size the micro-batcher can produce after
+        padding: the flat index pads all batches to one shape (a single
+        executable — the loop below hits the jit cache 7 times), but the
+        IVF index pads to powers of two, so each pow2 <= encode_batch is
+        a distinct executable that would otherwise compile inside some
+        unlucky request's latency budget."""
         with self._lock:
             tokens = self.tokenizer(["warmup"], self.max_length)
             tokens = self._pad(tokens, self.encode_batch)
             embs = np.asarray(self.encode_fn(tokens))
-            self.index.search(embs[:1], self.default_k)
+            b = 1
+            while True:
+                self.index.search(embs[: min(b, self.encode_batch)],
+                                  self.default_k)
+                if b >= self.encode_batch:
+                    break
+                b *= 2
             if self.passage_encode_fn is not None:
                 ptokens = self.tokenizer(["warmup"], self.passage_max_length)
                 np.asarray(self.passage_encode_fn(
