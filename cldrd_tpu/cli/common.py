@@ -24,9 +24,17 @@ def setup_logging(verbose: bool = True) -> None:
 
 
 def model_config_from_args(args: argparse.Namespace) -> DistilBertConfig:
+    # --arch selects the config CLASS; the config type drives the towers
+    # (NwayDualEncoder stands up BertEncoder for a BertConfig), so every
+    # CLI gains the BERT/MiniLM dual-encoder family through this one switch
+    arch = getattr(args, "arch", "distilbert") or "distilbert"
+    if arch == "bert":
+        from cldrd_tpu.models import BertConfig as cfg_cls
+    else:
+        cfg_cls = DistilBertConfig
     spec = getattr(args, "model_config", None)
     if spec:
-        # JSON file path or inline JSON dict of DistilBertConfig overrides
+        # JSON file path or inline JSON dict of config overrides
         import json
         import os
 
@@ -38,17 +46,28 @@ def model_config_from_args(args: argparse.Namespace) -> DistilBertConfig:
         overrides.setdefault(
             "attention_impl", getattr(args, "attention_impl", "xla")
         )
-        return DistilBertConfig(**overrides)
+        return cfg_cls(**overrides)
     if getattr(args, "model_size", "full") == "tiny":
-        return DistilBertConfig.tiny()
-    return DistilBertConfig(attention_impl=getattr(args, "attention_impl", "xla"))
+        return cfg_cls.tiny()
+    full_kwargs = dict(attention_impl=getattr(args, "attention_impl", "xla"))
+    if arch == "bert":
+        # full BERT defaults to the bert-base-uncased shape (the inherited
+        # defaults describe distilbert-base: 6 layers)
+        full_kwargs["n_layers"] = 12
+    return cfg_cls(**full_kwargs)
 
 
 def add_model_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--arch", choices=("distilbert", "bert"),
+                   default="distilbert",
+                   help="encoder family: the reference's DistilBERT towers "
+                        "or BERT (token-type embeddings; MiniLM/bert-base "
+                        "retrievers). Checkpoint conversion auto-detects "
+                        "the layout either way")
     p.add_argument("--model-size", choices=("full", "tiny"), default="full",
                    help="'tiny' is the hermetic test configuration")
     p.add_argument("--model-config", default=None,
-                   help="DistilBertConfig overrides as a JSON file path or "
+                   help="config overrides as a JSON file path or "
                         "inline JSON (takes precedence over --model-size)")
     p.add_argument("--attention-impl", choices=("xla", "pallas"), default="xla")
     # default=None so a YAML config's share_weights survives when the flag

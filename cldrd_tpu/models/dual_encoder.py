@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from .bert import BertConfig, BertEncoder
 from .distilbert import DistilBertConfig, DistilBertEncoder, cls_pool
 
 Dtype = Any
@@ -81,15 +82,22 @@ class NwayDualEncoder(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
+        # The config type IS the architecture: a BertConfig stands up BERT
+        # towers (token-type embeddings, HF BertModel numerics — the MiniLM
+        # / bert-base retriever families), a DistilBertConfig the reference's
+        # DistilBERT towers. Blocks are shared, so every downstream path
+        # (packing, cls_only, remat, attention impls) works for both.
+        enc_cls = (BertEncoder if isinstance(self.config, BertConfig)
+                   else DistilBertEncoder)
         if self.share_weights:
-            self.encoder = DistilBertEncoder(self.config, self.dtype, name="encoder")
+            self.encoder = enc_cls(self.config, self.dtype, name="encoder")
             self._query_encoder = self.encoder
             self._passage_encoder = self.encoder
         else:
-            self._query_encoder = DistilBertEncoder(
+            self._query_encoder = enc_cls(
                 self.config, self.dtype, name="query_encoder"
             )
-            self._passage_encoder = DistilBertEncoder(
+            self._passage_encoder = enc_cls(
                 self.config, self.dtype, name="passage_encoder"
             )
 

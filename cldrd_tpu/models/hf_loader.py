@@ -209,11 +209,28 @@ def bert_cross_encoder_torch_to_flax(state_dict: Mapping[str, Any]) -> Params:
     return params
 
 
+def _is_bert_state_dict(sd: Mapping[str, Any]) -> bool:
+    """HF BERT layouts carry token-type embeddings and the
+    ``attention.self.query`` key shape; DistilBERT has neither."""
+    return any(
+        "token_type_embeddings" in k or ".attention.self." in k for k in sd
+    )
+
+
+def _tower_torch_to_flax(sd: Mapping[str, Any]) -> Params:
+    """Arch-sniffing single-tower converter: BERT and DistilBERT towers
+    are distinguishable from their key layout, so dual-encoder warm starts
+    and conversions need no arch flag."""
+    return (bert_torch_to_flax(sd) if _is_bert_state_dict(sd)
+            else distilbert_torch_to_flax(sd))
+
+
 def dual_encoder_torch_to_flax(
     state_dict: Mapping[str, Any], share_weights: bool = False
 ) -> Params:
     """Convert a reference ``NwayDualEncoder`` state_dict (optionally
-    ``module.``-prefixed) into our ``NwayDualEncoder`` param tree."""
+    ``module.``-prefixed) into our ``NwayDualEncoder`` param tree. The
+    tower architecture (DistilBERT or BERT/MiniLM) is auto-detected."""
     sd = strip_prefix(state_dict, "module.")
     towers: Dict[str, Dict[str, Any]] = {"query_encoder": {}, "passage_encoder": {}}
     for key, val in sd.items():
@@ -223,10 +240,10 @@ def dual_encoder_torch_to_flax(
                 towers[tower][key[len(prefix):]] = val
     if share_weights:
         src = towers["query_encoder"] or towers["passage_encoder"]
-        return {"encoder": distilbert_torch_to_flax(src)}
+        return {"encoder": _tower_torch_to_flax(src)}
     return {
-        "query_encoder": distilbert_torch_to_flax(towers["query_encoder"]),
-        "passage_encoder": distilbert_torch_to_flax(towers["passage_encoder"]),
+        "query_encoder": _tower_torch_to_flax(towers["query_encoder"]),
+        "passage_encoder": _tower_torch_to_flax(towers["passage_encoder"]),
     }
 
 
@@ -296,16 +313,24 @@ def dual_encoder_flax_to_torch(
 ) -> Dict[str, np.ndarray]:
     """Inverse of :func:`dual_encoder_torch_to_flax`: export a trained
     ``NwayDualEncoder`` param tree as a reference-layout state_dict
-    (``query_encoder.* / passage_encoder.*`` keys, no ``module.`` prefix)."""
+    (``query_encoder.* / passage_encoder.*`` keys, no ``module.`` prefix).
+    BERT towers (identified by their token-type table) export in HF
+    ``BertModel`` key layout."""
+
+    def tower_to_torch(enc_params):
+        is_bert = "token_type_embeddings" in enc_params.get("embeddings", {})
+        return (bert_flax_to_torch if is_bert
+                else distilbert_flax_to_torch)(enc_params)
+
     if share_weights:
-        enc = distilbert_flax_to_torch(params["encoder"])
+        enc = tower_to_torch(params["encoder"])
         out = {}
         for tower in ("query_encoder", "passage_encoder"):
             out.update({f"{tower}.{k}": v for k, v in enc.items()})
         return out
     out = {}
     for tower in ("query_encoder", "passage_encoder"):
-        enc = distilbert_flax_to_torch(params[tower])
+        enc = tower_to_torch(params[tower])
         out.update({f"{tower}.{k}": v for k, v in enc.items()})
     return out
 

@@ -461,6 +461,50 @@ def test_cli_serve(corpus_files, tmp_path):
         httpd.server_close()
 
 
+def test_cli_pipeline_arch_bert(corpus_files, tmp_path):
+    """--arch bert drives BERT towers through train -> index -> retrieve:
+    the model-family switch is one flag on every CLI (conversion and the
+    trainer need no arch plumbing; the config class carries it)."""
+    f = corpus_files
+    run_folder = str(tmp_path / "bert_runs")
+    rc = cli_train.main([
+        "--queries-path", f["queries"], "--passages-path", f["passages"],
+        "--training-path", f["train"], "--label-mode", "1",
+        "--arch", "bert", "--model-size", "tiny", "--tokenizer", "hash",
+        "--batch-size", "8", "--num-train-epochs", "2",
+        "--learning-rate", "2e-3", "--warmup-steps", "2",
+        "--max-query-len", "12", "--max-passage-len", "16",
+        "--compute-dtype", "float32",
+        "--run-folder", run_folder, "--experiment-name", "bert1",
+        "--logging-steps", "4", "--evaluate-steps", "100",
+    ])
+    assert rc == 0
+    ckpts = [p for p in os.listdir(os.path.join(run_folder, "bert1"))
+             if p.endswith(".msgpack")]
+    assert ckpts
+    ckpt = os.path.join(run_folder, "bert1", sorted(ckpts)[-1])
+
+    index_dir = str(tmp_path / "bert_index")
+    rc = cli_index.main([
+        "--collection", f["passages"], "--checkpoint", ckpt,
+        "--out", index_dir, "--arch", "bert", "--model-size", "tiny",
+        "--tokenizer", "hash", "--max-length", "16", "--batch-size", "32",
+    ])
+    assert rc == 0
+
+    run_path = str(tmp_path / "bert.run.tsv")
+    rc = cli_retrieve.main([
+        "--index", index_dir, "--queries", f["queries"],
+        "--checkpoint", ckpt, "--run", run_path,
+        "--arch", "bert", "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "12", "--topk", "5",
+        "--encode-batch-size", "32", "--search-batch-size", "8",
+    ])
+    assert rc == 0
+    rows = [l.split("\t") for l in open(run_path).read().splitlines()]
+    assert len(rows) == 16 * 5
+
+
 def test_cli_serve_ivf(corpus_files, tmp_path):
     """cldrd-index --ivf-nlist builds the IVF companion store; cldrd-serve
     --ivf serves it. At full probe the answers must match the exact flat

@@ -666,3 +666,85 @@ def test_minilm_l6_full_size_fidelity():
         "token_type_ids": jnp.array(types),
     })
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
+
+
+def test_bert_dual_encoder_matches_hf_torch():
+    """NwayDualEncoder with a BertConfig stands up BERT towers: converted
+    random-init HF BertModel tower weights must reproduce HF CLS embeddings
+    (fp32) through query_embs/passage_embs and the n-way logits — the
+    MiniLM/bert-base retriever families, beyond the reference's DistilBERT."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    from cldrd_tpu.models import NwayDualEncoder
+    from cldrd_tpu.models.hf_loader import dual_encoder_torch_to_flax
+
+    torch.manual_seed(7)
+    q_hf = transformers.BertModel(_hf_bert_config(BERT_TINY, transformers)).eval()
+    torch.manual_seed(8)
+    p_hf = transformers.BertModel(_hf_bert_config(BERT_TINY, transformers)).eval()
+    sd = {f"query_encoder.{k}": v for k, v in q_hf.state_dict().items()}
+    sd.update({f"passage_encoder.{k}": v for k, v in p_hf.state_dict().items()})
+    params = dual_encoder_torch_to_flax(sd)  # layout auto-detected as BERT
+    assert "token_type_embeddings" in params["query_encoder"]["embeddings"]
+
+    model = NwayDualEncoder(config=BERT_TINY, dtype=jnp.float32)
+    rng = np.random.default_rng(9)
+    q_ids, q_mask = _rand_batch(rng, 4, 10, BERT_TINY.vocab_size)
+    p_ids, p_mask = _rand_batch(rng, 4 * 3, 16, BERT_TINY.vocab_size)
+
+    with torch.no_grad():
+        q_ref = q_hf(
+            input_ids=torch.tensor(q_ids, dtype=torch.long),
+            attention_mask=torch.tensor(q_mask, dtype=torch.long),
+        ).last_hidden_state[:, 0, :].numpy()
+        p_ref = p_hf(
+            input_ids=torch.tensor(p_ids, dtype=torch.long),
+            attention_mask=torch.tensor(p_mask, dtype=torch.long),
+        ).last_hidden_state[:, 0, :].numpy()
+
+    q_ours = model.apply(
+        {"params": params},
+        {"input_ids": jnp.array(q_ids), "attention_mask": jnp.array(q_mask)},
+        method=NwayDualEncoder.query_embs,
+    )
+    p_ours = model.apply(
+        {"params": params},
+        {"input_ids": jnp.array(p_ids), "attention_mask": jnp.array(p_mask)},
+        method=NwayDualEncoder.passage_embs,
+    )
+    np.testing.assert_allclose(np.asarray(q_ours), q_ref, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(p_ours), p_ref, atol=2e-5, rtol=2e-5)
+
+    # full n-way forward: logits equal the oracle dot products
+    logits = model.apply(
+        {"params": params},
+        {"input_ids": jnp.array(q_ids), "attention_mask": jnp.array(q_mask)},
+        {"input_ids": jnp.array(p_ids.reshape(4, 3, 16)),
+         "attention_mask": jnp.array(p_mask.reshape(4, 3, 16))},
+    )
+    want = np.einsum("bd,bnd->bn", q_ref, p_ref.reshape(4, 3, -1))
+    np.testing.assert_allclose(np.asarray(logits), want, atol=2e-4, rtol=2e-4)
+
+
+def test_bert_dual_encoder_export_roundtrip():
+    """dual_encoder_flax_to_torch detects BERT towers and exports HF
+    BertModel key layout; torch->flax->torch is the identity."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    from cldrd_tpu.models.hf_loader import (
+        dual_encoder_flax_to_torch,
+        dual_encoder_torch_to_flax,
+    )
+
+    torch.manual_seed(11)
+    hf = transformers.BertModel(_hf_bert_config(BERT_TINY, transformers)).eval()
+    sd = {f"{t}.{k}": v for t in ("query_encoder", "passage_encoder")
+          for k, v in hf.state_dict().items()}
+    params = dual_encoder_torch_to_flax(sd)
+    back = dual_encoder_flax_to_torch(params)
+    assert "query_encoder.embeddings.token_type_embeddings.weight" in back
+    for key, val in back.items():
+        orig = sd[key]
+        np.testing.assert_array_equal(val, orig.numpy(), err_msg=key)
