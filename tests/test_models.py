@@ -748,3 +748,37 @@ def test_bert_dual_encoder_export_roundtrip():
     for key, val in back.items():
         orig = sd[key]
         np.testing.assert_array_equal(val, orig.numpy(), err_msg=key)
+
+
+def test_bert_packed_passage_embs_exact():
+    """Sequence packing works identically for BERT towers (shared blocks:
+    segment-masked attention + per-segment position reset carry over; the
+    token-type-0 row broadcast is position-independent so packing cannot
+    disturb it)."""
+    from cldrd_tpu.data.packing import pack_nway_batch
+    from cldrd_tpu.models import NwayDualEncoder
+
+    rng = np.random.default_rng(13)
+    bz, nway, L = 2, 5, 16
+    lens = rng.integers(2, L // 2, size=(bz, nway))
+    p_ids = rng.integers(1, BERT_TINY.vocab_size, size=(bz, nway, L)).astype(np.int32)
+    p_mask = (np.arange(L)[None, None, :] < lens[:, :, None]).astype(np.int32)
+    p_ids = p_ids * p_mask
+    packed = pack_nway_batch(p_ids, p_mask)
+    assert packed.input_ids.shape[1] < nway
+
+    model = NwayDualEncoder(config=BERT_TINY, share_weights=True,
+                            dtype=jnp.float32)
+    q_ids, q_mask = _rand_batch(rng, bz, 8, BERT_TINY.vocab_size)
+    queries = {"input_ids": jnp.array(q_ids), "attention_mask": jnp.array(q_mask)}
+    flat = {"input_ids": jnp.array(p_ids), "attention_mask": jnp.array(p_mask)}
+    params = model.init(jax.random.PRNGKey(1), queries, flat)["params"]
+    assert "token_type_embeddings" in params["encoder"]["embeddings"]
+
+    flat_reps = model.apply({"params": params}, flat,
+                            method=model.nway_passage_embs)
+    pk = {k: jnp.asarray(v) for k, v in packed.as_dict().items()}
+    packed_reps = model.apply({"params": params}, pk,
+                              method=model.packed_nway_passage_embs)
+    np.testing.assert_allclose(np.asarray(packed_reps), np.asarray(flat_reps),
+                               rtol=1e-5, atol=1e-6)
