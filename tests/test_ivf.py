@@ -311,3 +311,69 @@ class TestIVFIndex:
         oracle = ids[np.argsort(-(q @ corpus.T), axis=1)[:, :5]]
         for r in range(len(q)):
             assert set(i[r]) == set(oracle[r].astype(np.int64))
+
+
+def test_randomized_ivf_invariant_sweep():
+    """Seeded randomized sweep over the IVF stack: random shapes, slots,
+    nlist, k, dtypes (fp32 / int8-store), and nprobe levels. Invariants per
+    configuration: scores descend; every returned id's score equals the
+    oracle dot product against the row the store actually holds; full
+    probe reproduces the exact oracle top-k. Catches shape-edge regressions
+    the targeted tests don't enumerate (mirrors the flat index's
+    test_randomized_invariant_sweep)."""
+    from cldrd_tpu.index.flat_index import quantize_rows
+
+    rng = np.random.default_rng(321)
+    for case in range(8):
+        n = int(rng.choice([65, 300, 1024, 3000]))
+        d = int(rng.choice([16, 32, 48]))
+        bz = int(rng.choice([1, 3, 9]))
+        k = int(rng.choice([1, 7, 33]))
+        nlist = int(rng.choice([2, 5, min(16, n)]))
+        slot = int(rng.choice([64, 128, 256]))
+        dtype = rng.choice(["float32", "int8"])
+
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        ids_ext = (rng.permutation(n) + 11).astype(np.int64)
+        q = rng.standard_normal((bz, d)).astype(np.float32)
+
+        kw = (dict(dtype=jnp.float32, precision="highest")
+              if dtype == "float32" else dict(dtype=jnp.int8))
+        idx = IVFIndex.build(c, ids_ext, nlist=nlist, slot=slot,
+                             kmeans_iters=3, seed=case, **kw)
+        if dtype == "int8":
+            codes, sc = quantize_rows(c)
+            stored = codes.astype(np.float32) * sc[:, None]
+        else:
+            stored = c
+        q_used = np.asarray(
+            jnp.asarray(q, idx._query_dtype).astype(jnp.float32))
+        id2row = {int(e): r for r, e in enumerate(ids_ext)}
+
+        probes = sorted({1, max(1, idx.n_buckets // 2), idx.n_buckets})
+        for nprobe in probes:
+            if nprobe * slot < k and nprobe < idx.n_buckets:
+                continue  # rejected by design (tested elsewhere)
+            s, i = idx.search(q, k, nprobe=nprobe)
+            assert s.shape == (bz, k) and i.shape == (bz, k), case
+            finite = np.isfinite(s)
+            # descending within the finite prefix; -1 exactly where -inf
+            assert ((i == -1) == ~finite).all(), case
+            for r in range(bz):
+                fr = s[r][finite[r]]
+                assert (fr[:-1] >= fr[1:] - 1e-5).all(), case
+                for rank in np.nonzero(finite[r])[0]:
+                    want = float(q_used[r] @ stored[id2row[int(i[r, rank])]])
+                    assert abs(s[r, rank] - want) <= 1e-3 + 1e-3 * abs(want), (
+                        case, nprobe, r, rank)
+
+        # full probe == exact oracle over the stored rows
+        s, i = idx.search(q, k, nprobe=idx.n_buckets)
+        k_eff = min(k, n)
+        order = np.argsort(-(q_used @ stored.T), axis=1)[:, :k_eff]
+        es = np.take_along_axis(q_used @ stored.T, order, axis=1)
+        np.testing.assert_allclose(
+            s[:, :k_eff], es, rtol=1e-4, atol=1e-4, err_msg=str(case))
+        ei = ids_ext[order]
+        assert (i[:, :k_eff] == ei).mean() > 0.9, case
+        assert (i[:, k_eff:] == -1).all(), case
