@@ -255,68 +255,55 @@ class FlatIPIndex(HostIdCacheMixin):
         int8 = self.embeddings.dtype == jnp.int8
         free = self._free_tail()
         n_total = len(self._host_ids())
-
-        if 0 < free < n:
-            # split: fill the tail in place, slab only the overflow —
-            # otherwise the free rows would become unreachable interior
-            # padding forever
-            mid = self.add(embeddings[:free], ids[:free])
-            return mid.add(embeddings[free:], ids[free:])
-
         if int8:
             rows, scales_new = quantize_rows(embeddings, xp=np)
         else:
             rows, scales_new = embeddings.astype(np.float32), None
+        fill = min(n, free)   # rows that reuse the existing padding tail
+        over = n - fill       # rows that need a new block-aligned slab
 
-        if n <= free:
+        # Overflow FIRST (fallible, non-destructive): the slab concatenate
+        # copies — self.embeddings is never donated before every fallible
+        # device alloc has succeeded, so a failed add() never leaves the
+        # caller (e.g. the serving daemon) holding a consumed index.
+        embs = self.embeddings
+        row_scales = self.row_scales
+        host = self._host_ids().copy()
+        if over > 0:
+            n_pad = _pad_rows(over, self.block_rows)
+            new_ids = np.full((n_pad,), -1, np.int32)
+            new_ids[:over] = ids[fill:].astype(np.int32)
+            slab = np.zeros((n_pad, d), np.int8 if int8 else np.float32)
+            slab[:over] = rows[fill:]
+            embs = jnp.concatenate(
+                [embs, jnp.asarray(slab, dtype=embs.dtype)])
+            if int8:
+                sc = np.ones((n_pad,), np.float32)
+                sc[:over] = scales_new[fill:]
+                row_scales = jnp.concatenate([row_scales, jnp.asarray(sc)])
+            host = np.concatenate([host, new_ids])
+
+        if fill > 0:
             # in-place fill of the padding tail: the corpus buffer is
             # DONATED to a jitted dynamic_update_slice, so XLA aliases it
-            # (no transient second corpus) and the search executable keeps
-            # its shape. The OLD index object is consumed — do not use it
-            # after add() (serve swaps under its device lock).
+            # (no transient second corpus) and, when no slab was appended,
+            # the search executable keeps its shape. The OLD index object
+            # is consumed on the no-overflow path — do not use it after
+            # add() (serve swaps under its device lock).
             offset = n_total - free
             embs = _update_rows(
-                self.embeddings,
-                jnp.asarray(rows, dtype=self.embeddings.dtype),
+                embs,
+                jnp.asarray(rows[:fill], dtype=self.embeddings.dtype),
                 jnp.asarray(offset, jnp.int32))
-            host = self._host_ids().copy()
-            host[offset : offset + n] = ids.astype(np.int32)
-            row_scales = self.row_scales
+            host[offset : offset + fill] = ids[:fill].astype(np.int32)
             if int8:
                 row_scales = _update_scales(
-                    self.row_scales, jnp.asarray(scales_new),
+                    row_scales, jnp.asarray(scales_new[:fill]),
                     jnp.asarray(offset, jnp.int32))
-            return FlatIPIndex(
-                embeddings=embs, row_ids=jnp.asarray(host), mesh=None,
-                axis_name=self.axis_name, block_rows=self.block_rows,
-                method=self.method, precision=self.precision,
-                row_scales=row_scales,
-            )
-
-        # capacity exhausted: append a block-aligned slab (shape change)
-        n_pad = _pad_rows(max(n, 1), self.block_rows)
-        new_ids = np.full((n_pad,), -1, np.int32)
-        new_ids[:n] = ids.astype(np.int32)
-        if int8:
-            slab = np.zeros((n_pad, d), np.int8)
-            slab[:n] = rows
-            sc = np.ones((n_pad,), np.float32)
-            sc[:n] = scales_new
-            row_scales = jnp.concatenate([self.row_scales, jnp.asarray(sc)])
-        else:
-            slab = np.zeros((n_pad, d), np.float32)
-            slab[:n] = rows
-            row_scales = None
         return FlatIPIndex(
-            embeddings=jnp.concatenate(
-                [self.embeddings,
-                 jnp.asarray(slab, dtype=self.embeddings.dtype)]),
-            row_ids=jnp.concatenate([self.row_ids, jnp.asarray(new_ids)]),
-            mesh=None,
-            axis_name=self.axis_name,
-            block_rows=self.block_rows,
-            method=self.method,
-            precision=self.precision,
+            embeddings=embs, row_ids=jnp.asarray(host), mesh=None,
+            axis_name=self.axis_name, block_rows=self.block_rows,
+            method=self.method, precision=self.precision,
             row_scales=row_scales,
         )
 
