@@ -339,13 +339,18 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):  # noqa: N802 (http.server API)
         if self.path == "/healthz":
-            self._reply(200, {
+            payload = {
                 "ok": True,
                 "n_vectors": self.service.index.n_vectors,
                 "dim": self.service.index.dim,
                 **self.service.stats,
                 **self.service.latency_ms(),
-            })
+            }
+            idx = self.service.index
+            if hasattr(idx, "nprobe"):  # IVF mode: surface the probe config
+                payload["nprobe"] = idx.nprobe
+                payload["n_buckets"] = idx.n_buckets
+            self._reply(200, payload)
         else:
             self._reply(404, {"error": f"unknown path {self.path}"})
 
