@@ -93,9 +93,24 @@ def _teacher_params(checkpoint: Optional[str], model, cfg, arch: str = "distilbe
     return params
 
 
+def reconcile_teacher_arch(args) -> None:
+    """On the teacher CLIs the architecture switch is ``--teacher-arch``;
+    the generic ``--arch`` (``add_model_args``) must not half-switch the
+    config class away from the CrossEncoder's arch — reject a conflict,
+    otherwise mirror so ``model_config_from_args`` agrees."""
+    if (getattr(args, "arch", "distilbert") != "distilbert"
+            and args.arch != args.teacher_arch):
+        raise SystemExit(
+            f"--arch {args.arch} conflicts with --teacher-arch "
+            f"{args.teacher_arch}: the teacher model's family is selected "
+            "by --teacher-arch on this command")
+    args.arch = args.teacher_arch
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     setup_logging()
     args = build_parser().parse_args(argv)
+    reconcile_teacher_arch(args)
     if args.teacher_arch == "bert":
         from cldrd_tpu.models import BertConfig
 

@@ -109,6 +109,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     dtype = jnp.dtype(args.compute_dtype)
 
     if args.mode == "cross":
+        from .create_training_data import reconcile_teacher_arch
+
+        reconcile_teacher_arch(args)
         cfg = _cross_config(args)
         model = CrossEncoder(config=cfg, dtype=dtype, arch=args.teacher_arch)
 

@@ -185,22 +185,19 @@ class SearchService:
         device lock through a multi-second XLA compile.
 
         Search warms EVERY batch size the micro-batcher can produce after
-        padding: the flat index pads all batches to one shape (a single
-        executable — the loop below hits the jit cache 7 times), but the
-        IVF index pads to powers of two, so each pow2 <= encode_batch is
-        a distinct executable that would otherwise compile inside some
-        unlucky request's latency budget."""
+        padding. Each index class reports the representative sizes itself
+        (``warmup_batch_sizes``, kept next to its own padding policy): the
+        flat index pads all small batches to one shape (one warm search),
+        the IVF index pads to powers of two (one per pow2), and a future
+        index type cannot silently fall out of coverage."""
         with self._lock:
             tokens = self.tokenizer(["warmup"], self.max_length)
             tokens = self._pad(tokens, self.encode_batch)
             embs = np.asarray(self.encode_fn(tokens))
-            b = 1
-            while True:
-                self.index.search(embs[: min(b, self.encode_batch)],
-                                  self.default_k)
-                if b >= self.encode_batch:
-                    break
-                b *= 2
+            sizes = getattr(self.index, "warmup_batch_sizes",
+                            lambda mb: [min(mb, 128)])(self.encode_batch)
+            for b in sizes:
+                self.index.search(embs[:b], self.default_k)
             if self.passage_encode_fn is not None:
                 ptokens = self.tokenizer(["warmup"], self.passage_max_length)
                 np.asarray(self.passage_encode_fn(

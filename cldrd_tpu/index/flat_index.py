@@ -356,6 +356,18 @@ class FlatIPIndex(HostIdCacheMixin):
             write_embeddings(out_dir, embs, ids,
                              rows_per_shard=rows_per_shard)
 
+    def warmup_batch_sizes(self, max_batch: int) -> list:
+        """Batch sizes that, searched once each, compile every executable
+        ``search()`` can dispatch for b <= max_batch. Lives HERE because it
+        mirrors search()'s padding policy (pad b up to a multiple of 128):
+        one representative b per padded shape."""
+        sizes, m = [], 128
+        while True:
+            sizes.append(min(max_batch, m))
+            if m >= max_batch:
+                return sizes
+            m += 128
+
     def search(self, queries, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """queries [B, D] (host or device) -> (scores [B, k], ids [B, k]).
 

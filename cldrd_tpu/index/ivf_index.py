@@ -252,6 +252,17 @@ class IVFIndex(HostIdCacheMixin):
 
     # ------------------------------------------------------------ search
 
+    def warmup_batch_sizes(self, max_batch: int) -> list:
+        """One representative b per padded shape ``search()`` can dispatch
+        for b <= max_batch (mirrors its pad-to-power-of-two policy; kept
+        next to that policy so they cannot drift apart)."""
+        sizes, b = [], 8
+        while True:
+            sizes.append(min(max_batch, b))
+            if b >= max_batch:
+                return sizes
+            b *= 2
+
     def search(
         self, queries, k: int, nprobe: Optional[int] = None
     ) -> Tuple[np.ndarray, np.ndarray]:

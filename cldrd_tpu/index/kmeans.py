@@ -161,11 +161,17 @@ def assign_clusters(
     if n > chunk_rows:
         out = np.empty((n,), np.int32)
         for s0 in range(0, n, chunk_rows):
-            pad = np.zeros((chunk_rows, x.shape[1]), np.float32)
-            got = x[s0 : s0 + chunk_rows]
-            pad[: len(got)] = got
-            out[s0 : s0 + chunk_rows] = assign_clusters(
-                pad, centroids, block, chunk_rows)[: len(got)]
+            m = min(chunk_rows, n - s0)
+            chunk = x[s0 : s0 + m]
+            if m < chunk_rows:
+                # only the final ragged chunk pads (a full chunk already
+                # has the fixed executable shape — zero-filling a 3 GB
+                # buffer per full chunk would double host traffic)
+                pad = np.zeros((chunk_rows, x.shape[1]), np.float32)
+                pad[:m] = chunk
+                chunk = pad
+            out[s0 : s0 + m] = assign_clusters(
+                chunk, centroids, block, chunk_rows)[:m]
         return out
     block = min(block, n)
     x_pad, _ = _pad_blocks(x, block)
