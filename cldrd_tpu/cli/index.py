@@ -79,13 +79,66 @@ def build_parser() -> argparse.ArgumentParser:
                         "rounded up to 128)")
     p.add_argument("--ivf-nprobe", type=int, default=8,
                    help="default probe count stored with the IVF index")
+    p.add_argument("--ivf-only", action="store_true",
+                   help="build ONLY the IVF companion from the flat store "
+                        "already at --out (no re-encoding; --collection/"
+                        "--checkpoint are ignored). Requires --ivf-nlist")
     add_model_args(p)
     return p
+
+
+def _build_ivf(args, embeddings, ids) -> None:
+    import os
+
+    import jax.numpy as jnp  # noqa: F811 (mirrors module import for clarity)
+
+    from cldrd_tpu.index import IVFIndex
+
+    t0 = time.perf_counter()
+    ivf = IVFIndex.build(
+        embeddings, ids, nlist=args.ivf_nlist, slot=args.ivf_slot,
+        nprobe=args.ivf_nprobe,
+        # fp32 build for a lossless store; int8 follows the flat store's
+        # quantization choice. The HBM dtype is picked at load time
+        # (cldrd-serve --hbm-dtype).
+        dtype=jnp.int8 if args.store_dtype == "int8" else jnp.float32,
+    )
+    ivf_dir = os.path.join(args.out, "ivf")
+    ivf.save(ivf_dir)
+    logger.info(
+        "IVF index (%d buckets x %d slot) written to %s in %.1fs",
+        ivf.n_buckets, ivf.slot, ivf_dir, time.perf_counter() - t0,
+    )
 
 
 def main(argv: Optional[List[str]] = None) -> int:
     setup_logging()
     args = build_parser().parse_args(argv)
+    if args.ivf_only:
+        if not args.ivf_nlist:
+            raise SystemExit("--ivf-only requires --ivf-nlist")
+        from cldrd_tpu.index.persistence import index_exists, read_embeddings
+
+        if not index_exists(args.out):
+            raise SystemExit(
+                f"--ivf-only: no flat store at {args.out} (run cldrd-index "
+                "without --ivf-only first)")
+        import json
+        import os
+
+        from cldrd_tpu.index.persistence import META_NAME
+
+        with open(os.path.join(args.out, META_NAME)) as f:
+            disk_dtype = json.load(f)["dtype"]
+        if disk_dtype == "int8":
+            # the IVF follows the flat store's quantization choice; the
+            # dequantize -> per-row requantize round trip is bit-identical
+            args.store_dtype = "int8"
+        embeddings, ids = read_embeddings(args.out)
+        logger.info("building IVF from the existing %d-row store at %s",
+                    len(ids), args.out)
+        _build_ivf(args, embeddings, ids)
+        return 0
     args.share_weights = bool(args.share_weights)
     cfg = model_config_from_args(args)
     tokenizer = build_tokenizer(args.tokenizer, vocab_size=cfg.vocab_size)
@@ -151,25 +204,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     write_embeddings(args.out, embeddings, ids, dtype=args.store_dtype)
     logger.info("index written to %s", args.out)
     if args.ivf_nlist:
-        import os
-
-        from cldrd_tpu.index import IVFIndex
-
-        t0 = time.perf_counter()
-        ivf = IVFIndex.build(
-            embeddings, ids, nlist=args.ivf_nlist, slot=args.ivf_slot,
-            nprobe=args.ivf_nprobe,
-            # fp32 build for a lossless store; int8 follows the flat
-            # store's quantization choice. The HBM dtype is picked at
-            # load time (cldrd-serve --hbm-dtype).
-            dtype=jnp.int8 if args.store_dtype == "int8" else jnp.float32,
-        )
-        ivf_dir = os.path.join(args.out, "ivf")
-        ivf.save(ivf_dir)
-        logger.info(
-            "IVF index (%d buckets x %d slot) written to %s in %.1fs",
-            ivf.n_buckets, ivf.slot, ivf_dir, time.perf_counter() - t0,
-        )
+        _build_ivf(args, embeddings, ids)
     return 0
 
 

@@ -505,6 +505,47 @@ def test_cli_pipeline_arch_bert(corpus_files, tmp_path):
     assert len(rows) == 16 * 5
 
 
+def test_cli_index_ivf_only(corpus_files, tmp_path):
+    """--ivf-only builds the IVF companion from an EXISTING flat store
+    without re-encoding the corpus; full probe matches the flat index."""
+    import jax.numpy as jnp
+
+    from cldrd_tpu.index import IVFIndex, load_index
+
+    f = corpus_files
+    idx_dir = str(tmp_path / "flat_only")
+    rc = cli_index.main([
+        "--collection", f["passages"], "--out", idx_dir,
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "16", "--batch-size", "8",
+        "--compute-dtype", "float32",
+    ])
+    assert rc == 0
+    assert not os.path.isdir(os.path.join(idx_dir, "ivf"))
+
+    rc = cli_index.main([
+        "--collection", f["passages"], "--out", idx_dir,
+        "--ivf-only", "--ivf-nlist", "4", "--ivf-slot", "128",
+    ])
+    assert rc == 0
+    ivf = IVFIndex.load(os.path.join(idx_dir, "ivf"),
+                        dtype=jnp.float32, precision="highest")
+    flat = load_index(idx_dir, dtype=jnp.float32, precision="highest")
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(4, ivf.dim)).astype(np.float32)
+    _, ii = ivf.search(q, 5, nprobe=ivf.n_buckets)
+    _, fi = flat.search(q, 5)
+    np.testing.assert_array_equal(ii, fi.astype(np.int32))
+
+    # without a flat store it refuses cleanly
+    with pytest.raises(SystemExit):
+        cli_index.main([
+            "--collection", f["passages"],
+            "--out", str(tmp_path / "missing"),
+            "--ivf-only", "--ivf-nlist", "4",
+        ])
+
+
 def test_cli_serve_ivf(corpus_files, tmp_path):
     """cldrd-index --ivf-nlist builds the IVF companion store; cldrd-serve
     --ivf serves it. At full probe the answers must match the exact flat
