@@ -16,8 +16,11 @@ API (stdlib ``http.server``, JSON over POST — zero extra dependencies):
   -> {"ok": true, "n_vectors": N}   (passage-tower encode ->
   ``FlatIPIndex.add``: FAISS add_with_ids on the LIVE index)
 - ``POST /remove``  {"ids": [int, ...]} -> {"ok": true, "n_vectors": N}
+- ``POST /save``    {"dir": "/path"} -> {"ok": true, ...}   (persist the
+  LIVE index state — FAISS ``write_index`` of the mutated resident index)
 - ``GET /healthz``  -> {"ok": true, "n_vectors": N, "dim": D,
-      requests/queries/device_batches counters, latency p50/p99/mean}
+      requests/queries/device_batches counters, latency p50/p99/mean;
+      + nprobe/n_buckets in IVF mode}
 
 Queries tokenize host-side, encode on device (batch padded to a fixed
 shape so the steady state reuses one executable), and search through
@@ -285,6 +288,17 @@ class SearchService:
             self.index = self.index.remove([int(i) for i in ids])
             return self.index.n_vectors
 
+    def save_index(self, out_dir: str) -> int:
+        """Persist the LIVE index state — the FAISS ``write_index`` of a
+        mutated resident index. Without this, every /add//remove since
+        startup dies with the process. Holds the device lock (consistent
+        snapshot: no pass or update runs mid-save)."""
+        if not isinstance(out_dir, str) or not out_dir:
+            raise ValueError("'dir' must be a non-empty path string")
+        with self._lock:
+            self.index.save(out_dir)
+            return self.index.n_vectors
+
     def latency_ms(self) -> dict:
         """p50/p99/mean over the most recent requests (ring of 2048)."""
         with self._state_lock:  # deque iteration races concurrent appends
@@ -352,7 +366,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self):  # noqa: N802
-        if self.path not in ("/search", "/add", "/remove"):
+        if self.path not in ("/search", "/add", "/remove", "/save"):
             self._reply(404, {"error": f"unknown path {self.path}"})
             return
         try:
@@ -371,6 +385,9 @@ class _Handler(BaseHTTPRequestHandler):
                 n = self.service.add_documents(
                     [int(i) for i in req["ids"]], req["texts"])
                 payload = {"ok": True, "n_vectors": n}
+            elif self.path == "/save":
+                n = self.service.save_index(req["dir"])
+                payload = {"ok": True, "n_vectors": n, "dir": req["dir"]}
             else:
                 n = self.service.remove_documents(
                     [int(i) for i in req["ids"]])

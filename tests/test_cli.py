@@ -455,6 +455,18 @@ def test_cli_serve(corpus_files, tmp_path):
             assert False, "expected 400"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+        # /save persists the LIVE state (adds + tombstones survive reload)
+        from cldrd_tpu.index import load_index
+
+        snap = str(tmp_path / "live_snapshot")
+        out = post("/save", {"dir": snap})
+        assert out["ok"] and out["n_vectors"] == n0 + 1
+        reloaded = load_index(snap)
+        assert reloaded.n_vectors == n0 + 1
+        host = reloaded._host_ids()
+        assert {9000, 9001} <= set(host.tolist())
+        assert top1 not in set(host.tolist())
     finally:
         svc.close()
         httpd.shutdown()
@@ -554,7 +566,7 @@ def test_cli_serve_ivf(corpus_files, tmp_path):
     import urllib.request
 
     from cldrd_tpu.cli import serve as cli_serve
-    from cldrd_tpu.index import load_index
+    from cldrd_tpu.index import IVFIndex, load_index
 
     f = corpus_files
     idx_dir = str(tmp_path / "ivf_idx")
@@ -624,6 +636,13 @@ def test_cli_serve_ivf(corpus_files, tmp_path):
         assert out["n_vectors"] == n0 + 1
         hits = post("/search", {"queries": [queries[0]], "k": 5})
         assert all(h["id"] != top1 for h in hits["results"][0])
+
+        # /save snapshots the live IVF state; reload round-trips
+        snap = str(tmp_path / "ivf_snapshot")
+        out = post("/save", {"dir": snap})
+        assert out["ok"] and out["n_vectors"] == n0 + 1
+        back = IVFIndex.load(snap, dtype=jnp.float32, precision="highest")
+        assert back.n_vectors == n0 + 1
     finally:
         svc.close()
         httpd.shutdown()
