@@ -90,8 +90,6 @@ def build_parser() -> argparse.ArgumentParser:
 def _build_ivf(args, embeddings, ids) -> None:
     import os
 
-    import jax.numpy as jnp  # noqa: F811 (mirrors module import for clarity)
-
     from cldrd_tpu.index import IVFIndex
 
     t0 = time.perf_counter()

@@ -53,7 +53,7 @@ from .flat_index import (
     query_dtype_for,
 )
 from .kmeans import assign_clusters, kmeans
-from cldrd_tpu.search.mips import _PRECISIONS, NEG_INF
+from cldrd_tpu.search.mips import _PRECISIONS, NEG_INF, _block_scores
 
 IVF_META_NAME = "ivf_meta.json"
 
@@ -91,14 +91,10 @@ def _ivf_search(
     Returns (scores [B, k] fp32 desc, external ids [B, k] int32, -1 pad).
     """
     b, d = q.shape
-    nb = centroids.shape[0]
-    # 1) coarse scores + probe selection (fp32 accumulate on the MXU)
-    cs = jax.lax.dot_general(
-        q.astype(jnp.float32), centroids,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                   # [B, nb]
-    _, probe = jax.lax.top_k(cs, nprobe)                # [B, nprobe]
+    # 1) coarse scores + probe selection (fp32 accumulate on the MXU;
+    #    the shared scoring helper from the exact-search stack)
+    cs = _block_scores(q.astype(jnp.float32), centroids)   # [B, nb]
+    _, probe = jax.lax.top_k(cs, nprobe)                    # [B, nprobe]
     # 2) one block-gather per (query, probe): rows are slot*D contiguous
     #    elements — gather cost scales with rows moved, B*nprobe*slot,
     #    NOT with corpus size.
@@ -286,6 +282,10 @@ class IVFIndex(HostIdCacheMixin):
         if p < 1:
             raise ValueError(f"nprobe must be >= 1 (got {p})")
         p = min(p, self.n_buckets)
+        if p * self.slot < k and p < self.n_buckets:
+            raise ValueError(
+                f"nprobe*slot ({p}*{self.slot}) < k ({k}): raise nprobe "
+                "or build with a larger slot")
         if b == 0:
             return (np.zeros((0, k), np.float32),
                     np.full((0, k), -1, np.int32))
@@ -293,10 +293,6 @@ class IVFIndex(HostIdCacheMixin):
         if b_pad != b:
             q = jnp.concatenate(
                 [q, jnp.broadcast_to(q[:1], (b_pad - b, q.shape[1]))])
-        if p * self.slot < k and p < self.n_buckets:
-            raise ValueError(
-                f"nprobe*slot ({p}*{self.slot}) < k ({k}): raise nprobe "
-                "or build with a larger slot")
         scales = (self.bucket_scales if self.bucket_scales is not None
                   else jnp.zeros((self.n_buckets, 0), jnp.float32))
         v, ids = _ivf_search(
@@ -445,9 +441,11 @@ class IVFIndex(HostIdCacheMixin):
         os.makedirs(out_dir, exist_ok=True)
         np.save(os.path.join(out_dir, "centroids.npy"),
                 np.asarray(self.centroids))
-        store = np.asarray(self.buckets)
-        if store.dtype != np.int8:
-            store = np.asarray(self.buckets.astype(jnp.float32))
+        # fetch once, in the dtype being written (a bf16 store otherwise
+        # pays a full host copy that is immediately discarded)
+        store = (np.asarray(self.buckets)
+                 if self.buckets.dtype == jnp.int8
+                 else np.asarray(self.buckets.astype(jnp.float32)))
         np.save(os.path.join(out_dir, "buckets.npy"), store)
         np.save(os.path.join(out_dir, "bucket_ids.npy"), self._host_ids())
         if self.bucket_scales is not None:
