@@ -782,3 +782,47 @@ def test_bert_packed_passage_embs_exact():
                               method=model.packed_nway_passage_embs)
     np.testing.assert_allclose(np.asarray(packed_reps), np.asarray(flat_reps),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_bert_dual_encoder_pth_tar_warm_start():
+    """A reference-layout .pth.tar (module.-prefixed query_encoder./
+    passage_encoder. keys) holding BERT towers warm-starts through the
+    same load path DistilBERT checkpoints use — layout auto-detected."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    from cldrd_tpu.models import NwayDualEncoder
+    from cldrd_tpu.train.checkpoint import load_warm_start_params
+
+    torch.manual_seed(21)
+    hf = transformers.BertModel(_hf_bert_config(BERT_TINY, transformers)).eval()
+    sd = {f"module.{t}.{k}": v for t in ("query_encoder", "passage_encoder")
+          for k, v in hf.state_dict().items()}
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/checkpoint_100.pth.tar"
+        torch.save({"epoch": 1, "global_step": 100, "state_dict": sd}, path)
+
+        model = NwayDualEncoder(config=BERT_TINY, dtype=jnp.float32)
+        dummy_q = {"input_ids": jnp.zeros((1, 8), jnp.int32),
+                   "attention_mask": jnp.ones((1, 8), jnp.int32)}
+        dummy_p = {"input_ids": jnp.zeros((1, 1, 8), jnp.int32),
+                   "attention_mask": jnp.ones((1, 1, 8), jnp.int32)}
+        init = model.init(jax.random.PRNGKey(0), dummy_q, dummy_p)["params"]
+        params = load_warm_start_params(path, init)
+
+    rng = np.random.default_rng(22)
+    ids, mask = _rand_batch(rng, 3, 10, BERT_TINY.vocab_size)
+    with torch.no_grad():
+        ref = hf(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+        ).last_hidden_state[:, 0, :].numpy()
+    ours = model.apply(
+        {"params": params},
+        {"input_ids": jnp.array(ids), "attention_mask": jnp.array(mask)},
+        method=NwayDualEncoder.query_embs,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5, rtol=2e-5)
