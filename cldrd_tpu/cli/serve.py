@@ -9,9 +9,11 @@ encode and search executables, then answer queries until stopped.
 
 API (stdlib ``http.server``, JSON over POST — zero extra dependencies):
 
-- ``POST /search``  {"queries": ["text", ...], "k": 10}
+- ``POST /search``  {"queries": ["text", ...], "k": 10,
+  "exclude_ids": [int, ...]?}
   -> {"results": [[{"id": int, "score": float}, ...], ...],
-      "elapsed_ms": float}
+      "elapsed_ms": float}   (``exclude_ids``: per-request result
+  exclusion via over-fetch; requires k + len(exclude_ids) <= --topk)
 - ``POST /add``     {"ids": [int, ...], "texts": ["doc", ...]}
   -> {"ok": true, "n_vectors": N}   (passage-tower encode ->
   ``FlatIPIndex.add``: FAISS add_with_ids on the LIVE index)
@@ -75,17 +77,26 @@ logger = logging.getLogger("cldrd_tpu.cli.serve")
 class _Pending:
     """One enqueued request awaiting the batching worker."""
 
-    __slots__ = ("texts", "k", "event", "results", "error")
+    __slots__ = ("texts", "k", "exclude", "event", "results", "error")
 
-    def __init__(self, texts: List[str], k: int):
+    def __init__(self, texts: List[str], k: int, exclude=frozenset()):
         self.texts = texts
         self.k = k
+        self.exclude = exclude
         self.event = threading.Event()
         self.results = None
         self.error: Optional[Exception] = None
 
 
 _SHUTDOWN = object()
+
+
+def _filter_ranked(ranked, exclude, k):
+    """Top-k after dropping excluded ids (the over-fetch is validated in
+    search(): every pass computes default_k >= k + |exclude| hits)."""
+    if not exclude:
+        return ranked[:k]
+    return [h for h in ranked if h["id"] not in exclude][:k]
 
 
 class SearchService:
@@ -178,7 +189,8 @@ class SearchService:
         off = 0
         for p in group:
             span = all_results[off : off + len(p.texts)]
-            p.results = [ranked[: p.k] for ranked in span]
+            p.results = [_filter_ranked(ranked, p.exclude, p.k)
+                         for ranked in span]
             off += len(p.texts)
             p.event.set()
 
@@ -216,8 +228,14 @@ class SearchService:
             ) for k, v in tokens.items()
         }
 
-    def search(self, texts: List[str], k: Optional[int]):
+    def search(self, texts: List[str], k: Optional[int], exclude_ids=None):
+        """``exclude_ids``: per-request result exclusion (FAISS
+        ``IDSelectorNot`` equivalence, the "don't show these again" serving
+        filter) — implemented by over-fetch: every pass already computes
+        top-``default_k``, and the request's k + |exclude| must fit under
+        that ceiling so k survivors are guaranteed after filtering."""
         k = int(k or self.default_k)
+        exclude = frozenset(int(i) for i in (exclude_ids or ()))
         if not 1 <= k <= self.default_k:
             # validated in the REQUEST thread, before any coalescing:
             # a bad k 400s its own request and never joins a group
@@ -226,6 +244,11 @@ class SearchService:
                 f"serving ceiling; every pass computes top-{self.default_k} "
                 f"and slices)"
             )
+        if k + len(exclude) > self.default_k:
+            raise ValueError(
+                f"k + len(exclude_ids) ({k} + {len(exclude)}) exceeds the "
+                f"serving ceiling {self.default_k} (--topk): the exclusion "
+                "filter over-fetches from the same per-pass top-k")
         if not texts:
             return []
         t0 = time.perf_counter()
@@ -234,10 +257,11 @@ class SearchService:
             self.stats["queries"] += len(texts)
             worker = self._worker
             if worker is not None:
-                pending = _Pending(texts, k)
+                pending = _Pending(texts, k, exclude)
                 self._queue.put(pending)
         if worker is None:
-            out = [r[:k] for r in self._search_device(texts, self.default_k)]
+            out = [_filter_ranked(r, exclude, k)
+                   for r in self._search_device(texts, self.default_k)]
             with self._state_lock:
                 self._latencies.append(time.perf_counter() - t0)
             return out
@@ -379,7 +403,9 @@ class _Handler(BaseHTTPRequestHandler):
                     isinstance(q, str) for q in queries
                 ):
                     raise ValueError("'queries' must be a list of strings")
-                results = self.service.search(queries, req.get("k"))
+                results = self.service.search(
+                    queries, req.get("k"),
+                    exclude_ids=req.get("exclude_ids"))
                 payload = {"results": results}
             elif self.path == "/add":
                 n = self.service.add_documents(

@@ -456,6 +456,24 @@ def test_cli_serve(corpus_files, tmp_path):
         except urllib.error.HTTPError as e:
             assert e.code == 400
 
+        # per-request exclusion: top hits drop out, k results survive
+        # (over-fetch from the same top-topk pass), other requests in a
+        # coalesced group are unaffected
+        base5 = post("/search", {"queries": [queries[0]], "k": 5})
+        top2 = [h["id"] for h in base5["results"][0][:2]]
+        ex = post("/search", {"queries": [queries[0]], "k": 3,
+                              "exclude_ids": top2})
+        got_ids = [h["id"] for h in ex["results"][0]]
+        assert len(got_ids) == 3 and not (set(got_ids) & set(top2))
+        assert got_ids == [h["id"] for h in base5["results"][0][2:5]]
+        # k + exclusions beyond the ceiling -> 400
+        try:
+            post("/search", {"queries": [queries[0]], "k": 5,
+                             "exclude_ids": [1, 2]})
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
         # /save persists the LIVE state (adds + tombstones survive reload)
         from cldrd_tpu.index import load_index
 
