@@ -20,6 +20,9 @@ API (stdlib ``http.server``, JSON over POST — zero extra dependencies):
 - ``POST /remove``  {"ids": [int, ...]} -> {"ok": true, "n_vectors": N}
 - ``POST /save``    {"dir": "/path"} -> {"ok": true, ...}   (persist the
   LIVE index state — FAISS ``write_index`` of the mutated resident index)
+- ``POST /reload``  {"dir": "/path"} -> {"ok": true, ...}   (blue/green
+  swap to a rebuilt/snapshotted store, same mode as startup; the new
+  index compiles OUTSIDE the lock while traffic keeps answering)
 - ``GET /healthz``  -> {"ok": true, "n_vectors": N, "dim": D,
       requests/queries/device_batches counters, latency p50/p99/mean;
       + nprobe/n_buckets in IVF mode}
@@ -107,10 +110,14 @@ class SearchService:
                  dynamic_batching: bool = True,
                  max_batch_wait_ms: float = 2.0,
                  passage_encode_fn=None,
-                 passage_max_length: int = 256):
+                 passage_max_length: int = 256,
+                 index_loader=None):
         self.tokenizer = tokenizer
         self.encode_fn = encode_fn
         self.index = index
+        # blue/green reloads (POST /reload): loads a store dir with the SAME
+        # mode the daemon started with (flat/IVF, HBM dtype, precision)
+        self._index_loader = index_loader
         self.max_length = max_length
         self.encode_batch = encode_batch
         self.default_k = default_k
@@ -312,6 +319,34 @@ class SearchService:
             self.index = self.index.remove([int(i) for i in ids])
             return self.index.n_vectors
 
+    def reload_index(self, index_dir: str) -> int:
+        """Blue/green index swap: load a NEW store (same mode as startup)
+        and warm its executables OUTSIDE the device lock — in-flight passes
+        keep answering against the old index — then swap atomically. The
+        restart-free path from a rebuilt/snapshotted index to live traffic.
+        """
+        if self._index_loader is None:
+            raise ValueError("this service carries no index loader; "
+                             "restart to change the index")
+        if not isinstance(index_dir, str) or not index_dir:
+            raise ValueError("'dir' must be a non-empty path string")
+        try:
+            new = self._index_loader(index_dir)
+        except (OSError, FileNotFoundError) as e:
+            raise ValueError(f"cannot load index from {index_dir}: {e}")
+        # pre-compile the new index's search executables (device ops from
+        # this thread serialize with in-flight passes at the JAX level;
+        # the service lock only guards the index-pointer swap)
+        tokens = self._pad(self.tokenizer(["warmup"], self.max_length),
+                           self.encode_batch)
+        embs = np.asarray(self.encode_fn(tokens))
+        for b in getattr(new, "warmup_batch_sizes",
+                         lambda mb: [min(mb, 128)])(self.encode_batch):
+            new.search(embs[:b], self.default_k)
+        with self._lock:
+            self.index = new
+            return new.n_vectors
+
     def save_index(self, out_dir: str) -> int:
         """Persist the LIVE index state — the FAISS ``write_index`` of a
         mutated resident index. Without this, every /add//remove since
@@ -390,7 +425,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self):  # noqa: N802
-        if self.path not in ("/search", "/add", "/remove", "/save"):
+        if self.path not in ("/search", "/add", "/remove", "/save",
+                             "/reload"):
             self._reply(404, {"error": f"unknown path {self.path}"})
             return
         try:
@@ -413,6 +449,9 @@ class _Handler(BaseHTTPRequestHandler):
                 payload = {"ok": True, "n_vectors": n}
             elif self.path == "/save":
                 n = self.service.save_index(req["dir"])
+                payload = {"ok": True, "n_vectors": n, "dir": req["dir"]}
+            elif self.path == "/reload":
+                n = self.service.reload_index(req["dir"])
                 payload = {"ok": True, "n_vectors": n, "dir": req["dir"]}
             else:
                 n = self.service.remove_documents(
@@ -504,31 +543,40 @@ def make_service(args) -> SearchService:
         mesh = make_mesh(args.shards or None, CORPUS_AXIS)
     hbm_dtype = jnp.dtype({"float32": jnp.float32, "int8": jnp.int8}
                           .get(args.hbm_dtype, jnp.bfloat16))
-    if getattr(args, "ivf", False):
-        import os
+    use_ivf = getattr(args, "ivf", False)
+    if use_ivf and args.nprobe is not None and args.nprobe < 1:
+        raise SystemExit(f"--nprobe must be >= 1 (got {args.nprobe})")
 
-        from cldrd_tpu.index import IVFIndex, ivf_exists
+    def index_loader(index_dir: str):
+        """Load ``index_dir`` with the daemon's startup mode — used at
+        startup and by POST /reload (blue/green swaps keep flat/IVF mode,
+        HBM dtype, precision, and nprobe)."""
+        if use_ivf:
+            import os
 
-        ivf_dir = os.path.join(args.index, "ivf")
-        if not ivf_exists(ivf_dir):
-            raise SystemExit(
-                f"no IVF index at {ivf_dir}: build one with "
-                "cldrd-index --ivf-nlist N (or drop --ivf)")
-        index = IVFIndex.load(ivf_dir, dtype=hbm_dtype,
-                              precision=args.precision)
-        if args.nprobe is not None:
-            if args.nprobe < 1:
-                raise SystemExit(f"--nprobe must be >= 1 (got {args.nprobe})")
-            index.nprobe = min(args.nprobe, index.n_buckets)
-        logger.info("IVF serving: %d buckets x %d slot, nprobe=%d",
-                    index.n_buckets, index.slot, index.nprobe)
-    else:
-        index = load_index(
-            args.index,
-            mesh=mesh,
-            dtype=hbm_dtype,
-            precision=args.precision,
-        )
+            from cldrd_tpu.index import IVFIndex, ivf_exists
+
+            # accept either the parent store dir or the ivf dir itself
+            ivf_dir = (index_dir if ivf_exists(index_dir)
+                       else os.path.join(index_dir, "ivf"))
+            if not ivf_exists(ivf_dir):
+                raise ValueError(
+                    f"no IVF index at {ivf_dir}: build one with "
+                    "cldrd-index --ivf-nlist N (or drop --ivf)")
+            idx = IVFIndex.load(ivf_dir, dtype=hbm_dtype,
+                                precision=args.precision)
+            if args.nprobe is not None:
+                idx.nprobe = min(args.nprobe, idx.n_buckets)
+            logger.info("IVF serving: %d buckets x %d slot, nprobe=%d",
+                        idx.n_buckets, idx.slot, idx.nprobe)
+            return idx
+        return load_index(
+            index_dir, mesh=mesh, dtype=hbm_dtype, precision=args.precision)
+
+    try:
+        index = index_loader(args.index)
+    except ValueError as e:
+        raise SystemExit(str(e))
     encode = make_encode_fn(model, params, "query_embs")
     passage_encode = make_encode_fn(model, params, "passage_embs")
     return SearchService(
@@ -538,6 +586,7 @@ def make_service(args) -> SearchService:
         max_batch_wait_ms=args.max_batch_wait_ms,
         passage_encode_fn=passage_encode,
         passage_max_length=args.passage_max_length,
+        index_loader=index_loader,
     )
 
 

@@ -485,6 +485,22 @@ def test_cli_serve(corpus_files, tmp_path):
         host = reloaded._host_ids()
         assert {9000, 9001} <= set(host.tolist())
         assert top1 not in set(host.tolist())
+
+        # /reload: mutate further, then blue/green back to the snapshot
+        post("/remove", {"ids": [9000]})
+        assert svc.index.n_vectors == n0
+        out = post("/reload", {"dir": snap})
+        assert out["ok"] and out["n_vectors"] == n0 + 1
+        assert 9000 in set(svc.index._host_ids().tolist())
+        hits = post("/search", {"queries": ["find subject5 info"], "k": 5})
+        assert len(hits["results"][0]) == 5
+        # unknown dir -> 400, service keeps the old index
+        try:
+            post("/reload", {"dir": str(tmp_path / "nope")})
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        assert svc.index.n_vectors == n0 + 1
     finally:
         svc.close()
         httpd.shutdown()
