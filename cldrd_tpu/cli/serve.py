@@ -213,13 +213,7 @@ class SearchService:
         the IVF index pads to powers of two (one per pow2), and a future
         index type cannot silently fall out of coverage."""
         with self._lock:
-            tokens = self.tokenizer(["warmup"], self.max_length)
-            tokens = self._pad(tokens, self.encode_batch)
-            embs = np.asarray(self.encode_fn(tokens))
-            sizes = getattr(self.index, "warmup_batch_sizes",
-                            lambda mb: [min(mb, 128)])(self.encode_batch)
-            for b in sizes:
-                self.index.search(embs[:b], self.default_k)
+            self._warm_searches(self.index)
             if self.passage_encode_fn is not None:
                 ptokens = self.tokenizer(["warmup"], self.passage_max_length)
                 np.asarray(self.passage_encode_fn(
@@ -337,15 +331,21 @@ class SearchService:
         # pre-compile the new index's search executables (device ops from
         # this thread serialize with in-flight passes at the JAX level;
         # the service lock only guards the index-pointer swap)
-        tokens = self._pad(self.tokenizer(["warmup"], self.max_length),
-                           self.encode_batch)
-        embs = np.asarray(self.encode_fn(tokens))
-        for b in getattr(new, "warmup_batch_sizes",
-                         lambda mb: [min(mb, 128)])(self.encode_batch):
-            new.search(embs[:b], self.default_k)
+        self._warm_searches(new)
         with self._lock:
             self.index = new
             return new.n_vectors
+
+    def _warm_searches(self, index) -> None:
+        """Search ``index`` once per batch size it can dispatch (each index
+        class reports its own padded-shape representatives) so no live
+        request absorbs an XLA compile."""
+        tokens = self._pad(self.tokenizer(["warmup"], self.max_length),
+                           self.encode_batch)
+        embs = np.asarray(self.encode_fn(tokens))
+        for b in getattr(index, "warmup_batch_sizes",
+                         lambda mb: [min(mb, 128)])(self.encode_batch):
+            index.search(embs[:b], self.default_k)
 
     def save_index(self, out_dir: str) -> int:
         """Persist the LIVE index state — the FAISS ``write_index`` of a
