@@ -18,6 +18,7 @@ from .bucketing import (
     bucketize,
     default_bucket_lengths,
 )
+from .docstore import TsvDocStore
 from .nway_dataset import NwayBatch, NwayDataset
 from .packing import PackedBatch, pack_nway_batch
 from .teacher import (
@@ -48,6 +49,7 @@ __all__ = [
     "nway_for",
     "iter_jsonl",
     "load_passages",
+    "TsvDocStore",
     "load_queries",
     "load_train_examples",
     "passage_text",
