@@ -10,10 +10,17 @@ encode and search executables, then answer queries until stopped.
 API (stdlib ``http.server``, JSON over POST — zero extra dependencies):
 
 - ``POST /search``  {"queries": ["text", ...], "k": 10,
-  "exclude_ids": [int, ...]?}
+  "exclude_ids": [int, ...]?, "rerank_k": 50?}
   -> {"results": [[{"id": int, "score": float}, ...], ...],
       "elapsed_ms": float}   (``exclude_ids``: per-request result
-  exclusion via over-fetch; requires k + len(exclude_ids) <= --topk)
+  exclusion via over-fetch; requires k + len(exclude_ids) <= --topk.
+  ``rerank_k``: two-stage mode — retrieve the top rerank_k, rescore
+  them with the resident cross-encoder (--reranker) against texts from
+  the --passages docstore, return the top k by teacher score; hits
+  carry both "score" (cross-encoder) and "retrieval_score" (dot))
+- ``POST /rerank``  {"query": "text", "passages": ["doc", ...], "k": 5?}
+  -> {"results": [{"index": int, "score": float}, ...]}   (standalone
+  second stage over EXPLICIT texts, sorted by score descending)
 - ``POST /add``     {"ids": [int, ...], "texts": ["doc", ...]}
   -> {"ok": true, "n_vectors": N}   (passage-tower encode ->
   ``FlatIPIndex.add``: FAISS add_with_ids on the LIVE index)
@@ -102,6 +109,47 @@ def _filter_ranked(ranked, exclude, k):
     return [h for h in ranked if h["id"] not in exclude][:k]
 
 
+class Reranker:
+    """Cross-encoder second stage resident next to the index.
+
+    The reference runs its teacher offline (``reranking_evaluator.py``
+    batch jobs); here the same model lives in HBM and rescores retrieved
+    candidates per request. Collation goes through
+    ``RerankingDataset.from_pairs`` — the exact tested contract of the
+    offline rerank path — so serving scores equal ``cldrd-rerank-eval``'s
+    by construction. ``batches()`` pads to a fixed ``batch_size`` shape:
+    one compiled executable forever."""
+
+    def __init__(self, score_fn, tokenizer, max_len: int, batch_size: int,
+                 with_token_type_ids: bool, arch: str):
+        self.score_fn = score_fn
+        self.tokenizer = tokenizer
+        self.max_len = max_len
+        self.batch_size = batch_size
+        self.with_token_type_ids = with_token_type_ids
+        self.arch = arch
+
+    def score_texts(self, query: str, passages: List[object]) -> np.ndarray:
+        """Cross-encoder scores for (query, passage) pairs, in input
+        order. ``passages`` are ``Passage`` values (plain text or titled
+        dicts — the docstore/load_passages contract). Caller holds the
+        device lock."""
+        from cldrd_tpu.data.reranking_dataset import RerankingDataset
+
+        ds = RerankingDataset.from_pairs(
+            [(0, i) for i in range(len(passages))],
+            {0: query}, dict(enumerate(passages)), self.tokenizer,
+            is_cross_encoder=True, max_len=self.max_len,
+            with_token_type_ids=self.with_token_type_ids,
+        )
+        out = np.zeros(len(passages), np.float32)
+        for batch in ds.batches(self.batch_size):
+            scores = self.score_fn(batch)
+            for i in range(batch.n_valid):
+                out[int(batch.pids[i])] = float(scores[i])
+        return out
+
+
 class SearchService:
     """Tokenize -> encode -> exact top-k, behind one device lock."""
 
@@ -111,10 +159,18 @@ class SearchService:
                  max_batch_wait_ms: float = 2.0,
                  passage_encode_fn=None,
                  passage_max_length: int = 256,
-                 index_loader=None):
+                 index_loader=None,
+                 reranker: Optional[Reranker] = None,
+                 docstore=None):
         self.tokenizer = tokenizer
         self.encode_fn = encode_fn
         self.index = index
+        # two-stage serving: cross-encoder + id->text resolution for it
+        self.reranker = reranker
+        self.docstore = docstore
+        # texts of documents added live via /add, so they stay rerankable
+        # even though the docstore TSV predates them
+        self._live_texts: dict = {}
         # blue/green reloads (POST /reload): loads a store dir with the SAME
         # mode the daemon started with (flat/IVF, HBM dtype, precision)
         self._index_loader = index_loader
@@ -127,7 +183,8 @@ class SearchService:
         self.dynamic_batching = dynamic_batching
         self.max_batch_wait_ms = max_batch_wait_ms
         self._lock = threading.Lock()
-        self.stats = {"requests": 0, "queries": 0, "device_batches": 0}
+        self.stats = {"requests": 0, "queries": 0, "device_batches": 0,
+                      "reranked_queries": 0}
         # guards stats increments (handler threads race) and the
         # enqueue-vs-close ordering: enqueues hold it, and close() swaps
         # _worker to None under it BEFORE posting the shutdown sentinel, so
@@ -218,6 +275,10 @@ class SearchService:
                 ptokens = self.tokenizer(["warmup"], self.passage_max_length)
                 np.asarray(self.passage_encode_fn(
                     self._pad(ptokens, self.encode_batch)))
+            if self.reranker is not None:
+                # batches() pads to the fixed rerank batch shape, so one
+                # call compiles THE cross-encoder executable
+                self.reranker.score_texts("warmup", ["warmup"])
 
     def _pad(self, tokens, to: int):
         n = tokens["input_ids"].shape[0]
@@ -229,15 +290,36 @@ class SearchService:
             ) for k, v in tokens.items()
         }
 
-    def search(self, texts: List[str], k: Optional[int], exclude_ids=None):
+    def search(self, texts: List[str], k: Optional[int], exclude_ids=None,
+               rerank_k=None):
         """``exclude_ids``: per-request result exclusion (FAISS
         ``IDSelectorNot`` equivalence, the "don't show these again" serving
         filter) — implemented by over-fetch: every pass already computes
         top-``default_k``, and the request's k + |exclude| must fit under
-        that ceiling so k survivors are guaranteed after filtering."""
+        that ceiling so k survivors are guaranteed after filtering.
+
+        ``rerank_k``: two-stage mode — the first stage fetches the top
+        rerank_k (after exclusion), the resident cross-encoder rescores
+        them against docstore texts, and the top k BY TEACHER SCORE come
+        back with both scores. The first stage still coalesces through the
+        micro-batcher; only the per-request second stage runs outside it
+        (its batch is the request's own rerank_k pairs — already device-
+        sized work)."""
         k = int(k or self.default_k)
         exclude = frozenset(int(i) for i in (exclude_ids or ()))
-        if not 1 <= k <= self.default_k:
+        if rerank_k is not None:
+            if self.reranker is None:
+                raise ValueError(
+                    "this service carries no cross-encoder; restart with "
+                    "--reranker to use rerank_k")
+            rerank_k = int(rerank_k)
+            if not 1 <= k <= rerank_k:
+                raise ValueError(
+                    f"k must be in [1, rerank_k] ({k} vs rerank_k="
+                    f"{rerank_k}): the second stage returns the top k of "
+                    "the rerank_k retrieved candidates")
+        fetch_k = rerank_k if rerank_k is not None else k
+        if not 1 <= fetch_k <= self.default_k:
             # validated in the REQUEST thread, before any coalescing:
             # a bad k 400s its own request and never joins a group
             raise ValueError(
@@ -245,11 +327,11 @@ class SearchService:
                 f"serving ceiling; every pass computes top-{self.default_k} "
                 f"and slices)"
             )
-        if k + len(exclude) > self.default_k:
+        if fetch_k + len(exclude) > self.default_k:
             raise ValueError(
-                f"k + len(exclude_ids) ({k} + {len(exclude)}) exceeds the "
-                f"serving ceiling {self.default_k} (--topk): the exclusion "
-                "filter over-fetches from the same per-pass top-k")
+                f"k + len(exclude_ids) ({fetch_k} + {len(exclude)}) exceeds "
+                f"the serving ceiling {self.default_k} (--topk): the "
+                "exclusion filter over-fetches from the same per-pass top-k")
         if not texts:
             return []
         t0 = time.perf_counter()
@@ -258,23 +340,89 @@ class SearchService:
             self.stats["queries"] += len(texts)
             worker = self._worker
             if worker is not None:
-                pending = _Pending(texts, k, exclude)
+                pending = _Pending(texts, fetch_k, exclude)
                 self._queue.put(pending)
         if worker is None:
-            out = [_filter_ranked(r, exclude, k)
+            out = [_filter_ranked(r, exclude, fetch_k)
                    for r in self._search_device(texts, self.default_k)]
-            with self._state_lock:
-                self._latencies.append(time.perf_counter() - t0)
-            return out
-        # the worker always answers (see _state_lock invariant); the
-        # timeout is a safety valve, not an expected path
-        if not pending.event.wait(timeout=600):
-            raise RuntimeError("search timed out waiting for the device worker")
-        if pending.error is not None:
-            raise pending.error
+        else:
+            # the worker always answers (see _state_lock invariant); the
+            # timeout is a safety valve, not an expected path
+            if not pending.event.wait(timeout=600):
+                raise RuntimeError(
+                    "search timed out waiting for the device worker")
+            if pending.error is not None:
+                raise pending.error
+            out = pending.results
+        if rerank_k is not None:
+            out = [self._rerank_ranked(q, ranked, k)
+                   for q, ranked in zip(texts, out)]
         with self._state_lock:
             self._latencies.append(time.perf_counter() - t0)
-        return pending.results
+        return out
+
+    # --------------------------------------------------- second stage
+
+    def _passages_for_ids(self, ids: List[int]) -> List[object]:
+        """Resolve retrieved ids to passage texts: the live-/add/ overlay
+        first, then the --passages docstore."""
+        out = [self._live_texts.get(i) for i in ids]
+        missing = [(j, i) for j, (i, t) in enumerate(zip(ids, out))
+                   if t is None]
+        if missing:
+            if self.docstore is None:
+                raise ValueError(
+                    "retrieved ids cannot be resolved to text: restart "
+                    "with --passages <collection.tsv>, or score explicit "
+                    "texts via POST /rerank")
+            try:
+                fetched = self.docstore.get_many([i for _, i in missing])
+            except KeyError as e:
+                raise ValueError(str(e))
+            for (j, _), text in zip(missing, fetched):
+                out[j] = text
+        return out
+
+    def _rerank_ranked(self, query: str, ranked, k: int):
+        """Rescore one query's retrieved hits with the cross-encoder and
+        return the top k by teacher score (stable: retrieval order breaks
+        teacher-score ties)."""
+        if not ranked:
+            return ranked
+        passages = self._passages_for_ids([h["id"] for h in ranked])
+        with self._lock:
+            scores = self.reranker.score_texts(query, passages)
+        with self._state_lock:
+            self.stats["reranked_queries"] += 1
+        order = np.argsort(-scores, kind="stable")[:k]
+        return [
+            {"id": ranked[i]["id"], "score": float(scores[i]),
+             "retrieval_score": ranked[i]["score"]}
+            for i in order
+        ]
+
+    def rerank(self, query: str, passages: List[str], k=None):
+        """Standalone second stage over explicit texts (POST /rerank):
+        cross-encoder scores, sorted descending, as (index, score)."""
+        if self.reranker is None:
+            raise ValueError("this service carries no cross-encoder; "
+                             "restart with --reranker to use /rerank")
+        if not isinstance(query, str):
+            raise ValueError("'query' must be a string")
+        if (not isinstance(passages, list) or not passages
+                or not all(isinstance(t, str) for t in passages)):
+            raise ValueError("'passages' must be a non-empty list of strings")
+        k = len(passages) if k is None else int(k)
+        if not 1 <= k <= len(passages):
+            raise ValueError(
+                f"k must be in [1, len(passages)] (got {k} for "
+                f"{len(passages)} passages)")
+        with self._lock:
+            scores = self.reranker.score_texts(query, passages)
+        with self._state_lock:
+            self.stats["reranked_queries"] += 1
+        order = np.argsort(-scores, kind="stable")[:k]
+        return [{"index": int(i), "score": float(scores[i])} for i in order]
 
     # ------------------------------------------------------- live updates
 
@@ -303,6 +451,11 @@ class SearchService:
             new = self.index.add(
                 np.concatenate(embs), np.asarray(ids, np.int64))
             self.index = new
+        if self.reranker is not None:
+            # keep live-added docs rerankable (the docstore TSV predates
+            # them); GIL-atomic dict writes, reads are .get()
+            for i, t in zip(ids, texts):
+                self._live_texts[int(i)] = t
         return new.n_vectors
 
     def remove_documents(self, ids: List[int]) -> int:
@@ -311,7 +464,10 @@ class SearchService:
             raise ValueError("'ids' must be a non-empty list")
         with self._lock:
             self.index = self.index.remove([int(i) for i in ids])
-            return self.index.n_vectors
+            n = self.index.n_vectors
+        for i in ids:
+            self._live_texts.pop(int(i), None)
+        return n
 
     def reload_index(self, index_dir: str) -> int:
         """Blue/green index swap: load a NEW store (same mode as startup)
@@ -420,13 +576,15 @@ class _Handler(BaseHTTPRequestHandler):
             if hasattr(idx, "nprobe"):  # IVF mode: surface the probe config
                 payload["nprobe"] = idx.nprobe
                 payload["n_buckets"] = idx.n_buckets
+            if self.service.reranker is not None:
+                payload["reranker"] = self.service.reranker.arch
             self._reply(200, payload)
         else:
             self._reply(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self):  # noqa: N802
         if self.path not in ("/search", "/add", "/remove", "/save",
-                             "/reload"):
+                             "/reload", "/rerank"):
             self._reply(404, {"error": f"unknown path {self.path}"})
             return
         try:
@@ -441,7 +599,12 @@ class _Handler(BaseHTTPRequestHandler):
                     raise ValueError("'queries' must be a list of strings")
                 results = self.service.search(
                     queries, req.get("k"),
-                    exclude_ids=req.get("exclude_ids"))
+                    exclude_ids=req.get("exclude_ids"),
+                    rerank_k=req.get("rerank_k"))
+                payload = {"results": results}
+            elif self.path == "/rerank":
+                results = self.service.rerank(
+                    req["query"], req["passages"], req.get("k"))
                 payload = {"results": results}
             elif self.path == "/add":
                 n = self.service.add_documents(
@@ -502,6 +665,36 @@ def build_parser() -> argparse.ArgumentParser:
                    help="IVF cells probed per query (default: the value "
                         "stored at build time); higher = better recall, "
                         "nprobe=n_buckets = exact")
+    p.add_argument("--reranker", choices=("distilbert", "bert"), default=None,
+                   help="keep a cross-encoder second stage resident: "
+                        "enables POST /rerank and the 'rerank_k' field on "
+                        "/search ('bert' = the reference MiniLM teacher's "
+                        "family)")
+    p.add_argument("--reranker-checkpoint", default=None,
+                   help="cross-encoder weights (.msgpack or torch "
+                        ".pth.tar/HF state dict); omitted = random init "
+                        "(tests only)")
+    p.add_argument("--reranker-size", choices=("full", "tiny"),
+                   default="full",
+                   help="'full' = MiniLM-L6 shape for --reranker bert, "
+                        "distilbert-base otherwise")
+    p.add_argument("--reranker-config", default=None,
+                   help="cross-encoder config overrides as a JSON file "
+                        "path or inline JSON (takes precedence over "
+                        "--reranker-size)")
+    p.add_argument("--reranker-tokenizer", default=None,
+                   help="tokenizer for the cross-encoder (default: "
+                        "--tokenizer)")
+    p.add_argument("--rerank-max-length", type=int, default=256,
+                   help="joined [CLS] q [SEP] p [SEP] length for the "
+                        "second stage")
+    p.add_argument("--rerank-batch-size", type=int, default=32,
+                   help="fixed pair-batch shape for the cross-encoder "
+                        "executable")
+    p.add_argument("--passages", default=None,
+                   help="collection TSV (pid\\ttext or pid\\ttitle\\tpara) "
+                        "mmap'd as a docstore so /search rerank_k can "
+                        "resolve retrieved ids to texts")
     p.add_argument("--max-batch-wait-ms", type=float, default=2.0,
                    help="dynamic micro-batching window: how long the "
                         "device worker waits for more concurrent requests "
@@ -579,6 +772,14 @@ def make_service(args) -> SearchService:
         raise SystemExit(str(e))
     encode = make_encode_fn(model, params, "query_embs")
     passage_encode = make_encode_fn(model, params, "passage_embs")
+    reranker = _build_reranker(args)
+    docstore = None
+    if getattr(args, "passages", None):
+        from cldrd_tpu.data import TsvDocStore
+
+        docstore = TsvDocStore(args.passages)
+        logger.info("docstore: %d passages mmap'd from %s",
+                    len(docstore), args.passages)
     return SearchService(
         tokenizer, encode, index, args.max_length,
         args.encode_batch_size, args.topk,
@@ -587,6 +788,62 @@ def make_service(args) -> SearchService:
         passage_encode_fn=passage_encode,
         passage_max_length=args.passage_max_length,
         index_loader=index_loader,
+        reranker=reranker,
+        docstore=docstore,
+    )
+
+
+def _reranker_config(args):
+    """Cross-encoder config: 'bert' full = the MiniLM-L6 teacher shape
+    (the reference's actual teacher, ``reranking_evaluator.py:292``)."""
+    if args.reranker == "bert":
+        from cldrd_tpu.models import BertConfig as cfg_cls
+    else:
+        from cldrd_tpu.models import DistilBertConfig as cfg_cls
+    spec = args.reranker_config
+    if spec:
+        import os
+
+        overrides = (json.load(open(spec)) if os.path.exists(spec)
+                     else json.loads(spec))
+        return cfg_cls(**overrides)
+    if args.reranker_size == "tiny":
+        return cfg_cls.tiny()
+    return (cfg_cls.minilm_l6() if args.reranker == "bert" else cfg_cls())
+
+
+def _build_reranker(args) -> Optional[Reranker]:
+    if not getattr(args, "reranker", None):
+        return None
+    from cldrd_tpu.evaluation.reranking_evaluator import (
+        make_cross_encoder_score_fn,
+    )
+    from cldrd_tpu.models import CrossEncoder
+
+    from .create_training_data import _teacher_params
+
+    rcfg = _reranker_config(args)
+    rmodel = CrossEncoder(config=rcfg, dtype=jnp.bfloat16,
+                          arch=args.reranker)
+    if not args.reranker_checkpoint:
+        logger.warning("--reranker without --reranker-checkpoint: the "
+                       "second stage scores with RANDOM weights")
+    rparams = _teacher_params(args.reranker_checkpoint, rmodel, rcfg,
+                              arch=args.reranker)
+    rtok = build_tokenizer(args.reranker_tokenizer or args.tokenizer,
+                           vocab_size=rcfg.vocab_size)
+    if args.rerank_max_length > rcfg.max_position_embeddings:
+        raise SystemExit(
+            f"--rerank-max-length {args.rerank_max_length} exceeds the "
+            "cross-encoder's max_position_embeddings="
+            f"{rcfg.max_position_embeddings}")
+    logger.info("reranker: %s cross-encoder resident (pair batch %d x %d)",
+                args.reranker, args.rerank_batch_size,
+                args.rerank_max_length)
+    return Reranker(
+        make_cross_encoder_score_fn(rmodel, rparams), rtok,
+        args.rerank_max_length, args.rerank_batch_size,
+        with_token_type_ids=args.reranker == "bert", arch=args.reranker,
     )
 
 

@@ -1015,3 +1015,182 @@ def test_serve_close_never_abandons_requests():
         assert len(outcomes) == 16
         # post-close searches run direct (worker is None) and still answer
         assert len(svc.search(["late"], 5)) == 1
+
+
+def test_cli_serve_rerank(corpus_files, tmp_path):
+    """Two-stage serving: /rerank over explicit texts must equal the
+    offline cross-encoder path (same model via the public APIs), and
+    /search rerank_k must reorder the first stage's candidates by teacher
+    score with both scores reported."""
+    import threading
+    import urllib.error
+    import urllib.request
+
+    import jax.numpy as jnp
+
+    from cldrd_tpu.cli import serve as cli_serve
+    from cldrd_tpu.cli.create_training_data import _teacher_params
+    from cldrd_tpu.data import TsvDocStore, load_passages, passage_text
+    from cldrd_tpu.data.reranking_dataset import RerankingDataset
+    from cldrd_tpu.evaluation.reranking_evaluator import (
+        make_cross_encoder_score_fn,
+    )
+    from cldrd_tpu.models import CrossEncoder, DistilBertConfig
+
+    f = corpus_files
+    idx_dir = str(tmp_path / "serve_rr_idx")
+    rc = cli_index.main([
+        "--collection", f["passages"], "--out", idx_dir,
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "16", "--batch-size", "8",
+        "--compute-dtype", "float32",
+    ])
+    assert rc == 0
+
+    args = cli_serve.build_parser().parse_args([
+        "--index", idx_dir, "--port", "0",
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "12", "--passage-max-length", "16",
+        "--encode-batch-size", "8", "--topk", "8",
+        "--reranker", "distilbert", "--reranker-size", "tiny",
+        "--rerank-max-length", "24", "--rerank-batch-size", "4",
+        "--passages", f["passages"],
+    ])
+    httpd = cli_serve.serve(args)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    def post(path, payload, timeout=120):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return json.loads(r.read())
+
+    def post_expect_400(path, payload):
+        try:
+            post(path, payload)
+            assert False, f"expected HTTP 400 for {payload}"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            return json.loads(e.read())["error"]
+
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["reranker"] == "distilbert"
+
+        # ---- /rerank over explicit texts == the offline tested path.
+        # The daemon's reranker is random-init from PRNGKey(0); rebuild the
+        # identical model through the public APIs and compare scores.
+        texts = [passage_text(p) for p in
+                 list(load_passages(f["passages"]).values())[:6]]
+        query = "find subject3 info"
+        got = post("/rerank", {"query": query, "passages": texts})
+        assert [h["index"] for h in got["results"]] != []
+        scores_by_index = {h["index"]: h["score"] for h in got["results"]}
+        assert len(scores_by_index) == len(texts)
+        srv_scores = [h["score"] for h in got["results"]]
+        assert srv_scores == sorted(srv_scores, reverse=True)
+
+        cfg = DistilBertConfig.tiny()
+        model = CrossEncoder(config=cfg, dtype=jnp.bfloat16,
+                             arch="distilbert")
+        params = _teacher_params(None, model, cfg, arch="distilbert")
+        score_fn = make_cross_encoder_score_fn(model, params)
+        svc = httpd.RequestHandlerClass.service
+        ds = RerankingDataset.from_pairs(
+            [(0, i) for i in range(len(texts))], {0: query},
+            dict(enumerate(texts)), svc.reranker.tokenizer,
+            is_cross_encoder=True, max_len=24,
+        )
+        offline = np.zeros(len(texts), np.float32)
+        for batch in ds.batches(4):
+            s = score_fn(batch)
+            for i in range(batch.n_valid):
+                offline[int(batch.pids[i])] = float(s[i])
+        for i in range(len(texts)):
+            assert scores_by_index[i] == pytest.approx(offline[i], abs=1e-5)
+
+        # k slices the teacher-sorted list
+        top2 = post("/rerank", {"query": query, "passages": texts, "k": 2})
+        assert top2["results"] == got["results"][:2]
+
+        # ---- /search with rerank_k: candidates come from the first
+        # stage's top-rerank_k; order + "score" are the teacher's;
+        # "retrieval_score" is the first stage's dot product.
+        first = post("/search", {"queries": [query], "k": 6})["results"][0]
+        two_stage = post("/search", {"queries": [query], "k": 4,
+                                     "rerank_k": 6})["results"][0]
+        assert len(two_stage) == 4
+        first_ids = [h["id"] for h in first]
+        assert set(h["id"] for h in two_stage) <= set(first_ids)
+        ce = [h["score"] for h in two_stage]
+        assert ce == sorted(ce, reverse=True)
+        retrieval = {h["id"]: h["score"] for h in first}
+        docs = TsvDocStore(f["passages"])
+        pool = [passage_text(p) for p in docs.get_many(first_ids)]
+        oracle = post("/rerank", {"query": query, "passages": pool})
+        oracle_rank = [first_ids[h["index"]] for h in oracle["results"]]
+        assert [h["id"] for h in two_stage] == oracle_rank[:4]
+        for h in two_stage:
+            assert h["retrieval_score"] == pytest.approx(retrieval[h["id"]])
+
+        # rerank interacts with exclude_ids: excluded ids never reach the
+        # second stage
+        excl = [first_ids[0]]
+        out = post("/search", {"queries": [query], "k": 3, "rerank_k": 5,
+                               "exclude_ids": excl})["results"][0]
+        assert excl[0] not in [h["id"] for h in out]
+
+        # ---- live adds stay rerankable through the overlay (their text
+        # is NOT in the docstore TSV)
+        post("/add", {"ids": [9100], "texts": ["zebra stripes document"]})
+        assert svc._passages_for_ids([9100]) == ["zebra stripes document"]
+        post("/remove", {"ids": [9100]})
+        assert 9100 not in svc._live_texts
+
+        # ---- validation surfaces
+        post_expect_400("/search", {"queries": [query], "k": 7,
+                                    "rerank_k": 6})  # k > rerank_k
+        post_expect_400("/search", {"queries": [query], "k": 2,
+                                    "rerank_k": 99})  # rerank_k > --topk
+        post_expect_400("/rerank", {"query": query, "passages": []})
+        post_expect_400("/rerank", {"query": query, "passages": texts,
+                                    "k": 0})
+        post_expect_400("/rerank", {"query": 5, "passages": texts})
+        # stats observable
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            assert json.loads(r.read())["reranked_queries"] >= 4
+
+        # without a docstore, unresolvable ids are a client error that
+        # names the remedy
+        svc.docstore = None
+        err = post_expect_400("/search", {"queries": [query], "k": 2,
+                                          "rerank_k": 4})
+        assert "--passages" in err
+    finally:
+        httpd.RequestHandlerClass.service.close()
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_cli_serve_rejects_rerank_without_reranker(corpus_files, tmp_path):
+    """A daemon started without --reranker 400s rerank_k and /rerank
+    (unit-level: the service object's own validation)."""
+    from cldrd_tpu.cli import serve as cli_serve
+
+    svc = cli_serve.SearchService(
+        tokenizer=None, encode_fn=None, index=None, max_length=8,
+        encode_batch=8, default_k=5, dynamic_batching=False,
+    )
+    with pytest.raises(ValueError, match="--reranker"):
+        svc.search(["q"], 2, rerank_k=4)
+    with pytest.raises(ValueError, match="--reranker"):
+        svc.rerank("q", ["p"], 1)
