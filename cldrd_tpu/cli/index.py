@@ -79,6 +79,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "rounded up to 128)")
     p.add_argument("--ivf-nprobe", type=int, default=8,
                    help="default probe count stored with the IVF index")
+    p.add_argument("--pq-m", type=int, default=None,
+                   help="store the IVF companion as product-quantized "
+                        "residual codes with this many sub-quantizers "
+                        "(FAISS IndexIVFPQ): pq_m * pq_bits / 8 bytes a "
+                        "row — e.g. 96x4-bit on 768-d is 48 B, the full "
+                        "8.8M corpus in ~0.42 GB HBM. Requires "
+                        "--ivf-nlist; dim must divide by pq_m")
+    p.add_argument("--pq-bits", type=int, default=4, choices=(4, 8),
+                   help="bits per PQ code (4: 16-codeword fast-scan "
+                        "shape; 8: classic 256-codeword PQ)")
     p.add_argument("--ivf-only", action="store_true",
                    help="build ONLY the IVF companion from the flat store "
                         "already at --out (no re-encoding; --collection/"
@@ -98,20 +108,26 @@ def _build_ivf(args, embeddings, ids) -> None:
         nprobe=args.ivf_nprobe,
         # fp32 build for a lossless store; int8 follows the flat store's
         # quantization choice. The HBM dtype is picked at load time
-        # (cldrd-serve --hbm-dtype).
+        # (cldrd-serve --hbm-dtype). --pq-m overrides both: the store
+        # becomes uint8 residual codes.
         dtype=jnp.int8 if args.store_dtype == "int8" else jnp.float32,
+        pq_m=args.pq_m, pq_bits=args.pq_bits,
     )
     ivf_dir = os.path.join(args.out, "ivf")
     ivf.save(ivf_dir)
     logger.info(
-        "IVF index (%d buckets x %d slot) written to %s in %.1fs",
-        ivf.n_buckets, ivf.slot, ivf_dir, time.perf_counter() - t0,
+        "IVF%s index (%d buckets x %d slot) written to %s in %.1fs",
+        "PQ" if ivf.is_pq else "", ivf.n_buckets, ivf.slot, ivf_dir,
+        time.perf_counter() - t0,
     )
 
 
 def main(argv: Optional[List[str]] = None) -> int:
     setup_logging()
     args = build_parser().parse_args(argv)
+    if args.pq_m and not args.ivf_nlist:
+        raise SystemExit("--pq-m requires --ivf-nlist (PQ is the IVF "
+                         "companion's storage layer)")
     if args.ivf_only:
         if not args.ivf_nlist:
             raise SystemExit("--ivf-only requires --ivf-nlist")

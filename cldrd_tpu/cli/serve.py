@@ -756,12 +756,22 @@ def make_service(args) -> SearchService:
                 raise ValueError(
                     f"no IVF index at {ivf_dir}: build one with "
                     "cldrd-index --ivf-nlist N (or drop --ivf)")
-            idx = IVFIndex.load(ivf_dir, dtype=hbm_dtype,
-                                precision=args.precision)
+            import json
+
+            from cldrd_tpu.index.ivf_index import IVF_META_NAME
+
+            with open(os.path.join(ivf_dir, IVF_META_NAME)) as f:
+                is_pq = json.load(f)["dtype"] == "pq"
+            # a PQ store's device representation is fixed (uint8 codes,
+            # fp32 LUT scoring): --hbm-dtype does not apply to it
+            idx = IVFIndex.load(
+                ivf_dir, dtype=None if is_pq else hbm_dtype,
+                precision=args.precision)
             if args.nprobe is not None:
                 idx.nprobe = min(args.nprobe, idx.n_buckets)
-            logger.info("IVF serving: %d buckets x %d slot, nprobe=%d",
-                        idx.n_buckets, idx.slot, idx.nprobe)
+            logger.info("IVF%s serving: %d buckets x %d slot, nprobe=%d",
+                        "PQ" if is_pq else "", idx.n_buckets, idx.slot,
+                        idx.nprobe)
             return idx
         return load_index(
             index_dir, mesh=mesh, dtype=hbm_dtype, precision=args.precision)

@@ -53,6 +53,7 @@ from .flat_index import (
     query_dtype_for,
 )
 from .kmeans import assign_clusters, kmeans
+from .pq import encode_pq, pq_lut, pq_scores_from_codes, train_pq
 from cldrd_tpu.search.mips import _PRECISIONS, NEG_INF, _block_scores
 
 IVF_META_NAME = "ivf_meta.json"
@@ -126,6 +127,44 @@ def _ivf_search(
     return v, ids
 
 
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "slot"))
+def _ivf_pq_search(
+    q, centroids, buckets_flat, bucket_ids, codebooks,
+    k: int, nprobe: int, slot: int,
+):
+    """Device IVFPQ search (FAISS ``IndexIVFPQ`` semantics, MXU form).
+
+    q [B, D] fp32, centroids [nb, D] fp32, buckets_flat [nb, slot*m]
+    uint8 RESIDUAL codes, codebooks [m, n_codes, D/m] fp32. Score of a
+    row in bucket j is ``q . centroid_j`` (already computed by the coarse
+    matmul — gathered back for free) plus the LUT decomposition of
+    ``q . residual`` — exactly ``q . (centroid + decode(code))`` in fp32.
+    """
+    b, d = q.shape
+    m = codebooks.shape[0]
+    q = q.astype(jnp.float32)
+    cs = _block_scores(q, centroids)                       # [B, nb]
+    base, probe = jax.lax.top_k(cs, nprobe)                # [B, p] x2
+    cand_codes = jnp.take(buckets_flat, probe, axis=0)     # [B, p, slot*m]
+    cand_codes = cand_codes.reshape(b, nprobe * slot, m).astype(jnp.int32)
+    cand_ids = jnp.take(bucket_ids, probe, axis=0).reshape(b, nprobe * slot)
+    lut = pq_lut(q, codebooks)                             # [B, m, n_codes]
+    scores = pq_scores_from_codes(cand_codes, lut)         # [B, p*slot]
+    # residual base: rows of bucket j all share coarse score base[:, j]
+    scores = scores + jnp.repeat(base, slot, axis=1)
+    scores = jnp.where(cand_ids >= 0, scores, NEG_INF)
+    k_eff = min(k, nprobe * slot)
+    v, ai = jax.lax.top_k(scores, k_eff)
+    ids = jnp.take_along_axis(cand_ids, ai, axis=1)
+    if k_eff < k:
+        v = jnp.concatenate(
+            [v, jnp.full((b, k - k_eff), NEG_INF, v.dtype)], axis=-1)
+        ids = jnp.concatenate(
+            [ids, jnp.full((b, k - k_eff), -1, ids.dtype)], axis=-1)
+    ids = jnp.where(jnp.isfinite(v), ids, -1)
+    return v, ids
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_rows(buf, idx, rows):
     """In-place (donated) row scatter for live adds — the bucket matrix is
@@ -149,6 +188,8 @@ class IVFIndex(HostIdCacheMixin):
     bucket_scales: Optional[jax.Array] = None  # [n_buckets, slot] fp32 (int8)
     bucket_cluster: Optional[np.ndarray] = None  # [n_buckets] int32 host map
                                 # bucket -> training cluster (add() routing)
+    codebooks: Optional[jax.Array] = None  # [pq_m, 2**bits, D/pq_m] fp32:
+                                # PQ mode — buckets hold uint8 residual codes
 
     @property
     def dim(self) -> int:
@@ -159,7 +200,13 @@ class IVFIndex(HostIdCacheMixin):
         return self.centroids.shape[0]
 
     @property
+    def is_pq(self) -> bool:
+        return self.codebooks is not None
+
+    @property
     def _query_dtype(self):
+        if self.is_pq:  # LUTs are fp32; codes are not a scoring dtype
+            return jnp.float32
         return query_dtype_for(self.buckets.dtype, self.precision)
 
     # ------------------------------------------------------------- build
@@ -177,13 +224,21 @@ class IVFIndex(HostIdCacheMixin):
         kmeans_iters: int = 15,
         seed: int = 0,
         centroids: Optional[np.ndarray] = None,
+        pq_m: Optional[int] = None,
+        pq_bits: int = 4,
     ) -> "IVFIndex":
         """Train (or accept) ``nlist`` centroids, group rows into
         fixed-``slot`` buckets, device-put everything.
 
         ``slot`` defaults to the mean cluster size rounded up to 128 (the
         minor-dim-friendly granule); clusters larger than ``slot`` span
-        multiple buckets. ``dtype`` bf16 (default) / float32 / int8."""
+        multiple buckets. ``dtype`` bf16 (default) / float32 / int8.
+
+        ``pq_m`` switches the store to product-quantized RESIDUAL codes
+        (FAISS ``IndexIVFPQ``): ``pq_m`` sub-quantizers of ``2**pq_bits``
+        codewords each — ``pq_m * pq_bits / 8`` bytes a row (96x4-bit on
+        768-d = 48 B, 32x less HBM than bf16). ``dtype`` is then ignored
+        (codes are the store)."""
         embeddings = np.asarray(embeddings, np.float32)
         n, d = embeddings.shape
         assert ids.shape == (n,)
@@ -202,15 +257,30 @@ class IVFIndex(HostIdCacheMixin):
         # quantize first (per-row, order-independent), then group rows by
         # cluster and chunk each cluster into slot-row buckets via the ONE
         # shared chunker (padding convention identical to add()-overflow)
-        int8 = jnp.dtype(dtype) == jnp.int8
-        values, row_scales = (quantize_rows(embeddings, xp=np) if int8
-                              else (embeddings, None))
+        int8 = jnp.dtype(dtype) == jnp.int8 and pq_m is None
+        codebooks = None
+        if pq_m is not None:
+            if pq_bits not in (4, 8):
+                raise ValueError(f"pq_bits must be 4 or 8 (got {pq_bits})")
+            # FAISS IVFPQ semantics: codes quantize the residual to the
+            # assigned coarse centroid; search adds q.centroid back from
+            # the coarse matmul it already ran
+            residuals = embeddings - centroids[assign]
+            codebooks = train_pq(residuals, pq_m, 1 << pq_bits, seed=seed)
+            values, row_scales = encode_pq(residuals, codebooks), None
+        elif int8:
+            values, row_scales = quantize_rows(embeddings, xp=np)
+        else:
+            values, row_scales = embeddings, None
+        row_w = values.shape[1]  # D, or pq_m in code space
         order = np.argsort(assign, kind="stable")
         sizes = np.bincount(assign, minlength=nlist)
         # preallocate the bucket store (one host copy, not a list-of-blocks
         # double: at 8.8M x 768 fp32 the transient second copy is 27 GB)
         nb = int(sum(-(-int(s) // slot) for s in sizes if s))
-        mat = np.zeros((nb, slot, d), np.int8 if int8 else np.float32)
+        mat = np.zeros((nb, slot, row_w),
+                       np.uint8 if pq_m is not None
+                       else (np.int8 if int8 else np.float32))
         bids = np.full((nb, slot), -1, np.int32)
         scs = np.ones((nb, slot), np.float32) if int8 else None
         cents = np.empty((nb, d), np.float32)
@@ -233,8 +303,9 @@ class IVFIndex(HostIdCacheMixin):
 
         scales = jnp.asarray(scs) if int8 else None
         dev_mat = jnp.asarray(
-            mat.reshape(nb, slot * d),
-            dtype=jnp.int8 if int8 else dtype)
+            mat.reshape(nb, slot * row_w),
+            dtype=(jnp.uint8 if pq_m is not None
+                   else (jnp.int8 if int8 else dtype)))
         return cls(
             centroids=jnp.asarray(cents),
             buckets=dev_mat,
@@ -244,6 +315,8 @@ class IVFIndex(HostIdCacheMixin):
             precision=precision,
             bucket_scales=scales,
             bucket_cluster=bcl,
+            codebooks=(None if codebooks is None
+                       else jnp.asarray(codebooks, jnp.float32)),
         )
 
     # ------------------------------------------------------------ search
@@ -293,12 +366,18 @@ class IVFIndex(HostIdCacheMixin):
         if b_pad != b:
             q = jnp.concatenate(
                 [q, jnp.broadcast_to(q[:1], (b_pad - b, q.shape[1]))])
-        scales = (self.bucket_scales if self.bucket_scales is not None
-                  else jnp.zeros((self.n_buckets, 0), jnp.float32))
-        v, ids = _ivf_search(
-            q, self.centroids, self.buckets, self.bucket_ids, scales,
-            k, p, self.slot, self.precision,
-        )
+        if self.is_pq:
+            v, ids = _ivf_pq_search(
+                q, self.centroids, self.buckets, self.bucket_ids,
+                self.codebooks, k, p, self.slot,
+            )
+        else:
+            scales = (self.bucket_scales if self.bucket_scales is not None
+                      else jnp.zeros((self.n_buckets, 0), jnp.float32))
+            v, ids = _ivf_search(
+                q, self.centroids, self.buckets, self.bucket_ids, scales,
+                k, p, self.slot, self.precision,
+            )
         return np.asarray(v)[:b], np.asarray(ids)[:b]
 
     # ------------------------------------------------------- live updates
@@ -338,10 +417,18 @@ class IVFIndex(HostIdCacheMixin):
         placements: dict = {}       # bucket -> [(slot_pos, new_row_idx)]
         overflow: dict = {}         # cluster -> [new_row_idx]
         int8 = self.buckets.dtype == jnp.int8
-        if int8:
+        if self.is_pq:
+            # encode the residual to the ASSIGNED cluster's centroid (any
+            # of its duplicated bucket centroids — identical vectors)
+            cent_rows = np.asarray(self.centroids)[nearest_bucket]
+            codes_new = encode_pq(embeddings - cent_rows,
+                                  np.asarray(self.codebooks))
+            scales_new = None
+        elif int8:
             codes_new, scales_new = quantize_rows(embeddings, xp=np)
         else:
             codes_new, scales_new = embeddings, None
+        row_w = self.buckets.shape[1] // self.slot  # D, or pq_m in code space
         for i in range(n):
             c = int(clusters[i])
             blist = cluster_buckets[c]
@@ -383,7 +470,8 @@ class IVFIndex(HostIdCacheMixin):
                     nbk_cents.append(ccent)
                     nbk_cl.append(c)
                     nbk_sc.append(sc)
-            slab = np.stack(nbk_rows).reshape(len(nbk_rows), self.slot * d)
+            slab = np.stack(nbk_rows).reshape(len(nbk_rows),
+                                              self.slot * row_w)
             buckets = jnp.concatenate(
                 [buckets, jnp.asarray(slab, dtype=buckets.dtype)])
             host_ids = np.concatenate([host_ids, np.stack(nbk_ids)])
@@ -398,7 +486,7 @@ class IVFIndex(HostIdCacheMixin):
             idx = np.asarray(sorted(placements), np.int32)
             dev_idx = jnp.asarray(idx)
             cur = np.asarray(jnp.take(buckets, dev_idx, axis=0))
-            cur = cur.reshape(len(idx), self.slot, d).copy()
+            cur = cur.reshape(len(idx), self.slot, row_w).copy()
             cur_sc = (np.asarray(jnp.take(scales, dev_idx, axis=0)).copy()
                       if int8 else None)
             for j, b in enumerate(idx):
@@ -408,7 +496,7 @@ class IVFIndex(HostIdCacheMixin):
                         cur_sc[j, s] = scales_new[i]
             buckets = _scatter_rows(
                 buckets, dev_idx,
-                jnp.asarray(cur.reshape(len(idx), self.slot * d),
+                jnp.asarray(cur.reshape(len(idx), self.slot * row_w),
                             dtype=buckets.dtype))
             if int8:
                 scales = _scatter_rows(scales, dev_idx, jnp.asarray(cur_sc))
@@ -418,6 +506,7 @@ class IVFIndex(HostIdCacheMixin):
             bucket_ids=jnp.asarray(host_ids), slot=self.slot,
             nprobe=self.nprobe, precision=self.precision,
             bucket_scales=scales, bucket_cluster=bcl,
+            codebooks=self.codebooks,
         )
 
     def remove(self, ids) -> "IVFIndex":
@@ -433,6 +522,7 @@ class IVFIndex(HostIdCacheMixin):
             slot=self.slot, nprobe=self.nprobe, precision=self.precision,
             bucket_scales=self.bucket_scales,
             bucket_cluster=self.bucket_cluster,
+            codebooks=self.codebooks,
         )
 
     # -------------------------------------------------------- persistence
@@ -442,9 +532,10 @@ class IVFIndex(HostIdCacheMixin):
         np.save(os.path.join(out_dir, "centroids.npy"),
                 np.asarray(self.centroids))
         # fetch once, in the dtype being written (a bf16 store otherwise
-        # pays a full host copy that is immediately discarded)
+        # pays a full host copy that is immediately discarded); PQ codes
+        # are the store — they persist verbatim as uint8
         store = (np.asarray(self.buckets)
-                 if self.buckets.dtype == jnp.int8
+                 if self.buckets.dtype in (jnp.int8, jnp.uint8)
                  else np.asarray(self.buckets.astype(jnp.float32)))
         np.save(os.path.join(out_dir, "buckets.npy"), store)
         np.save(os.path.join(out_dir, "bucket_ids.npy"), self._host_ids())
@@ -454,16 +545,23 @@ class IVFIndex(HostIdCacheMixin):
         if self.bucket_cluster is not None:
             np.save(os.path.join(out_dir, "bucket_cluster.npy"),
                     self.bucket_cluster.astype(np.int32))
+        if self.is_pq:
+            np.save(os.path.join(out_dir, "pq_codebooks.npy"),
+                    np.asarray(self.codebooks))
         meta = {
             "slot": int(self.slot),
             "nprobe": int(self.nprobe),
             "precision": self.precision,
             "dim": int(self.dim),
             "n_buckets": int(self.n_buckets),
-            "dtype": ("int8" if np.asarray(self.buckets).dtype == np.int8
+            "dtype": ("pq" if self.is_pq
+                      else "int8" if store.dtype == np.int8
                       else "float32"),
             "format_version": 1,
         }
+        if self.is_pq:
+            meta["pq_m"] = int(self.codebooks.shape[0])
+            meta["pq_codes"] = int(self.codebooks.shape[1])
         with open(os.path.join(out_dir, IVF_META_NAME), "w") as f:
             json.dump(meta, f, indent=2)
 
@@ -475,11 +573,25 @@ class IVFIndex(HostIdCacheMixin):
         buckets = np.load(os.path.join(out_dir, "buckets.npy"))
         bids = np.load(os.path.join(out_dir, "bucket_ids.npy"))
         scales = None
+        codebooks = None
         # HBM dtype semantics MATCH persistence.load_index: an int8 store
         # keeps its codes only when int8 HBM is explicitly requested;
         # any float request (or the bf16 default) dequantizes codes x
         # per-row scales — the caller asking for float scoring gets it.
-        if meta["dtype"] == "int8":
+        # A PQ store has exactly one on-device representation (uint8 codes
+        # scored through fp32 LUTs): ``dtype`` requests are meaningless
+        # and rejected rather than silently ignored.
+        if meta["dtype"] == "pq":
+            if dtype is not None:
+                raise ValueError(
+                    "this IVF store holds PQ codes; the HBM dtype is "
+                    "fixed (uint8 codes, fp32 LUT scoring) — drop the "
+                    "dtype request or rebuild without --pq-m")
+            codebooks = jnp.asarray(
+                np.load(os.path.join(out_dir, "pq_codebooks.npy")),
+                jnp.float32)
+            dev = jnp.asarray(buckets)  # uint8 codes, verbatim
+        elif meta["dtype"] == "int8":
             sc = np.load(os.path.join(out_dir, "bucket_scales.npy"))
             if jnp.dtype(dtype or jnp.bfloat16) == jnp.int8:
                 scales = jnp.asarray(sc)
@@ -508,6 +620,7 @@ class IVFIndex(HostIdCacheMixin):
             bucket_scales=scales,
             bucket_cluster=(np.load(bcl_path)
                             if os.path.isfile(bcl_path) else None),
+            codebooks=codebooks,
         )
 
 

@@ -683,6 +683,89 @@ def test_cli_serve_ivf(corpus_files, tmp_path):
         httpd.server_close()
 
 
+def test_cli_index_and_serve_ivfpq(corpus_files, tmp_path):
+    """--pq-m builds the IVFPQ companion (uint8 residual codes); cldrd-serve
+    --ivf auto-detects the PQ store (--hbm-dtype does not apply to it) and
+    serves searches + live adds/removes from the codes."""
+    import threading
+    import urllib.request
+
+    from cldrd_tpu.cli import serve as cli_serve
+    from cldrd_tpu.index import IVFIndex
+
+    f = corpus_files
+    idx_dir = str(tmp_path / "pq_idx")
+    rc = cli_index.main([
+        "--collection", f["passages"], "--out", idx_dir,
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "16", "--batch-size", "8",
+        "--compute-dtype", "float32",
+        "--ivf-nlist", "4", "--ivf-slot", "128",
+        "--pq-m", "8", "--pq-bits", "4",
+    ])
+    assert rc == 0
+    ivf = IVFIndex.load(os.path.join(idx_dir, "ivf"))
+    assert ivf.is_pq and ivf.codebooks.shape == (8, 16, 4)
+
+    # --pq-m without --ivf-nlist refuses cleanly
+    with pytest.raises(SystemExit):
+        cli_index.main([
+            "--collection", f["passages"],
+            "--out", str(tmp_path / "nope"), "--pq-m", "8",
+        ])
+
+    args = cli_serve.build_parser().parse_args([
+        "--index", idx_dir, "--port", "0",
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "12", "--passage-max-length", "16",
+        "--encode-batch-size", "8", "--topk", "5",
+        "--ivf", "--nprobe", "100",  # clamps to n_buckets (full probe)
+    ])
+    httpd = cli_serve.serve(args)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    svc = httpd.RequestHandlerClass.service
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["n_vectors"] == 96
+
+        # parity oracle: the SAME PQ artifacts searched directly at full
+        # probe with the service's own encoder must agree with the daemon
+        queries = ["find subject3 info", "find subject7 info"]
+        got = post("/search", {"queries": queries, "k": 5})["results"]
+        direct = IVFIndex.load(os.path.join(idx_dir, "ivf"))
+        tokens = svc._pad(svc.tokenizer(queries, svc.max_length),
+                          svc.encode_batch)
+        embs = np.asarray(svc.encode_fn(tokens))[: len(queries)]
+        _, want = direct.search(embs, 5, nprobe=direct.n_buckets)
+        for r in range(len(queries)):
+            assert [h["id"] for h in got[r]] == want[r].tolist()
+
+        n0 = svc.index.n_vectors
+        out = post("/add", {"ids": [9100], "texts": ["find yak info inside"]})
+        assert out["ok"] and out["n_vectors"] == n0 + 1
+        out = post("/remove", {"ids": [9100]})
+        assert out["n_vectors"] == n0
+    finally:
+        svc.close()
+        httpd.shutdown()
+        httpd.server_close()
+
+
 def test_cli_create_training_data_both_teacher_arches(corpus_files, tmp_path):
     """cldrd-create-training-data end-to-end: candidates run -> teacher
     rerank -> 4 curriculum JSONL stages, with BOTH teacher families
