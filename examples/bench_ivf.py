@@ -21,6 +21,13 @@ the adversarial floor.
 
 Timing uses the marginal protocol (t(N)-t(1))/(N-1) with np.asarray
 syncs, cycling 4 distinct query sets to defeat any single-batch luck.
+
+``--pq``: ALSO measure the IVFPQ tier (uint8 residual codes, one-hot LUT
+matmul scoring — ``index/pq.py``). The index is assembled on device:
+residuals computed from the generator's true centroids, codebooks trained
+on a small host-side subsample (the only host transfer — the tunnel's
+~5 MB/s link forbids moving the corpus), codes encoded by the jitted
+block scan. Reports latency, recall vs the flat oracle, and bytes/row.
 """
 import json
 import sys
@@ -165,6 +172,80 @@ def main():
             "value": best["speedup_vs_flat_B8"],
             "unit": "x",
             "detail": best["config"],
+        }), flush=True)
+
+    if "--pq" in sys.argv:
+        bench_pq(cents, buckets3, ids, qsets8, uniform8, exact8, exact_u,
+                 t_flat8)
+
+
+def bench_pq(cents, buckets3, ids, qsets8, uniform8, exact8, exact_u,
+             t_flat8, pq_m=None, pq_bits=4):
+    """IVFPQ tier over the SAME corpus: device-side residuals + encoding,
+    host-side codebook training on a subsample (the one transfer)."""
+    from cldrd_tpu.index.ivf_index import IVFIndex
+    from cldrd_tpu.index.pq import _encode_block_scan, train_pq
+
+    if pq_m is None:
+        pq_m = max(4, DIM // 8)  # 96 on 768-d: the 48 B/row shape
+    n_codes = 1 << pq_bits
+
+    _log(f"PQ: training {pq_m}x{n_codes}-codeword codebooks on a "
+         "subsample ...")
+    t0 = time.perf_counter()
+    resid3 = (buckets3.astype(jnp.float32) - cents[:, None, :])
+    # subsample: one slot column from every bucket stride — spread across
+    # clusters, bounded host transfer (NB rows at DIM fp32)
+    sample = np.asarray(resid3[:, 0, :])
+    codebooks = train_pq(sample, pq_m, n_codes, iters=10, seed=0)
+    cb_dev = jnp.asarray(codebooks, jnp.float32)
+    _log(f"PQ: codebooks in {time.perf_counter() - t0:.1f}s; encoding "
+         "corpus on device ...")
+    t0 = time.perf_counter()
+    codes = _encode_block_scan(
+        resid3.reshape(NB * SLOT, DIM), cb_dev, block=8192
+    ).astype(jnp.uint8)
+    _sync(codes)
+    t_enc = time.perf_counter() - t0
+    ivfpq = IVFIndex(
+        centroids=cents,
+        buckets=codes.reshape(NB, SLOT * pq_m),
+        bucket_ids=ids,
+        slot=SLOT,
+        bucket_cluster=np.arange(NB, dtype=np.int32),
+        codebooks=cb_dev,
+    )
+    print(json.dumps({
+        "config": "ivfpq_build",
+        "pq_m": pq_m, "pq_bits": pq_bits,
+        "bytes_per_row": pq_m,  # uint8 codes (4-bit pairs not packed yet)
+        "bf16_bytes_per_row": 2 * DIM,
+        "encode_s": round(t_enc, 2),
+        "encode_rows_per_s": round(NB * SLOT / t_enc),
+    }), flush=True)
+
+    def recall(got_sets, oracle_sets):
+        vals = []
+        for i in range(N_QSETS):
+            got = got_sets[i]
+            for r in range(B_SERVE):
+                vals.append(len(set(got[r]) & set(oracle_sets[i][r])) / K)
+        return float(np.mean(vals))
+
+    for nprobe in (8, 16, 32, 64):
+        _log(f"IVFPQ nprobe={nprobe} ...")
+        t_pq = time_marginal(
+            lambda q, p=nprobe: ivfpq.search(q, K, nprobe=p), qsets8)
+        got8 = [ivfpq.search(q, K, nprobe=nprobe)[1] for q in qsets8]
+        gotu = [ivfpq.search(q, K, nprobe=nprobe)[1] for q in uniform8]
+        print(json.dumps({
+            "config": f"ivfpq_nprobe{nprobe}",
+            "rows_probed": nprobe * SLOT,
+            "B8_ms": round(t_pq * 1e3, 2),
+            "B8_qps": round(B_SERVE / t_pq, 1),
+            "recall@10_clustered": round(recall(got8, exact8), 4),
+            "recall@10_uniform": round(recall(gotu, exact_u), 4),
+            "speedup_vs_flat_B8": round(t_flat8 / t_pq, 2),
         }), flush=True)
 
 
