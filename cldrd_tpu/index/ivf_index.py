@@ -53,7 +53,14 @@ from .flat_index import (
     query_dtype_for,
 )
 from .kmeans import assign_clusters, kmeans
-from .pq import encode_pq, pq_lut, pq_scores_from_codes, train_pq
+from .pq import (
+    encode_pq,
+    pack_codes4,
+    pq_lut,
+    pq_scores_from_codes,
+    train_pq,
+    unpack_codes4,
+)
 from cldrd_tpu.search.mips import _PRECISIONS, NEG_INF, _block_scores
 
 IVF_META_NAME = "ivf_meta.json"
@@ -134,19 +141,26 @@ def _ivf_pq_search(
 ):
     """Device IVFPQ search (FAISS ``IndexIVFPQ`` semantics, MXU form).
 
-    q [B, D] fp32, centroids [nb, D] fp32, buckets_flat [nb, slot*m]
-    uint8 RESIDUAL codes, codebooks [m, n_codes, D/m] fp32. Score of a
-    row in bucket j is ``q . centroid_j`` (already computed by the coarse
-    matmul — gathered back for free) plus the LUT decomposition of
-    ``q . residual`` — exactly ``q . (centroid + decode(code))`` in fp32.
+    q [B, D] fp32, centroids [nb, D] fp32, buckets_flat [nb, slot*mb]
+    uint8 RESIDUAL codes (mb = m for 8-bit, m/2 for nibble-packed 4-bit
+    — the row width vs ``m`` tells the two apart, statically under jit),
+    codebooks [m, n_codes, D/m] fp32. Score of a row in bucket j is
+    ``q . centroid_j`` (already computed by the coarse matmul — gathered
+    back for free) plus the LUT decomposition of ``q . residual`` —
+    exactly ``q . (centroid + decode(code))`` in fp32.
     """
     b, d = q.shape
     m = codebooks.shape[0]
+    row_bytes = buckets_flat.shape[1] // slot
     q = q.astype(jnp.float32)
     cs = _block_scores(q, centroids)                       # [B, nb]
     base, probe = jax.lax.top_k(cs, nprobe)                # [B, p] x2
-    cand_codes = jnp.take(buckets_flat, probe, axis=0)     # [B, p, slot*m]
-    cand_codes = cand_codes.reshape(b, nprobe * slot, m).astype(jnp.int32)
+    cand = jnp.take(buckets_flat, probe, axis=0)           # [B, p, slot*mb]
+    cand = cand.reshape(b, nprobe * slot, row_bytes)
+    if row_bytes == m:
+        cand_codes = cand.astype(jnp.int32)
+    else:                                   # 4-bit: two codes per byte
+        cand_codes = unpack_codes4(cand, xp=jnp)
     cand_ids = jnp.take(bucket_ids, probe, axis=0).reshape(b, nprobe * slot)
     lut = pq_lut(q, codebooks)                             # [B, m, n_codes]
     scores = pq_scores_from_codes(cand_codes, lut)         # [B, p*slot]
@@ -202,6 +216,13 @@ class IVFIndex(HostIdCacheMixin):
     @property
     def is_pq(self) -> bool:
         return self.codebooks is not None
+
+    @property
+    def _pq_packed(self) -> bool:
+        """4-bit stores hold two codes per byte: row width < pq_m."""
+        return (self.is_pq
+                and self.buckets.shape[1] // self.slot
+                < self.codebooks.shape[0])
 
     @property
     def _query_dtype(self):
@@ -262,12 +283,19 @@ class IVFIndex(HostIdCacheMixin):
         if pq_m is not None:
             if pq_bits not in (4, 8):
                 raise ValueError(f"pq_bits must be 4 or 8 (got {pq_bits})")
+            if pq_bits == 4 and pq_m % 2:
+                raise ValueError(
+                    f"pq_m must be even for 4-bit codes (got {pq_m}): "
+                    "they pack two per byte")
             # FAISS IVFPQ semantics: codes quantize the residual to the
             # assigned coarse centroid; search adds q.centroid back from
             # the coarse matmul it already ran
             residuals = embeddings - centroids[assign]
             codebooks = train_pq(residuals, pq_m, 1 << pq_bits, seed=seed)
-            values, row_scales = encode_pq(residuals, codebooks), None
+            values = encode_pq(residuals, codebooks)
+            if pq_bits == 4:  # nibble-pack: m*4/8 bytes a row, for real
+                values = pack_codes4(values)
+            row_scales = None
         elif int8:
             values, row_scales = quantize_rows(embeddings, xp=np)
         else:
@@ -423,6 +451,8 @@ class IVFIndex(HostIdCacheMixin):
             cent_rows = np.asarray(self.centroids)[nearest_bucket]
             codes_new = encode_pq(embeddings - cent_rows,
                                   np.asarray(self.codebooks))
+            if self._pq_packed:
+                codes_new = pack_codes4(codes_new)
             scales_new = None
         elif int8:
             codes_new, scales_new = quantize_rows(embeddings, xp=np)
@@ -562,6 +592,7 @@ class IVFIndex(HostIdCacheMixin):
         if self.is_pq:
             meta["pq_m"] = int(self.codebooks.shape[0])
             meta["pq_codes"] = int(self.codebooks.shape[1])
+            meta["pq_packed"] = self._pq_packed
         with open(os.path.join(out_dir, IVF_META_NAME), "w") as f:
             json.dump(meta, f, indent=2)
 

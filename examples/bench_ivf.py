@@ -184,7 +184,7 @@ def bench_pq(cents, buckets3, ids, qsets8, uniform8, exact8, exact_u,
     """IVFPQ tier over the SAME corpus: device-side residuals + encoding,
     host-side codebook training on a subsample (the one transfer)."""
     from cldrd_tpu.index.ivf_index import IVFIndex
-    from cldrd_tpu.index.pq import _encode_block_scan, train_pq
+    from cldrd_tpu.index.pq import _encode_block_scan, pack_codes4, train_pq
 
     if pq_m is None:
         pq_m = max(4, DIM // 8)  # 96 on 768-d: the 48 B/row shape
@@ -205,11 +205,14 @@ def bench_pq(cents, buckets3, ids, qsets8, uniform8, exact8, exact_u,
     codes = _encode_block_scan(
         resid3.reshape(NB * SLOT, DIM), cb_dev, block=8192
     ).astype(jnp.uint8)
+    if pq_bits == 4:  # nibble-pack on device, like the production build
+        codes = pack_codes4(codes, xp=jnp)
     _sync(codes)
     t_enc = time.perf_counter() - t0
+    row_bytes = codes.shape[1]
     ivfpq = IVFIndex(
         centroids=cents,
-        buckets=codes.reshape(NB, SLOT * pq_m),
+        buckets=codes.reshape(NB, SLOT * row_bytes),
         bucket_ids=ids,
         slot=SLOT,
         bucket_cluster=np.arange(NB, dtype=np.int32),
@@ -218,7 +221,7 @@ def bench_pq(cents, buckets3, ids, qsets8, uniform8, exact8, exact_u,
     print(json.dumps({
         "config": "ivfpq_build",
         "pq_m": pq_m, "pq_bits": pq_bits,
-        "bytes_per_row": pq_m,  # uint8 codes (4-bit pairs not packed yet)
+        "bytes_per_row": row_bytes,
         "bf16_bytes_per_row": 2 * DIM,
         "encode_s": round(t_enc, 2),
         "encode_rows_per_s": round(NB * SLOT / t_enc),

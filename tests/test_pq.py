@@ -20,9 +20,11 @@ from cldrd_tpu.index.ivf_index import IVFIndex
 from cldrd_tpu.index.pq import (
     decode_pq,
     encode_pq,
+    pack_codes4,
     pq_lut,
     pq_scores_from_codes,
     train_pq,
+    unpack_codes4,
 )
 
 
@@ -38,7 +40,8 @@ def _reconstruct(idx: IVFIndex) -> dict:
     """id -> centroid + decode(code), straight from the index's storage:
     the vectors the search contract says it scores against."""
     m = idx.codebooks.shape[0]
-    codes = np.asarray(idx.buckets).reshape(idx.n_buckets, idx.slot, m)
+    raw = np.asarray(idx.buckets).reshape(idx.n_buckets, idx.slot, -1)
+    codes = unpack_codes4(raw) if raw.shape[-1] < m else raw
     cents = np.asarray(idx.centroids)
     host_ids = np.asarray(idx.bucket_ids)
     cb = np.asarray(idx.codebooks)
@@ -92,6 +95,18 @@ class TestPQCore:
         want = q @ decode_pq(codes, cb).T
         np.testing.assert_allclose(s, want, rtol=1e-5, atol=1e-5)
 
+    def test_pack_unpack_roundtrip(self):
+        rng = np.random.default_rng(13)
+        codes = rng.integers(0, 16, size=(37, 8)).astype(np.uint8)
+        packed = pack_codes4(codes)
+        assert packed.shape == (37, 4) and packed.dtype == np.uint8
+        np.testing.assert_array_equal(unpack_codes4(packed), codes)
+        # jnp path (the in-jit unpack) agrees with the host path
+        np.testing.assert_array_equal(
+            np.asarray(unpack_codes4(jnp.asarray(packed), xp=jnp)), codes)
+        with pytest.raises(ValueError):
+            pack_codes4(codes[:, :7])  # odd m cannot pack
+
     def test_validation(self):
         with pytest.raises(ValueError):
             train_pq(np.zeros((64, 30), np.float32), m=8)  # 30 % 8 != 0
@@ -112,6 +127,9 @@ class TestIVFPQ:
         idx = IVFIndex.build(c, ids, nlist=8, slot=512, kmeans_iters=4,
                              seed=3, pq_m=8)
         assert idx.is_pq and idx.buckets.dtype == jnp.uint8
+        # 4-bit codes really pack two per byte: m*bits/8 bytes a row
+        assert idx._pq_packed
+        assert idx.buckets.shape[1] == idx.slot * 4
         rec = _reconstruct(idx)
         v, i = idx.search(q, 10, nprobe=idx.n_buckets)
         for r in range(len(q)):
@@ -209,3 +227,19 @@ class TestIVFPQ:
         with pytest.raises(ValueError):
             IVFIndex.build(c, ids, nlist=2, slot=128, kmeans_iters=2,
                            seed=12, pq_m=8, pq_bits=5)
+        with pytest.raises(ValueError):  # odd pq_m cannot nibble-pack
+            IVFIndex.build(c, ids, nlist=2, slot=128, kmeans_iters=2,
+                           seed=12, pq_m=1, pq_bits=4)
+
+    def test_8bit_store_is_unpacked(self):
+        c, ids, q = _corpus(n=512, seed=14)
+        idx = IVFIndex.build(c, ids, nlist=2, slot=256, kmeans_iters=3,
+                             seed=14, pq_m=4, pq_bits=8)
+        assert not idx._pq_packed
+        assert idx.buckets.shape[1] == idx.slot * 4
+        # the invariant holds for the 8-bit layout too
+        rec = _reconstruct(idx)
+        v, i = idx.search(q, 5, nprobe=idx.n_buckets)
+        for r in range(len(q)):
+            want = float(q[r] @ rec[int(i[r, 0])])
+            assert abs(v[r, 0] - want) <= 1e-3 + 1e-3 * abs(want)
