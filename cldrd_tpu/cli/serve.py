@@ -576,6 +576,8 @@ class _Handler(BaseHTTPRequestHandler):
             if hasattr(idx, "nprobe"):  # IVF mode: surface the probe config
                 payload["nprobe"] = idx.nprobe
                 payload["n_buckets"] = idx.n_buckets
+            if hasattr(idx, "factor"):  # refine tier on top
+                payload["refine_factor"] = idx.factor
             if self.service.reranker is not None:
                 payload["reranker"] = self.service.reranker.arch
             self._reply(200, payload)
@@ -665,6 +667,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="IVF cells probed per query (default: the value "
                         "stored at build time); higher = better recall, "
                         "nprobe=n_buckets = exact")
+    p.add_argument("--refine-factor", type=int, default=None,
+                   help="with --ivf: re-score the top k*FACTOR first-tier "
+                        "candidates EXACTLY against the flat disk store at "
+                        "<index> (memmap'd, zero HBM — FAISS "
+                        "IndexRefineFlat equivalence) and return the "
+                        "refined top-k. Recovers most of the PQ/bf16 "
+                        "first-tier recall loss")
     p.add_argument("--reranker", choices=("distilbert", "bert"), default=None,
                    help="keep a cross-encoder second stage resident: "
                         "enables POST /rerank and the 'rerank_k' field on "
@@ -739,6 +748,13 @@ def make_service(args) -> SearchService:
     use_ivf = getattr(args, "ivf", False)
     if use_ivf and args.nprobe is not None and args.nprobe < 1:
         raise SystemExit(f"--nprobe must be >= 1 (got {args.nprobe})")
+    if getattr(args, "refine_factor", None) is not None:
+        if not use_ivf:
+            raise SystemExit("--refine-factor requires --ivf (the flat "
+                             "index is already exact)")
+        if args.refine_factor < 1:
+            raise SystemExit(
+                f"--refine-factor must be >= 1 (got {args.refine_factor})")
 
     def index_loader(index_dir: str):
         """Load ``index_dir`` with the daemon's startup mode — used at
@@ -772,6 +788,20 @@ def make_service(args) -> SearchService:
             logger.info("IVF%s serving: %d buckets x %d slot, nprobe=%d",
                         "PQ" if is_pq else "", idx.n_buckets, idx.slot,
                         idx.nprobe)
+            if args.refine_factor:
+                from cldrd_tpu.index import DiskRefiner, RefinedIndex
+                from cldrd_tpu.index.persistence import index_exists
+
+                if not index_exists(index_dir):
+                    raise ValueError(
+                        f"--refine-factor needs the flat embedding store "
+                        f"at {index_dir} (point --index at the parent "
+                        "store dir, not the ivf subdir)")
+                idx = RefinedIndex(idx, DiskRefiner(index_dir),
+                                   factor=args.refine_factor)
+                logger.info("refine tier: exact disk re-scoring of the "
+                            "top k*%d first-tier candidates",
+                            args.refine_factor)
             return idx
         return load_index(
             index_dir, mesh=mesh, dtype=hbm_dtype, precision=args.precision)

@@ -13,6 +13,7 @@ from .persistence import (
     read_embeddings,
     write_embeddings,
 )
+from .refine import DiskRefiner, RefinedIndex
 
 __all__ = [
     "FlatIPIndex",
@@ -29,4 +30,6 @@ __all__ = [
     "load_index",
     "read_embeddings",
     "write_embeddings",
+    "DiskRefiner",
+    "RefinedIndex",
 ]

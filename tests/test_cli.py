@@ -766,6 +766,82 @@ def test_cli_index_and_serve_ivfpq(corpus_files, tmp_path):
         httpd.server_close()
 
 
+def test_cli_serve_ivfpq_refine(corpus_files, tmp_path):
+    """--refine-factor over the IVFPQ tier: served results must equal a
+    direct RefinedIndex over the same artifacts (exact disk re-scoring),
+    and the flag is rejected without --ivf."""
+    import threading
+    import urllib.request
+
+    from cldrd_tpu.cli import serve as cli_serve
+    from cldrd_tpu.index import DiskRefiner, IVFIndex, RefinedIndex
+
+    f = corpus_files
+    idx_dir = str(tmp_path / "pqr_idx")
+    rc = cli_index.main([
+        "--collection", f["passages"], "--out", idx_dir,
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "16", "--batch-size", "8",
+        "--compute-dtype", "float32",
+        "--ivf-nlist", "4", "--ivf-slot", "128", "--pq-m", "8",
+    ])
+    assert rc == 0
+
+    with pytest.raises(SystemExit):  # refine without --ivf
+        cli_serve.serve(cli_serve.build_parser().parse_args([
+            "--index", idx_dir, "--port", "0",
+            "--model-size", "tiny", "--tokenizer", "hash",
+            "--refine-factor", "4",
+        ]))
+
+    args = cli_serve.build_parser().parse_args([
+        "--index", idx_dir, "--port", "0",
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "12", "--passage-max-length", "16",
+        "--encode-batch-size", "8", "--topk", "5",
+        "--ivf", "--nprobe", "2", "--refine-factor", "4",
+    ])
+    httpd = cli_serve.serve(args)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    svc = httpd.RequestHandlerClass.service
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["refine_factor"] == 4
+        assert health["nprobe"] == 2
+
+        queries = ["find subject2 info", "find subject9 info"]
+        got = post("/search", {"queries": queries, "k": 5})["results"]
+
+        direct = RefinedIndex(
+            IVFIndex.load(os.path.join(idx_dir, "ivf")),
+            DiskRefiner(idx_dir), factor=4)
+        tokens = svc._pad(svc.tokenizer(queries, svc.max_length),
+                          svc.encode_batch)
+        embs = np.asarray(svc.encode_fn(tokens))[: len(queries)]
+        _, want = direct.search(embs, 5, nprobe=2)
+        for r in range(len(queries)):
+            assert [h["id"] for h in got[r]] == want[r].tolist()
+    finally:
+        svc.close()
+        httpd.shutdown()
+        httpd.server_close()
+
+
 def test_cli_create_training_data_both_teacher_arches(corpus_files, tmp_path):
     """cldrd-create-training-data end-to-end: candidates run -> teacher
     rerank -> 4 curriculum JSONL stages, with BOTH teacher families
