@@ -89,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pq-bits", type=int, default=4, choices=(4, 8),
                    help="bits per PQ code (4: 16-codeword fast-scan "
                         "shape; 8: classic 256-codeword PQ)")
+    p.add_argument("--opq", action="store_true",
+                   help="with --pq-m: learn an orthogonal pre-rotation "
+                        "(FAISS OPQMatrix) that decorrelates sub-spaces "
+                        "before coding — lower distortion, same search "
+                        "cost (the rotation rides the query)")
     p.add_argument("--ivf-only", action="store_true",
                    help="build ONLY the IVF companion from the flat store "
                         "already at --out (no re-encoding; --collection/"
@@ -111,7 +116,7 @@ def _build_ivf(args, embeddings, ids) -> None:
         # (cldrd-serve --hbm-dtype). --pq-m overrides both: the store
         # becomes uint8 residual codes.
         dtype=jnp.int8 if args.store_dtype == "int8" else jnp.float32,
-        pq_m=args.pq_m, pq_bits=args.pq_bits,
+        pq_m=args.pq_m, pq_bits=args.pq_bits, opq=args.opq,
     )
     ivf_dir = os.path.join(args.out, "ivf")
     ivf.save(ivf_dir)
@@ -128,6 +133,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.pq_m and not args.ivf_nlist:
         raise SystemExit("--pq-m requires --ivf-nlist (PQ is the IVF "
                          "companion's storage layer)")
+    if args.opq and not args.pq_m:
+        raise SystemExit("--opq requires --pq-m (it rotates the PQ "
+                         "coding space)")
     if args.ivf_only:
         if not args.ivf_nlist:
             raise SystemExit("--ivf-only requires --ivf-nlist")

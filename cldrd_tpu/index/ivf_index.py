@@ -58,6 +58,7 @@ from .pq import (
     pack_codes4,
     pq_lut,
     pq_scores_from_codes,
+    train_opq,
     train_pq,
     unpack_codes4,
 )
@@ -136,7 +137,7 @@ def _ivf_search(
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "slot"))
 def _ivf_pq_search(
-    q, centroids, buckets_flat, bucket_ids, codebooks,
+    q, q_lut, centroids, buckets_flat, bucket_ids, codebooks,
     k: int, nprobe: int, slot: int,
 ):
     """Device IVFPQ search (FAISS ``IndexIVFPQ`` semantics, MXU form).
@@ -148,6 +149,10 @@ def _ivf_pq_search(
     ``q . centroid_j`` (already computed by the coarse matmul — gathered
     back for free) plus the LUT decomposition of ``q . residual`` —
     exactly ``q . (centroid + decode(code))`` in fp32.
+
+    ``q_lut`` feeds the LUT build: == ``q`` for plain PQ, the
+    OPQ-rotated query for rotated codebooks (``q . x == (q R) . (x R)``
+    — the rotation moves entirely into the query side at search time).
     """
     b, d = q.shape
     m = codebooks.shape[0]
@@ -162,7 +167,7 @@ def _ivf_pq_search(
     else:                                   # 4-bit: two codes per byte
         cand_codes = unpack_codes4(cand, xp=jnp)
     cand_ids = jnp.take(bucket_ids, probe, axis=0).reshape(b, nprobe * slot)
-    lut = pq_lut(q, codebooks)                             # [B, m, n_codes]
+    lut = pq_lut(q_lut.astype(jnp.float32), codebooks)     # [B, m, n_codes]
     scores = pq_scores_from_codes(cand_codes, lut)         # [B, p*slot]
     # residual base: rows of bucket j all share coarse score base[:, j]
     scores = scores + jnp.repeat(base, slot, axis=1)
@@ -204,6 +209,8 @@ class IVFIndex(HostIdCacheMixin):
                                 # bucket -> training cluster (add() routing)
     codebooks: Optional[jax.Array] = None  # [pq_m, 2**bits, D/pq_m] fp32:
                                 # PQ mode — buckets hold uint8 residual codes
+    opq_rotation: Optional[jax.Array] = None  # [D, D] fp32 orthogonal:
+                                # codes quantize ROTATED residuals (OPQ)
 
     @property
     def dim(self) -> int:
@@ -247,6 +254,7 @@ class IVFIndex(HostIdCacheMixin):
         centroids: Optional[np.ndarray] = None,
         pq_m: Optional[int] = None,
         pq_bits: int = 4,
+        opq: bool = False,
     ) -> "IVFIndex":
         """Train (or accept) ``nlist`` centroids, group rows into
         fixed-``slot`` buckets, device-put everything.
@@ -259,7 +267,10 @@ class IVFIndex(HostIdCacheMixin):
         (FAISS ``IndexIVFPQ``): ``pq_m`` sub-quantizers of ``2**pq_bits``
         codewords each — ``pq_m * pq_bits / 8`` bytes a row (96x4-bit on
         768-d = 48 B, 32x less HBM than bf16). ``dtype`` is then ignored
-        (codes are the store)."""
+        (codes are the store). ``opq`` additionally learns an orthogonal
+        pre-rotation (FAISS ``OPQMatrix``) that decorrelates sub-spaces
+        before coding — lower distortion, same search cost (the rotation
+        rides the query at search time)."""
         embeddings = np.asarray(embeddings, np.float32)
         n, d = embeddings.shape
         assert ids.shape == (n,)
@@ -279,7 +290,7 @@ class IVFIndex(HostIdCacheMixin):
         # cluster and chunk each cluster into slot-row buckets via the ONE
         # shared chunker (padding convention identical to add()-overflow)
         int8 = jnp.dtype(dtype) == jnp.int8 and pq_m is None
-        codebooks = None
+        codebooks = rotation = None
         if pq_m is not None:
             if pq_bits not in (4, 8):
                 raise ValueError(f"pq_bits must be 4 or 8 (got {pq_bits})")
@@ -291,7 +302,14 @@ class IVFIndex(HostIdCacheMixin):
             # assigned coarse centroid; search adds q.centroid back from
             # the coarse matmul it already ran
             residuals = embeddings - centroids[assign]
-            codebooks = train_pq(residuals, pq_m, 1 << pq_bits, seed=seed)
+            if opq:
+                rotation, codebooks = train_opq(
+                    residuals, pq_m, 1 << pq_bits, seed=seed)
+                residuals = residuals @ rotation
+            else:
+                rotation = None
+                codebooks = train_pq(residuals, pq_m, 1 << pq_bits,
+                                     seed=seed)
             values = encode_pq(residuals, codebooks)
             if pq_bits == 4:  # nibble-pack: m*4/8 bytes a row, for real
                 values = pack_codes4(values)
@@ -345,6 +363,8 @@ class IVFIndex(HostIdCacheMixin):
             bucket_cluster=bcl,
             codebooks=(None if codebooks is None
                        else jnp.asarray(codebooks, jnp.float32)),
+            opq_rotation=(None if rotation is None
+                          else jnp.asarray(rotation, jnp.float32)),
         )
 
     # ------------------------------------------------------------ search
@@ -395,8 +415,12 @@ class IVFIndex(HostIdCacheMixin):
             q = jnp.concatenate(
                 [q, jnp.broadcast_to(q[:1], (b_pad - b, q.shape[1]))])
         if self.is_pq:
+            # OPQ moves entirely into the LUT input at search time:
+            # q . x == (q R) . (x R); the coarse term keeps plain q
+            q_lut = (q if self.opq_rotation is None
+                     else q @ self.opq_rotation)
             v, ids = _ivf_pq_search(
-                q, self.centroids, self.buckets, self.bucket_ids,
+                q, q_lut, self.centroids, self.buckets, self.bucket_ids,
                 self.codebooks, k, p, self.slot,
             )
         else:
@@ -449,8 +473,10 @@ class IVFIndex(HostIdCacheMixin):
             # encode the residual to the ASSIGNED cluster's centroid (any
             # of its duplicated bucket centroids — identical vectors)
             cent_rows = np.asarray(self.centroids)[nearest_bucket]
-            codes_new = encode_pq(embeddings - cent_rows,
-                                  np.asarray(self.codebooks))
+            resid_new = embeddings - cent_rows
+            if self.opq_rotation is not None:
+                resid_new = resid_new @ np.asarray(self.opq_rotation)
+            codes_new = encode_pq(resid_new, np.asarray(self.codebooks))
             if self._pq_packed:
                 codes_new = pack_codes4(codes_new)
             scales_new = None
@@ -536,7 +562,7 @@ class IVFIndex(HostIdCacheMixin):
             bucket_ids=jnp.asarray(host_ids), slot=self.slot,
             nprobe=self.nprobe, precision=self.precision,
             bucket_scales=scales, bucket_cluster=bcl,
-            codebooks=self.codebooks,
+            codebooks=self.codebooks, opq_rotation=self.opq_rotation,
         )
 
     def remove(self, ids) -> "IVFIndex":
@@ -552,7 +578,7 @@ class IVFIndex(HostIdCacheMixin):
             slot=self.slot, nprobe=self.nprobe, precision=self.precision,
             bucket_scales=self.bucket_scales,
             bucket_cluster=self.bucket_cluster,
-            codebooks=self.codebooks,
+            codebooks=self.codebooks, opq_rotation=self.opq_rotation,
         )
 
     # -------------------------------------------------------- persistence
@@ -578,6 +604,9 @@ class IVFIndex(HostIdCacheMixin):
         if self.is_pq:
             np.save(os.path.join(out_dir, "pq_codebooks.npy"),
                     np.asarray(self.codebooks))
+            if self.opq_rotation is not None:
+                np.save(os.path.join(out_dir, "opq_rotation.npy"),
+                        np.asarray(self.opq_rotation))
         meta = {
             "slot": int(self.slot),
             "nprobe": int(self.nprobe),
@@ -593,6 +622,7 @@ class IVFIndex(HostIdCacheMixin):
             meta["pq_m"] = int(self.codebooks.shape[0])
             meta["pq_codes"] = int(self.codebooks.shape[1])
             meta["pq_packed"] = self._pq_packed
+            meta["opq"] = self.opq_rotation is not None
         with open(os.path.join(out_dir, IVF_META_NAME), "w") as f:
             json.dump(meta, f, indent=2)
 
@@ -604,7 +634,7 @@ class IVFIndex(HostIdCacheMixin):
         buckets = np.load(os.path.join(out_dir, "buckets.npy"))
         bids = np.load(os.path.join(out_dir, "bucket_ids.npy"))
         scales = None
-        codebooks = None
+        codebooks = rotation = None
         # HBM dtype semantics MATCH persistence.load_index: an int8 store
         # keeps its codes only when int8 HBM is explicitly requested;
         # any float request (or the bf16 default) dequantizes codes x
@@ -621,6 +651,9 @@ class IVFIndex(HostIdCacheMixin):
             codebooks = jnp.asarray(
                 np.load(os.path.join(out_dir, "pq_codebooks.npy")),
                 jnp.float32)
+            rot_path = os.path.join(out_dir, "opq_rotation.npy")
+            if os.path.isfile(rot_path):
+                rotation = jnp.asarray(np.load(rot_path), jnp.float32)
             dev = jnp.asarray(buckets)  # uint8 codes, verbatim
         elif meta["dtype"] == "int8":
             sc = np.load(os.path.join(out_dir, "bucket_scales.npy"))
@@ -652,6 +685,7 @@ class IVFIndex(HostIdCacheMixin):
             bucket_cluster=(np.load(bcl_path)
                             if os.path.isfile(bcl_path) else None),
             codebooks=codebooks,
+            opq_rotation=rotation,
         )
 
 

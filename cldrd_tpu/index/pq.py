@@ -133,6 +133,45 @@ def decode_pq(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     )
 
 
+def train_opq(
+    x: np.ndarray,
+    m: int,
+    n_codes: int = 16,
+    iters: int = 8,
+    pq_iters: int = 8,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """OPQ (FAISS ``OPQMatrix``; Ge et al., CVPR'13): learn an ORTHOGONAL
+    rotation R that decorrelates the sub-spaces before PQ, by alternating
+
+    1. codebook refresh on the rotated data ``y = x @ R``
+    2. the orthogonal-Procrustes solve ``R = U V^T`` of
+       ``svd(x^T decode(encode(y)))`` — the rotation that best aligns the
+       data with its own current reconstruction.
+
+    Returns ``(R [D, D] fp32, codebooks [m, n_codes, D/m] fp32)`` trained
+    as a pair (the codebooks are refreshed once more after the final R).
+    Inner products survive the rotation exactly: ``q . x =
+    (q @ R) . (x @ R)``, so search only rotates the query's LUT input.
+    """
+    x = np.asarray(x, np.float32)
+    n, d = x.shape
+    rng = np.random.default_rng(seed)
+    # random orthogonal init (QR of a gaussian): starting from identity
+    # can stall in the axis-aligned local optimum plain PQ already found
+    q0, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    rot = q0.astype(np.float32)
+    for it in range(iters):
+        y = x @ rot
+        cb = train_pq(y, m, n_codes, iters=pq_iters, seed=seed * 7 + it)
+        rec = decode_pq(encode_pq(y, cb), cb)
+        u, _, vt = np.linalg.svd(x.T @ rec, full_matrices=False)
+        rot = (u @ vt).astype(np.float32)
+    cb = train_pq(x @ rot, m, n_codes, iters=pq_iters,
+                  seed=seed * 7 + iters)
+    return rot, cb
+
+
 def pack_codes4(codes, xp=np):
     """Pack 4-bit codes two-per-byte: [N, m] (values < 16) -> [N, m//2]
     with byte j = codes[2j] | codes[2j+1] << 4. Halves the HBM store AND
