@@ -48,6 +48,22 @@ _PRECISIONS = {
 }
 
 
+def _topk_with_payload(values: jax.Array, payload: jax.Array, k: int):
+    """Descending top-k of ``values`` [B, W] carrying ``payload`` along.
+
+    One variadic ``lax.sort`` (key = -values, payload rides as a second
+    operand) replaces the ``lax.top_k`` + position-resolve pair. Measured
+    on v5e at [B=512, W=8160, k=1000]: 1.26 ms vs 4.99 ms for
+    top_k + one-hot-matmul resolve and 7.67 ms for top_k +
+    ``take_along_axis`` (TPU gathers at this shape cost 5-13 ms; the
+    sort's payload permutation is free). Exact score ties break toward the
+    smaller payload (= lower row position / id): deterministic, matching
+    the host numpy oracle and independent of candidate layout."""
+    neg_v, p = jax.lax.sort((-values, payload), num_keys=2, dimension=-1,
+                            is_stable=False)
+    return -neg_v[..., :k], p[..., :k]
+
+
 def _block_scores(
     queries: jax.Array, corpus_blk: jax.Array, precision: str = "default",
     blk_scales: Optional[jax.Array] = None,
@@ -139,8 +155,7 @@ def topk_streaming(
         cat_i = jnp.concatenate(
             [top_i, jnp.broadcast_to(i_blk[None, :], (bz, block_rows))], axis=-1
         )
-        new_s, sel = jax.lax.top_k(cat_s, k)
-        new_i = jnp.take_along_axis(cat_i, sel, axis=-1)
+        new_s, new_i = _topk_with_payload(cat_s, cat_i, k)
         return (new_s, new_i), None
 
     init = (
@@ -224,8 +239,7 @@ def sharded_topk(
         bz = all_s.shape[1]
         cand_s = jnp.transpose(all_s, (1, 0, 2)).reshape(bz, ndev * k)
         cand_i = jnp.transpose(all_i, (1, 0, 2)).reshape(bz, ndev * k)
-        top_s, sel = jax.lax.top_k(cand_s, k)
-        top_i = jnp.take_along_axis(cand_i, sel, axis=-1)
+        top_s, top_i = _topk_with_payload(cand_s, cand_i, k)
         if on_miss == "flag":
             if okq is None:  # streaming shards are exact
                 okq = jnp.ones((q.shape[0],), jnp.bool_)
@@ -446,6 +460,10 @@ _SUPER_ROWS = 2048    # rows per level-2 super-block
 # depth 8 at lambda = 0.92: ~3 expected violations PER BATCH -> it fell back
 # almost every time and benched at 450 QPS.)
 _SUPER_ROUNDS = 16    # level 2: 15 candidates + 1 remainder bound per block
+# Selection-chunk size (super-blocks) for the post-kernel top-k: 544 blocks
+# = 1,114,112 rows = candidate width 8160, the measured variadic-sort
+# sweet spot on v5e (sort cost grows super-linearly in width).
+_SELECT_SUPERS = 544
 _INTERPRET = False  # tests flip this to run the kernel on CPU
 
 
@@ -683,14 +701,44 @@ def _binmax_segment_extract(
             return v, p, jnp.ones((bz,), jnp.bool_)  # streaming is exact
         return v, p
 
-    kept_v = jnp.concatenate(
-        [sup_v[:, r, :].T for r in range(m2)], axis=1)  # [B, nsup*m2]
-    kept_v = jnp.maximum(kept_v, finfo_min)  # -inf -> sentinel (empty)
-    kept_p = jnp.concatenate([sup_p[:, r, :].T for r in range(m2)], axis=1)
     rem2 = jnp.max(sup_v[:, m2, :], axis=0)  # [B] block remainder bound
     rem1 = jnp.max(rem1, axis=(0, 1))  # [B] bin-level remainder bound
 
-    v, sel = jax.lax.top_k(kept_v, k)
+    # Selection. Variadic-sort cost grows super-linearly in width
+    # (measured: [512, 8160] 1.26 ms but [512, 64920] 41.8 ms), so large
+    # corpora select in ~1.1M-row chunks (544 super-blocks = width 8160)
+    # and merge the per-chunk top-k strips — the whole-corpus kernel pass
+    # stays ONE pallas_call either way (no lax.scan segment staging).
+    if nsup <= _SELECT_SUPERS:
+        kept_v = jnp.concatenate(
+            [sup_v[:, r, :].T for r in range(m2)], axis=1)  # [B, nsup*m2]
+        kept_v = jnp.maximum(kept_v, finfo_min)  # -inf -> sentinel (empty)
+        kept_p = jnp.concatenate([sup_p[:, r, :].T for r in range(m2)],
+                                 axis=1)
+        # one variadic sort yields winner values AND positions together —
+        # no one-hot resolve, no gather (see _topk_with_payload)
+        v, p_raw = _topk_with_payload(kept_v, kept_p, k)
+    else:
+        nseg = -(-nsup // _SELECT_SUPERS)
+        pad = nseg * _SELECT_SUPERS - nsup
+        sv = sup_v[:, :m2, :]
+        sp = sup_p[:, :m2, :]
+        if pad:
+            # padded blocks behave exactly like empty candidates
+            sv = jnp.concatenate(
+                [sv, jnp.full((pad, m2, bz), NEG_INF, jnp.float32)], axis=0)
+            sp = jnp.concatenate(
+                [sp, jnp.full((pad, m2, bz), -1, jnp.int32)], axis=0)
+        # [nsup_pad, m2, B] -> [B, nseg, sel_sup*m2]
+        kept_v = sv.reshape(nseg, _SELECT_SUPERS * m2, bz).transpose(2, 0, 1)
+        kept_v = jnp.maximum(kept_v, finfo_min)
+        kept_p = sp.reshape(nseg, _SELECT_SUPERS * m2, bz).transpose(2, 0, 1)
+        # batched per-chunk sort, then one merge over [B, nseg*k]. Every
+        # true global-top-k item survives its chunk's top-k, so the merge
+        # is exact given the (global) certificate below.
+        cv, cp = _topk_with_payload(kept_v, kept_p, k)
+        v, p_raw = _topk_with_payload(
+            cv.reshape(bz, nseg * k), cp.reshape(bz, nseg * k), k)
     # vk = k-th best CANDIDATE value: candidates are a subset of all items,
     # so vk <= true k-th score ALWAYS — a self-certifying bound. If every
     # item not in the candidate set (bounded by rem1/rem2) scores below vk,
@@ -703,21 +751,10 @@ def _binmax_segment_extract(
     ok = jnp.all(okq)
 
     def fast(_):
-        # resolve winner positions with a one-hot matmul (bit-exact at
-        # HIGHEST: bf16x6 reconstructs fp32, one nonzero term per output;
-        # positions < 2^24 are exact in f32). TPU gathers at this shape
-        # cost 5-13 ms; this runs on the MXU.
-        assert n <= 1 << 24
-        oh = jax.nn.one_hot(sel, width, dtype=f32)
-        p = jnp.einsum(
-            "bkn,bn->bk", oh, kept_p.astype(f32),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=f32,
-        ).astype(jnp.int32)
         # restore the -inf convention for empty slots (real scores cannot
         # reach f32 min short of overflowing bf16 inputs)
         empty = v <= finfo_min
-        return jnp.where(empty, NEG_INF, v), jnp.where(empty, -1, p)
+        return jnp.where(empty, NEG_INF, v), jnp.where(empty, -1, p_raw)
 
     def slow(_):
         # positions-as-ids substitution keeps the fallback gather-free too.
@@ -795,7 +832,6 @@ def _binmax_segment(
     kept_v = jnp.stack(vals, -1).reshape(bz, kb * m)
     kept_p = jnp.stack(poss, -1).reshape(bz, kb * m)
     rem_max = jnp.max(c, axis=(1, 2))
-    segment_max_pos = n  # positions are segment-local
 
     # exact unless some non-extracted item could still reach tau
     # (ties included conservatively; all -inf rem is always fine)
@@ -803,24 +839,15 @@ def _binmax_segment(
     ok = jnp.all(okq)
 
     def fast(_):
-        v, sel = jax.lax.top_k(kept_v, k)
-        # position lookup as a one-hot MXU matmul: 2.3x faster than the
-        # lane-axis take_along_axis on TPU (2.4 ms vs 5.5 ms at
-        # [512, 6000] -> [512, 1000]). f32 represents positions exactly up
-        # to 2^24; segments are capped well below that.
-        assert segment_max_pos <= 1 << 24
-        oh = jax.nn.one_hot(sel, kb * m, dtype=jnp.float32)
-        p = jnp.einsum(
-            "bkn,bn->bk", oh, kept_p.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)
-        return v, p
+        # winner values and positions in one variadic sort (payload rides
+        # the sort — no one-hot resolve, no take_along_axis gather)
+        return _topk_with_payload(kept_v, kept_p, k)
 
     def slow(_):
         cand_pos = base_pos[:, :, None] + lane  # [B, kb, L]
-        v, sel = jax.lax.top_k(cand.reshape(bz, kb * bin_rows), k)
-        p = jnp.take_along_axis(cand_pos.reshape(bz, kb * bin_rows), sel, axis=-1)
-        return v, p
+        return _topk_with_payload(
+            cand.reshape(bz, kb * bin_rows),
+            cand_pos.reshape(bz, kb * bin_rows).astype(jnp.int32), k)
 
     if kb < k or kb * m < k:
         # kb < k: tau (the kb-th bin max) is NOT a lower bound on the true
@@ -903,6 +930,20 @@ def topk_binmax(
     if n <= k or n <= bin_rows * 2 or n % bin_rows:
         v, p = topk_dense(queries, corpus, pos_ids, k, precision, row_scales)
         return finish(v, p, ok_all)  # dense is exact
+    if precision == "default" and _extract_eligible(bz, n, bin_rows):
+        # ONE fused kernel pass over the WHOLE corpus — the grid covers
+        # every tile, selection chunks internally (_SELECT_SUPERS), so no
+        # ``segment_rows`` streaming is needed: the lax.scan alternative
+        # re-stages every segment's rows through HBM (measured 20.8 ms +
+        # 13.8 ms of operand copies per 512-query batch at 8.86M int8
+        # rows) and pays a per-segment selection besides.
+        res = _binmax_segment_extract(queries, corpus, row_ids, k, bin_rows,
+                                      on_miss, row_scales)
+        if on_miss == "flag":
+            v, p, okq = res
+            return finish(v, p, okq)
+        v, p = res
+        return finish(v, p, ok_all)
     segment_rows = min(segment_rows, n)
     # segments must be bin-aligned
     segment_rows -= segment_rows % bin_rows
@@ -1005,13 +1046,12 @@ def topk_binmax(
     if len(seg_results) == 1:
         v, p = seg_results[0]
         if v.shape[-1] > k:  # scanned multi-segment strip: merge
-            v, sel = jax.lax.top_k(v, k)
-            p = jnp.take_along_axis(seg_results[0][1], sel, axis=-1)
+            v, p = _topk_with_payload(v, p, k)
         return finish(v, p, ok_all)
     all_v = jnp.concatenate([v for v, _ in seg_results], axis=-1)
     all_i = jnp.concatenate([i for _, i in seg_results], axis=-1)
-    v, sel = jax.lax.top_k(all_v, k)
-    return finish(v, jnp.take_along_axis(all_i, sel, axis=-1), ok_all)
+    v, p = _topk_with_payload(all_v, all_i, k)
+    return finish(v, p, ok_all)
 
 
 @functools.partial(
