@@ -460,10 +460,37 @@ _SUPER_ROWS = 2048    # rows per level-2 super-block
 # depth 8 at lambda = 0.92: ~3 expected violations PER BATCH -> it fell back
 # almost every time and benched at 450 QPS.)
 _SUPER_ROUNDS = 16    # level 2: 15 candidates + 1 remainder bound per block
-# Selection-chunk size (super-blocks) for the post-kernel top-k: 544 blocks
-# = 1,114,112 rows = candidate width 8160, the measured variadic-sort
-# sweet spot on v5e (sort cost grows super-linearly in width).
-_SELECT_SUPERS = 544
+# Selection-chunk candidate width for the post-kernel top-k: 8160 is the
+# measured variadic-sort sweet spot on v5e (sort cost grows super-linearly
+# in width).
+_SELECT_WIDTH = 8160
+
+
+def _select_rounds(n: int, nsup: int, bz: int, k: int, m2: int) -> int:
+    """Per-super-block candidate depth actually entering selection.
+
+    The kernel always emits ``m2`` candidates per super-block, but the
+    number of true top-k items landing in one 2048-row block is
+    ~Poisson(k * 2048 / n): at large n most emitted rounds are dead
+    weight for the selection sorts/transposes. Keep the smallest depth m
+    whose Poisson tail puts the expected number of (block, query) misses
+    per batch below ~1e-4 — a block deeper than m just fails the
+    certificate (its (m+1)-th candidate, which bounds everything dropped
+    from it, lands above vk) and those queries re-run, so the result is
+    EXACT at any depth. Measured at 8.86M rows this halves selection
+    volume (m=7 vs 15)."""
+    import math
+
+    lam = k * _SUPER_ROWS / n
+    pmf = math.exp(-lam)
+    cdf = pmf
+    for m in range(1, m2):
+        pmf *= lam / m
+        cdf += pmf
+        # tail = P(X >= m + 1): blocks holding more top-k items than kept
+        if m * nsup >= k and (1.0 - cdf) * nsup * bz <= 1e-4:
+            return m
+    return m2
 _INTERPRET = False  # tests flip this to run the kernel on CPU
 
 
@@ -701,38 +728,57 @@ def _binmax_segment_extract(
             return v, p, jnp.ones((bz,), jnp.bool_)  # streaming is exact
         return v, p
 
-    rem2 = jnp.max(sup_v[:, m2, :], axis=0)  # [B] block remainder bound
+    # Poisson-adaptive selection depth (see _select_rounds): only rounds
+    # :m_sel enter the selection; rounds beyond are covered by the
+    # per-block bound below. m_sel == m2 at per-chip-shard sizes, drops to
+    # ~7 at 8.86M rows — halving selection sort + transpose volume.
+    m_sel = _select_rounds(n, nsup, bz, k, m2)
+    # rem2: bound on everything NOT in the selection's candidate set from
+    # the block side — candidates are emitted in descending order, so a
+    # block's m_sel-th value bounds all of its deeper items (including the
+    # kernel's own remainder round).
+    rem2 = jnp.max(sup_v[:, m_sel, :], axis=0)  # [B]
     rem1 = jnp.max(rem1, axis=(0, 1))  # [B] bin-level remainder bound
+
+    # One plain 2-D transpose moves the candidate tensor to B-major (XLA's
+    # tiled transpose emitter — the B-major-from-the-kernel alternative
+    # slowed the kernel ~45% with lane->sublane relayouts). Order matters:
+    # at full depth, transpose-everything-then-slice fuses the slice into
+    # the consumer (measured 10.7 vs 12.6 ms/batch at 1.1M); at reduced
+    # depth, slice-first halves the transpose bytes (98 vs ~105 ms at
+    # 8.86M int8).
+    if m_sel == m2:
+        kvt = sup_v.reshape(nsup * R2, bz).T.reshape(bz, nsup, R2)
+        kpt = sup_p.reshape(nsup * R2, bz).T.reshape(bz, nsup, R2)
+        kv = kvt[:, :, :m_sel].reshape(bz, nsup * m_sel)
+        kp = kpt[:, :, :m_sel].reshape(bz, nsup * m_sel)
+    else:
+        kv = sup_v[:, :m_sel, :].reshape(nsup * m_sel, bz).T
+        kp = sup_p[:, :m_sel, :].reshape(nsup * m_sel, bz).T
 
     # Selection. Variadic-sort cost grows super-linearly in width
     # (measured: [512, 8160] 1.26 ms but [512, 64920] 41.8 ms), so large
-    # corpora select in ~1.1M-row chunks (544 super-blocks = width 8160)
-    # and merge the per-chunk top-k strips — the whole-corpus kernel pass
-    # stays ONE pallas_call either way (no lax.scan segment staging).
-    if nsup <= _SELECT_SUPERS:
-        kept_v = jnp.concatenate(
-            [sup_v[:, r, :].T for r in range(m2)], axis=1)  # [B, nsup*m2]
-        kept_v = jnp.maximum(kept_v, finfo_min)  # -inf -> sentinel (empty)
-        kept_p = jnp.concatenate([sup_p[:, r, :].T for r in range(m2)],
-                                 axis=1)
+    # corpora select in ~8160-candidate chunks and merge the per-chunk
+    # top-k strips — the whole-corpus kernel pass stays ONE pallas_call
+    # either way (no lax.scan segment staging).
+    sel_sup = max(1, _SELECT_WIDTH // m_sel)  # super-blocks per chunk
+    if nsup <= sel_sup:
+        kept_v = jnp.maximum(kv, finfo_min)  # -inf -> sentinel (empty)
         # one variadic sort yields winner values AND positions together —
         # no one-hot resolve, no gather (see _topk_with_payload)
-        v, p_raw = _topk_with_payload(kept_v, kept_p, k)
+        v, p_raw = _topk_with_payload(kept_v, kp, k)
     else:
-        nseg = -(-nsup // _SELECT_SUPERS)
-        pad = nseg * _SELECT_SUPERS - nsup
-        sv = sup_v[:, :m2, :]
-        sp = sup_p[:, :m2, :]
+        nseg = -(-nsup // sel_sup)
+        pad = (nseg * sel_sup - nsup) * m_sel
         if pad:
             # padded blocks behave exactly like empty candidates
-            sv = jnp.concatenate(
-                [sv, jnp.full((pad, m2, bz), NEG_INF, jnp.float32)], axis=0)
-            sp = jnp.concatenate(
-                [sp, jnp.full((pad, m2, bz), -1, jnp.int32)], axis=0)
-        # [nsup_pad, m2, B] -> [B, nseg, sel_sup*m2]
-        kept_v = sv.reshape(nseg, _SELECT_SUPERS * m2, bz).transpose(2, 0, 1)
-        kept_v = jnp.maximum(kept_v, finfo_min)
-        kept_p = sp.reshape(nseg, _SELECT_SUPERS * m2, bz).transpose(2, 0, 1)
+            kv = jnp.concatenate(
+                [kv, jnp.full((bz, pad), NEG_INF, f32)], axis=1)
+            kp = jnp.concatenate(
+                [kp, jnp.full((bz, pad), -1, jnp.int32)], axis=1)
+        sel_w = sel_sup * m_sel
+        kept_v = jnp.maximum(kv.reshape(bz, nseg, sel_w), finfo_min)
+        kept_p = kp.reshape(bz, nseg, sel_w)
         # batched per-chunk sort, then one merge over [B, nseg*k]. Every
         # true global-top-k item survives its chunk's top-k, so the merge
         # is exact given the (global) certificate below.
