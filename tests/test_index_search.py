@@ -497,9 +497,10 @@ def test_precision_highest_resolves_sub_bf16_gaps():
 class TestFusedExtractPath:
     """The fused scores+extraction Pallas kernel path (``mips._binmax_segment_
     extract``): [B, N] scores never reach HBM; per-bin top-(R-1) values and
-    positions are extracted in VMEM and the candidate gather runs as a
-    bit-exact one-hot matmul at Precision.HIGHEST. Run here in interpret
-    mode (the eligibility gate requires a real TPU otherwise)."""
+    positions are extracted in VMEM and the final selection is one
+    variadic payload sort (``_topk_with_payload``) — no gather anywhere.
+    Run here in interpret mode (the eligibility gate requires a real TPU
+    otherwise)."""
 
     @pytest.fixture(autouse=True)
     def _interpret(self, monkeypatch):
