@@ -761,7 +761,9 @@ def _binmax_segment_extract(
     # corpora select in ~8160-candidate chunks and merge the per-chunk
     # top-k strips — the whole-corpus kernel pass stays ONE pallas_call
     # either way (no lax.scan segment staging).
-    sel_sup = max(1, _SELECT_WIDTH // m_sel)  # super-blocks per chunk
+    # super-blocks per chunk; every chunk strip must hold k candidates
+    # (sel_w >= k) for the per-chunk top-k to be meaningful
+    sel_sup = max(_SELECT_WIDTH // m_sel, -(-k // m_sel), 1)
     if nsup <= sel_sup:
         kept_v = jnp.maximum(kv, finfo_min)  # -inf -> sentinel (empty)
         # one variadic sort yields winner values AND positions together —

@@ -590,6 +590,80 @@ class TestFusedExtractPath:
         np.testing.assert_array_equal(np.asarray(i), ref_i)
         np.testing.assert_allclose(np.asarray(v), ref_v, rtol=1e-5)
 
+    def test_chunked_selection_exact(self, monkeypatch):
+        """Corpora wider than the variadic-sort sweet spot select in
+        chunks (batched per-chunk payload sort + one merge sort). Force
+        the chunked branch at test scale by shrinking _SELECT_WIDTH and
+        require exact oracle equality, including the ragged final chunk
+        (nsup not a multiple of sel_sup -> padded candidates)."""
+        from cldrd_tpu.search import mips
+        monkeypatch.setattr(mips, "_SELECT_WIDTH", 30)
+        rng = np.random.default_rng(7)
+        bz, n, d, k = 128, 3 * mips._SUPER_ROWS, 32, 20
+        q = rng.standard_normal((bz, d)).astype(np.float32)
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        ids = jnp.arange(n, dtype=jnp.int32)
+        m2 = mips._SUPER_ROUNDS - 1
+        m_sel = mips._select_rounds(n, n // mips._SUPER_ROWS, bz, k, m2)
+        sel_sup = max(30 // m_sel, -(-k // m_sel), 1)
+        assert n // mips._SUPER_ROWS > sel_sup, "chunked branch not hit"
+        assert (n // mips._SUPER_ROWS) % sel_sup, "want a ragged tail"
+        v, i = mips._binmax_segment_extract(
+            jnp.asarray(q), jnp.asarray(c), ids, k, 128)
+        ref_v, ref_i = self._oracle(q, c, k)
+        np.testing.assert_array_equal(np.asarray(i), ref_i)
+        np.testing.assert_allclose(np.asarray(v), ref_v, rtol=1e-5)
+
+    def test_select_rounds_properties(self):
+        """The Poisson depth model: full depth at per-chip-shard size,
+        reduced at full-corpus size, never below k coverage, monotone
+        non-increasing in n (larger corpora -> thinner blocks)."""
+        from cldrd_tpu.search import mips
+        m2 = mips._SUPER_ROUNDS - 1
+        k, bz = 1000, 512
+
+        def depth(n):
+            return mips._select_rounds(n, n // mips._SUPER_ROWS, bz, k, m2)
+
+        assert depth(1_114_112) == m2          # bench-headline shape
+        assert depth(8_863_744) < m2           # full corpus trims depth
+        prev = m2
+        for n in (1_114_112, 2_228_224, 4_456_448, 8_863_744, 17_727_488):
+            m = depth(n)
+            assert 1 <= m <= m2
+            assert m * (n // mips._SUPER_ROWS) >= k  # coverage floor
+            assert m <= prev
+            prev = m
+
+    def test_reduced_depth_flags_and_recovers(self, monkeypatch):
+        """A block holding more top-k items than the selection depth must
+        fail that query's certificate (its (m+1)-th candidate bounds the
+        dropped items), and the in-graph fallback must restore oracle
+        exactness. Forces a tiny depth to make the trip at test scale."""
+        from cldrd_tpu.search import mips
+        # depth 5 respects the coverage-floor contract (m * nsup >= k:
+        # 5 * 4 = 20) that the real _select_rounds always guarantees
+        monkeypatch.setattr(mips, "_select_rounds",
+                            lambda n, nsup, bz, k, m2: 5)
+        bz, n, d, k = 128, 8192, 32, 20
+        rng = np.random.default_rng(11)
+        c = rng.standard_normal((n, d)).astype(np.float32) * 0.01
+        # 7 > depth-5 top-20 items for query 0 inside super-block 1
+        c[2048:2055, 0] = np.linspace(5.0, 6.0, 7)
+        q = rng.standard_normal((bz, d)).astype(np.float32) * 0.01
+        q[0] = 0.0
+        q[0, 0] = 1.0
+        ids = jnp.arange(n, dtype=jnp.int32)
+        _, _, okq = mips._binmax_segment_extract(
+            jnp.asarray(q), jnp.asarray(c), ids, k, 128, on_miss="flag")
+        okq = np.asarray(okq)
+        assert not okq[0], "overfull block must flag its query"
+        v, i = mips._binmax_segment_extract(
+            jnp.asarray(q), jnp.asarray(c), ids, k, 128)  # on_miss=fallback
+        ref_v, ref_i = self._oracle(q, c, k)
+        np.testing.assert_array_equal(np.asarray(i), ref_i)
+        np.testing.assert_allclose(np.asarray(v), ref_v, rtol=1e-5)
+
 
 def test_return_positions_and_host_id_mapping(corpus):
     """``return_positions=True`` must return corpus ROW POSITIONS (skipping
