@@ -33,6 +33,8 @@ from __future__ import annotations
 
 import logging
 import os
+import signal
+import threading
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -414,6 +416,44 @@ class Trainer:
         if getattr(dataset, "pack_passages", None) != cfg.pack_passages:
             dataset.pack_passages = cfg.pack_passages
 
+        # Preemption safety (SURVEY §5.3): TPU VMs get a SIGTERM grace
+        # window before eviction. Convert it into a flag checked at the
+        # step boundary: flush pending device metrics (NaN-checked), write
+        # one atomic checkpoint, and return — ``cfg.resume`` on relaunch
+        # continues at the exact batch, so an eviction costs at most one
+        # step of work. Handler installation is main-thread-only (a signal
+        # module constraint); the previous handler is restored on exit.
+        preempt = threading.Event()
+
+        def _on_sigterm(signum, frame):
+            logger.warning(
+                "SIGTERM: checkpointing at the next step boundary")
+            preempt.set()
+
+        install_handler = (
+            threading.current_thread() is threading.main_thread())
+        prev_handler = (
+            signal.signal(signal.SIGTERM, _on_sigterm)
+            if install_handler else None)
+        try:
+            return self._train_loop(
+                cfg, dataset, state, step_jit, base_rng, global_step,
+                start_epoch, skip_batches, preempt,
+                flush_pending, pending_metrics,
+                loss_m, mrr_m, recall_m, reg_m, aux_ratio_m, log_path,
+            )
+        finally:
+            if install_handler:
+                signal.signal(signal.SIGTERM, prev_handler)
+
+    def _train_loop(
+        self, cfg, dataset, state, step_jit, base_rng, global_step,
+        start_epoch, skip_batches, preempt,
+        flush_pending, pending_metrics,
+        loss_m, mrr_m, recall_m, reg_m, aux_ratio_m, log_path,
+    ) -> TrainState:
+        from cldrd_tpu.data.prefetch import prefetch
+
         first_batch_checked = False
         for epoch in range(start_epoch, cfg.num_train_epochs):
             state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
@@ -475,6 +515,18 @@ class Trainer:
                     # NaN-corrupted state is never persisted under
                     # nan_policy='raise'
                     save_checkpoint(state, self.run_dir, global_step)
+
+                if preempt.is_set():
+                    flush_pending()
+                    path = save_checkpoint(state, self.run_dir, global_step)
+                    logger.warning(
+                        "preempted at step %d: checkpoint saved to %s; "
+                        "relaunch with resume=%r to continue at the exact "
+                        "batch", global_step, path, path,
+                    )
+                    if self._tb is not None:
+                        self._tb.flush()
+                    return state
 
         # flush metrics produced after the last logging boundary
         flush_pending()

@@ -545,3 +545,48 @@ def test_packed_accum_tensorboard_compose(tmp_path):
     assert int(state.step) == 4  # 16/4 micro-steps
     assert all(np.isfinite(m["loss"]) for m in metrics)
     assert os.path.isdir(os.path.join(trainer.run_dir, "tb"))
+
+
+def test_sigterm_preemption_checkpoints_and_resumes(tmp_path):
+    """SIGTERM mid-run (SURVEY §5.3: TPU eviction grace window) makes the
+    trainer flush pending metrics, write ONE atomic checkpoint at the
+    current step, restore the previous handler, and return — and resuming
+    from that checkpoint reproduces the uninterrupted run exactly (seeded
+    per-epoch shuffle + step-indexed dropout rng)."""
+    import signal
+
+    dataset = _tiny_dataset()  # 16 examples -> 2 steps/epoch at bz 8
+    mesh = make_mesh(8)
+    prev = signal.getsignal(signal.SIGTERM)
+
+    # preempted run: SIGTERM delivered from the step-3 metrics hook
+    cfg1 = _tiny_cfg(tmp_path, experiment_name="pre1", num_train_epochs=3,
+                     evaluate_steps=1000)
+    t1 = Trainer(cfg1, DistilBertConfig.tiny(), mesh=mesh)
+
+    def hook(step, m):
+        if step == 3:
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    s1 = t1.train(dataset, step_hook=hook)
+    assert signal.getsignal(signal.SIGTERM) is prev  # handler restored
+    stopped = int(s1.step)
+    assert stopped == 3, stopped  # stopped at the signal's step boundary
+    ckpt = latest_checkpoint(t1.run_dir)
+    assert ckpt is not None and ckpt.endswith(f"checkpoint_{stopped}.msgpack")
+
+    # resume completes the remaining 3 steps
+    cfg2 = _tiny_cfg(tmp_path, experiment_name="pre2", num_train_epochs=3,
+                     evaluate_steps=1000, resume=ckpt)
+    t2 = Trainer(cfg2, DistilBertConfig.tiny(), mesh=mesh)
+    s2 = t2.train(dataset)
+    assert int(s2.step) == 6
+
+    # uninterrupted oracle run
+    cfg3 = _tiny_cfg(tmp_path, experiment_name="pre3", num_train_epochs=3,
+                     evaluate_steps=1000)
+    s3 = Trainer(cfg3, DistilBertConfig.tiny(), mesh=mesh).train(dataset)
+    assert int(s3.step) == 6
+    for a, b in zip(jax.tree_util.tree_leaves(s2.params),
+                    jax.tree_util.tree_leaves(s3.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
