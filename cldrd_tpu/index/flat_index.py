@@ -356,6 +356,83 @@ class FlatIPIndex(HostIdCacheMixin):
             write_embeddings(out_dir, embs, ids,
                              rows_per_shard=rows_per_shard)
 
+    # ------------------------------------------------- FAISS read surface
+
+    def _id_to_row(self, ids: np.ndarray) -> np.ndarray:
+        """External ids -> corpus row positions via a cached sorted-id map
+        (binary search; a python dict at 8.8M ids would cost ~600 MB).
+        Raises KeyError on unknown or removed ids."""
+        maps = getattr(self, "_id_row_map_cache", None)
+        if maps is None:
+            host = self._host_ids()
+            rows = np.flatnonzero(host >= 0).astype(np.int64)
+            order = np.argsort(host[rows], kind="stable")
+            maps = (host[rows][order], rows[order])  # (sorted ids, rows)
+            object.__setattr__(self, "_id_row_map_cache", maps)
+        sorted_ids, sorted_rows = maps
+        pos = np.searchsorted(sorted_ids, ids)
+        bad = (pos >= len(sorted_ids)) | (sorted_ids[np.minimum(
+            pos, len(sorted_ids) - 1)] != ids)
+        if bad.any():
+            raise KeyError(
+                f"ids not in index: {np.asarray(ids)[bad][:10].tolist()}")
+        return sorted_rows[pos]
+
+    def reconstruct(self, ids) -> np.ndarray:
+        """Return the STORED vectors for external ``ids`` as fp32
+        [len(ids), D] (FAISS ``reconstruct``/``reconstruct_n``/
+        ``reconstruct_batch`` equivalence; a scalar id returns [D]).
+
+        int8 stores dequantize ``codes * scale`` — i.e. exactly the vectors
+        search scores against, not the pre-quantization originals. Raises
+        ``KeyError`` for unknown or removed ids."""
+        scalar = np.ndim(ids) == 0
+        idv = np.atleast_1d(np.asarray(ids, np.int64))
+        rows = self._id_to_row(idv)
+        out = np.asarray(
+            jnp.take(self.embeddings, jnp.asarray(rows), axis=0)
+        ).astype(np.float32)
+        if self.embeddings.dtype == jnp.int8:
+            out *= np.asarray(self.row_scales)[rows][:, None]
+        return out[0] if scalar else out
+
+    def range_search(
+        self, queries, radius: float, k_start: int = 1024,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """All hits with inner product STRICTLY above ``radius`` (FAISS
+        ``range_search`` IP semantics), exact, returned in FAISS's CSR
+        convention: ``(lims [B+1], scores, ids)`` with query q's hits at
+        ``[lims[q]:lims[q+1]]``, sorted by score descending (FAISS leaves
+        them unsorted; sorted is strictly more useful).
+
+        TPU-native shape discipline: a data-dependent result size cannot
+        come out of one jit program, so this runs exact top-k at doubling
+        depths (``k_start``, 2*k_start, ... — each depth is one compiled
+        executable, reused across calls) until every query's k-th score has
+        fallen to ``radius`` or the corpus is exhausted, then filters
+        host-side. Queries whose hit count is <= ``k_start`` (the common
+        case for a sane radius) pay exactly one search."""
+        q = np.asarray(queries)
+        n_rows = len(self._host_ids())  # padded size; -inf beyond corpus
+        k = min(max(int(k_start), 1), n_rows)
+        while True:
+            scores, ids = self.search(q, k)
+            valid = ids >= 0
+            # deeper hits are possible only if some query's k-th kept slot
+            # is a real row still scoring above radius
+            if k >= n_rows or not np.any(valid[:, -1] &
+                                         (scores[:, -1] > radius)):
+                break
+            k = min(k * 2, n_rows)
+        keep = valid & (scores > radius)
+        counts = keep.sum(axis=1)
+        lims = np.zeros(len(q) + 1, np.int64)
+        np.cumsum(counts, out=lims[1:])
+        # rows are already score-descending from search(); boolean-compress
+        return (lims,
+                scores[keep].astype(np.float32),
+                ids[keep].astype(np.int64))
+
     def warmup_batch_sizes(self, max_batch: int) -> list:
         """Batch sizes that, searched once each, compile every executable
         ``search()`` can dispatch for b <= max_batch. Lives HERE because it

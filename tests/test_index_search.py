@@ -1343,3 +1343,93 @@ def test_remove_then_add_reuses_tail_capacity(corpus):
     assert idx.n_vectors == 3072
     s, i = idx.search(add_c[:2] * 10.0, 2)
     assert list(i[:, 0]) == [50_000, 50_001]
+
+
+# ----------------------------------------------- FAISS read surface
+
+
+def test_reconstruct_returns_stored_vectors(corpus):
+    q, c, ids = corpus
+    index = FlatIPIndex.build(c, ids, mesh=None, dtype=jnp.float32,
+                              block_rows=512)
+    pick = np.asarray([ids[5], ids[0], ids[4000]])
+    got = index.reconstruct(pick)
+    np.testing.assert_allclose(got, c[[5, 0, 4000]], rtol=1e-6)
+    # scalar id -> [D]
+    one = index.reconstruct(int(ids[7]))
+    assert one.shape == (c.shape[1],)
+    np.testing.assert_allclose(one, c[7], rtol=1e-6)
+    with pytest.raises(KeyError):
+        index.reconstruct([999_999_999])
+
+
+def test_reconstruct_int8_dequantizes(corpus):
+    q, c, ids = corpus
+    index = FlatIPIndex.build(c, ids, mesh=None, dtype=jnp.int8,
+                              block_rows=512)
+    codes, scales = _quantize_rows(c)
+    got = index.reconstruct(np.asarray([ids[3], ids[100]]))
+    want = codes[[3, 100]].astype(np.float32) * scales[[3, 100]][:, None]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_reconstruct_after_remove_raises(corpus):
+    q, c, ids = corpus
+    index = FlatIPIndex.build(c, ids, mesh=None, dtype=jnp.float32,
+                              block_rows=512)
+    index2 = index.remove([int(ids[5])])
+    with pytest.raises(KeyError):
+        index2.reconstruct([int(ids[5])])
+    # untouched ids still reconstruct
+    np.testing.assert_allclose(index2.reconstruct(int(ids[6])), c[6],
+                               rtol=1e-6)
+
+
+def _numpy_range_search(q, c, ids, radius):
+    scores = q.astype(np.float64) @ c.astype(np.float64).T
+    out = []
+    for row in scores:
+        hit = np.flatnonzero(row > radius)
+        order = hit[np.argsort(-row[hit], kind="stable")]
+        out.append((row[order], ids[order]))
+    return out
+
+
+def test_range_search_matches_numpy_oracle(corpus):
+    q, c, ids = corpus
+    index = FlatIPIndex.build(c, ids, mesh=None, dtype=jnp.float32,
+                              block_rows=512, precision="highest")
+    # radius chosen so queries have O(10) hits each
+    radius = float(np.quantile(q @ c.T, 0.998))
+    lims, scores, got_ids = index.range_search(q, radius, k_start=8)
+    want = _numpy_range_search(q, c, ids, radius)
+    assert lims[0] == 0 and lims[-1] == len(got_ids) == len(scores)
+    for qi, (ws, wi) in enumerate(want):
+        s = scores[lims[qi]:lims[qi + 1]]
+        i = got_ids[lims[qi]:lims[qi + 1]]
+        assert set(i.tolist()) == set(wi.tolist()), qi
+        np.testing.assert_allclose(np.sort(s)[::-1], np.sort(ws)[::-1],
+                                   rtol=1e-5)
+        assert np.all(np.diff(s) <= 1e-6)  # score-descending within query
+
+
+def test_range_search_deepens_past_k_start(corpus):
+    """A radius below every score forces the doubling loop to the full
+    corpus: every valid row must come back for every query."""
+    q, c, ids = corpus
+    index = FlatIPIndex.build(c, ids, mesh=None, dtype=jnp.float32,
+                              block_rows=512, precision="highest")
+    lims, scores, got_ids = index.range_search(q[:2], -1e9, k_start=16)
+    assert lims[-1] == 2 * len(ids)
+    for qi in range(2):
+        assert set(got_ids[lims[qi]:lims[qi + 1]].tolist()) == set(
+            ids.tolist())
+
+
+def test_range_search_no_hits(corpus):
+    q, c, ids = corpus
+    index = FlatIPIndex.build(c, ids, mesh=None, dtype=jnp.float32,
+                              block_rows=512)
+    lims, scores, got_ids = index.range_search(q, 1e9)
+    assert lims.tolist() == [0] * (len(q) + 1)
+    assert scores.size == 0 and got_ids.size == 0
