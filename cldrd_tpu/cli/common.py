@@ -76,6 +76,11 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
                    help="one tower for queries and passages (reference --share_weights)")
     p.add_argument("--tokenizer", default="hash",
                    help="'hash' (hermetic) or an HF tokenizer name/path")
+    p.add_argument("--cosine", action="store_true", default=False,
+                   help="the checkpoint was trained with cosine scoring "
+                        "(--apply-cosine-similarity): L2-normalize every "
+                        "embedding at encode time so the IP index/search "
+                        "ranks by cosine, matching the training objective")
 
 
 def build_tokenizer(name: str, vocab_size: int = 30522):

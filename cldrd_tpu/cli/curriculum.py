@@ -144,6 +144,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         base = base.replace(batch_size=args.batch_size)
     if args.pack_passages is not None:
         base = base.replace(pack_passages=args.pack_passages)
+    if args.cosine:
+        # cosine scoring rides the model (Trainer builds the towers from
+        # this field), so the per-iteration eval hook's encode fns
+        # normalize automatically and the eval index searches cosine space
+        base = base.replace(apply_cosine_similarity=True)
 
     iterations: List[TrainConfig] = []
     for i in range(n_iter):

@@ -175,7 +175,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         jax.config.update("jax_default_matmul_precision", "highest")
     model = NwayDualEncoder(
-        config=cfg, share_weights=args.share_weights, dtype=compute_dtype
+        config=cfg, share_weights=args.share_weights, dtype=compute_dtype,
+        apply_cosine_similarity=args.cosine,
     )
     params = load_dual_encoder_params(
         args.checkpoint, model, cfg, args.share_weights,

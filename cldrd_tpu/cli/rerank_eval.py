@@ -125,7 +125,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     else:
         cfg = model_config_from_args(args)
         model = NwayDualEncoder(config=cfg, share_weights=args.share_weights,
-                                dtype=dtype)
+                                dtype=dtype,
+                                apply_cosine_similarity=args.cosine)
 
         def params_loader(path):
             return load_dual_encoder_params(path, model, cfg,

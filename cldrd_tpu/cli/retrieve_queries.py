@@ -56,7 +56,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     tokenizer = build_tokenizer(args.tokenizer, vocab_size=cfg.vocab_size)
 
     model = NwayDualEncoder(
-        config=cfg, share_weights=args.share_weights, dtype=jnp.bfloat16
+        config=cfg, share_weights=args.share_weights, dtype=jnp.bfloat16,
+        apply_cosine_similarity=args.cosine,
     )
     params = load_dual_encoder_params(
         args.checkpoint, model, cfg, args.share_weights,

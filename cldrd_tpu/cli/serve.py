@@ -721,7 +721,8 @@ def make_service(args) -> SearchService:
     cfg = model_config_from_args(args)
     tokenizer = build_tokenizer(args.tokenizer, vocab_size=cfg.vocab_size)
     model = NwayDualEncoder(
-        config=cfg, share_weights=args.share_weights, dtype=jnp.bfloat16
+        config=cfg, share_weights=args.share_weights, dtype=jnp.bfloat16,
+        apply_cosine_similarity=args.cosine,
     )
     params = load_dual_encoder_params(
         args.checkpoint, model, cfg, args.share_weights,

@@ -40,6 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
     ):
         p.add_argument(f"--{field.replace('_', '-')}", dest=field, type=float, default=None)
     p.add_argument("--in-batch-loss", action="store_true", default=None)
+    # the reference unity scripts' --apply_consine_similarity [sic]
+    # (scripts/unity/cosine_nway_listwise.sh, missing ctof_grained trainers);
+    # retrieval-side CLIs take the matching --cosine flag so the index is
+    # built and searched in the same cosine space
+    p.add_argument("--apply-cosine-similarity", dest="apply_cosine_similarity",
+                   action="store_true", default=None)
     p.add_argument("--all-in-batch-neg", action="store_true", default=None)
     p.add_argument("--remat", action="store_true", default=None,
                    help="rematerialize transformer blocks in backward "

@@ -121,9 +121,11 @@ class NwayDualEncoder(nn.Module):
             nway_reps = self.packed_nway_passage_embs(packed_passages, deterministic)
         else:
             nway_reps = self.nway_passage_embs(nway_passages, deterministic)
-        if self.apply_cosine_similarity:
-            query_reps = _l2_normalize(query_reps)
-            nway_reps = _l2_normalize(nway_reps)
+        # cosine models are normalized AT THE EMBEDDING BOUNDARY (inside
+        # query_embs/passage_embs/packed_nway_passage_embs), not here: every
+        # consumer — these training logits, the index-build encode, the
+        # retrieval-time query encode — then scores in the same cosine
+        # space, and an IP index over unit vectors IS the cosine index.
         bz, nway, dim = nway_reps.shape
 
         if self.in_batch_loss:
@@ -148,14 +150,16 @@ class NwayDualEncoder(nn.Module):
             queries["input_ids"], queries["attention_mask"], deterministic,
             cls_only=True,
         )
-        return cls_pool(hidden)
+        reps = cls_pool(hidden)
+        return _l2_normalize(reps) if self.apply_cosine_similarity else reps
 
     def passage_embs(self, passages: Batch, deterministic: bool = True) -> jax.Array:
         hidden = self._passage_encoder(
             passages["input_ids"], passages["attention_mask"], deterministic,
             cls_only=True,
         )
-        return cls_pool(hidden)
+        reps = cls_pool(hidden)
+        return _l2_normalize(reps) if self.apply_cosine_similarity else reps
 
     def packed_nway_passage_embs(
         self, packed: Batch, deterministic: bool = True
@@ -182,7 +186,8 @@ class NwayDualEncoder(nn.Module):
         dim = hidden.shape[-1]
         per_example = hidden.reshape(bz, rows * seq_len, dim)
         gather = packed["gather_pos"][..., None].astype(jnp.int32)
-        return jnp.take_along_axis(per_example, gather, axis=1)  # [bz, nway, D]
+        reps = jnp.take_along_axis(per_example, gather, axis=1)  # [bz, nway, D]
+        return _l2_normalize(reps) if self.apply_cosine_similarity else reps
 
     def nway_passage_embs(
         self, nway_passages: Batch, deterministic: bool = True

@@ -826,3 +826,111 @@ def test_bert_dual_encoder_pth_tar_warm_start():
         method=NwayDualEncoder.query_embs,
     )
     np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5, rtol=2e-5)
+
+
+def test_cosine_normalizes_at_embedding_boundary():
+    """Cosine-trained models must L2-normalize in query_embs/passage_embs
+    (and the packed path) — NOT only inside __call__ — so the index-build
+    and retrieval encode paths score in the same cosine space the model
+    was trained in (an IP index over unit vectors IS the cosine index)."""
+    from cldrd_tpu.models import DistilBertConfig, DualEncoder, NwayDualEncoder
+
+    cfg = DistilBertConfig.tiny()
+    model = NwayDualEncoder(config=cfg, apply_cosine_similarity=True,
+                            dtype=jnp.float32)
+    q = {"input_ids": jax.random.randint(jax.random.PRNGKey(0), (4, 6), 0,
+                                         cfg.vocab_size),
+         "attention_mask": jnp.ones((4, 6), jnp.int32)}
+    p = {"input_ids": jax.random.randint(jax.random.PRNGKey(1), (4, 3, 8), 0,
+                                         cfg.vocab_size),
+         "attention_mask": jnp.ones((4, 3, 8), jnp.int32)}
+    params = model.init(jax.random.PRNGKey(2), q, p)["params"]
+    qe = model.apply({"params": params}, q, method=model.query_embs)
+    pe = model.apply({"params": params}, p, method=model.nway_passage_embs)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(qe), axis=-1),
+                               1.0, atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(pe), axis=-1),
+                               1.0, atol=1e-5)
+    # DualEncoder (plain pair scorer) inherits cosine through the boundary
+    pair = DualEncoder(config=cfg, apply_cosine_similarity=True,
+                       dtype=jnp.float32)
+    flat_p = {"input_ids": p["input_ids"][:, 0], 
+              "attention_mask": p["attention_mask"][:, 0]}
+    scores = pair.apply({"params": params}, q, flat_p)
+    assert np.all(np.abs(np.asarray(scores)) <= 1.0 + 1e-5)
+
+
+def test_cosine_packed_matches_flat():
+    """Packed passage encoding normalizes identically to the flat layout
+    under apply_cosine_similarity."""
+    from cldrd_tpu.data.packing import pack_nway_batch
+    from cldrd_tpu.models import DistilBertConfig, NwayDualEncoder
+
+    cfg = DistilBertConfig.tiny()
+    model = NwayDualEncoder(config=cfg, apply_cosine_similarity=True,
+                            dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    bz, nway, L = 2, 3, 12
+    lens = rng.integers(3, 7, (bz, nway))
+    ids = np.zeros((bz, nway, L), np.int32)
+    mask = np.zeros((bz, nway, L), np.int32)
+    for b in range(bz):
+        for n in range(nway):
+            ids[b, n, :lens[b, n]] = rng.integers(1, cfg.vocab_size,
+                                                  lens[b, n])
+            mask[b, n, :lens[b, n]] = 1
+    ids = ids * mask
+    p = {"input_ids": jnp.asarray(ids), "attention_mask": jnp.asarray(mask)}
+    q = {"input_ids": jax.random.randint(jax.random.PRNGKey(0), (bz, 6), 0,
+                                         cfg.vocab_size),
+         "attention_mask": jnp.ones((bz, 6), jnp.int32)}
+    params = model.init(jax.random.PRNGKey(1), q, p)["params"]
+    flat = model.apply({"params": params}, p,
+                       method=model.nway_passage_embs)
+    packed = pack_nway_batch(ids, mask)
+    pk_dict = {k: jnp.asarray(v) for k, v in packed.as_dict().items()}
+    pk = model.apply({"params": params}, pk_dict,
+                     method=model.packed_nway_passage_embs)
+    np.testing.assert_allclose(np.asarray(pk), np.asarray(flat), atol=2e-5)
+
+
+def test_cosine_encode_index_search_consistent():
+    """End-to-end cosine retrieval: encode fns (the index/retrieve CLI
+    path) produce unit vectors, and IP search over them ranks by cosine."""
+    from cldrd_tpu.index import FlatIPIndex, encode_dataset, make_encode_fn
+    from cldrd_tpu.data.sequence_dataset import SequenceDataset
+    from cldrd_tpu.data.tokenization import HashTokenizer
+    from cldrd_tpu.models import DistilBertConfig, NwayDualEncoder
+
+    cfg = DistilBertConfig.tiny()
+    model = NwayDualEncoder(config=cfg, apply_cosine_similarity=True,
+                            dtype=jnp.float32)
+    tok = HashTokenizer(vocab_size=cfg.vocab_size)
+    texts = {i: f"passage body {i} words {i*7%13}" for i in range(32)}
+    ds = SequenceDataset(texts, tok, max_length=10, is_query=False)
+    q = {"input_ids": jax.random.randint(jax.random.PRNGKey(0), (2, 6), 0,
+                                         cfg.vocab_size),
+         "attention_mask": jnp.ones((2, 6), jnp.int32)}
+    p_init = {"input_ids": jnp.zeros((2, 2, 10), jnp.int32),
+              "attention_mask": jnp.ones((2, 2, 10), jnp.int32)}
+    params = model.init(jax.random.PRNGKey(1), q, p_init)["params"]
+
+    encode = make_encode_fn(model, params, "passage_embs",
+                            dtype=jnp.float32)
+    embs, ids = encode_dataset(encode, ds, batch_size=8)
+    np.testing.assert_allclose(np.linalg.norm(embs, axis=-1), 1.0, atol=1e-5)
+
+    q_encode = make_encode_fn(model, params, "query_embs", dtype=jnp.float32)
+    qb = next(SequenceDataset({0: "query words", 1: "other query"}, tok,
+                              max_length=6, is_query=True).batches(2))
+    import jax.numpy as jnp2
+    q_embs = np.asarray(q_encode(qb.tokens))
+    index = FlatIPIndex.build(embs, ids, dtype=jnp2.float32, block_rows=32,
+                              precision="highest")
+    _, got = index.search(q_embs, k=5)
+    # oracle: cosine ranking of the raw (already unit) embeddings
+    cos = q_embs @ embs.T / (
+        np.linalg.norm(q_embs, axis=1, keepdims=True)
+        * np.linalg.norm(embs, axis=1)[None, :])
+    want = ids[np.argsort(-cos, axis=1, kind="stable")[:, :5]]
+    np.testing.assert_array_equal(got, want)
