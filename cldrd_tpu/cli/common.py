@@ -57,7 +57,7 @@ def model_config_from_args(args: argparse.Namespace) -> DistilBertConfig:
     return cfg_cls(**full_kwargs)
 
 
-def add_model_args(p: argparse.ArgumentParser) -> None:
+def add_model_args(p: argparse.ArgumentParser, cosine: bool = True) -> None:
     p.add_argument("--arch", choices=("distilbert", "bert"),
                    default="distilbert",
                    help="encoder family: the reference's DistilBERT towers "
@@ -76,11 +76,15 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
                    help="one tower for queries and passages (reference --share_weights)")
     p.add_argument("--tokenizer", default="hash",
                    help="'hash' (hermetic) or an HF tokenizer name/path")
-    p.add_argument("--cosine", action="store_true", default=False,
-                   help="the checkpoint was trained with cosine scoring "
-                        "(--apply-cosine-similarity): L2-normalize every "
-                        "embedding at encode time so the IP index/search "
-                        "ranks by cosine, matching the training objective")
+    # CLIs that have no cosine-scoring code path (export, the cross-encoder
+    # teacher) opt out so argparse rejects the flag instead of silently
+    # accepting an inert --cosine
+    if cosine:
+        p.add_argument("--cosine", action="store_true", default=False,
+                       help="the checkpoint was trained with cosine scoring "
+                            "(--apply-cosine-similarity): L2-normalize every "
+                            "embedding at encode time so the IP index/search "
+                            "ranks by cosine, matching the training objective")
 
 
 def build_tokenizer(name: str, vocab_size: int = 30522):

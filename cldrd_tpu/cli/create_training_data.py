@@ -61,7 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default="bfloat16",
                    help="teacher compute dtype (float32 for bit-stable "
                         "scores across batch shapes, e.g. differential runs)")
-    add_model_args(p)
+    # cosine=False: the teacher is a cross-encoder — there is no embedding
+    # space to L2-normalize, so --cosine would be inert; reject it instead
+    add_model_args(p, cosine=False)
     return p
 
 

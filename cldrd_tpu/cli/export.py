@@ -46,7 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", required=True, help="output file or directory")
     p.add_argument("--format", choices=("reference", "hf"),
                    default="reference")
-    add_model_args(p)
+    # cosine=False: export is pure weight conversion — normalization is an
+    # encode-time behavior, not a stored weight; reject the inert flag
+    add_model_args(p, cosine=False)
     return p
 
 

@@ -81,6 +81,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     initialize_multihost()
     rank, nranks = host_shard()
     args = build_parser().parse_args(argv)
+    # --cosine (the retrieval CLIs' spelling) and --apply-cosine-similarity
+    # (the reference trainers' spelling) mean the same thing here; honor both
+    # so the flag is never silently inert
+    if getattr(args, "cosine", False):
+        args.apply_cosine_similarity = True
     cfg = config_from_args(args)
     model_config = model_config_from_args(args)
     tokenizer = build_tokenizer(args.tokenizer, vocab_size=model_config.vocab_size)

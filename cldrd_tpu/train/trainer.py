@@ -407,8 +407,6 @@ class Trainer:
             cfg.loss, cfg.label_mode, self.mesh.devices.size,
         )
 
-        from cldrd_tpu.data.prefetch import prefetch
-
         # the packed layout is a COLLATION property: reconcile the dataset
         # with the config here, otherwise a cfg.pack_passages=True run over
         # a flat-collating dataset dies mid-loop with an opaque pjit
@@ -444,7 +442,13 @@ class Trainer:
             )
         finally:
             if install_handler:
-                signal.signal(signal.SIGTERM, prev_handler)
+                # signal.signal() returns None when the previous handler was
+                # installed outside Python (e.g. by an embedding runtime);
+                # passing None back raises TypeError — restore the default
+                signal.signal(
+                    signal.SIGTERM,
+                    prev_handler if prev_handler is not None else signal.SIG_DFL,
+                )
 
     def _train_loop(
         self, cfg, dataset, state, step_jit, base_rng, global_step,
@@ -510,15 +514,19 @@ class Trainer:
                             self._tb.add_scalar(tag, val, global_step)
                     loss_m.reset(), mrr_m.reset(), recall_m.reset()
 
+                saved_path = None
                 if global_step % cfg.evaluate_steps == 0:
                     # metrics were flushed (and finite-checked) above, so a
                     # NaN-corrupted state is never persisted under
                     # nan_policy='raise'
-                    save_checkpoint(state, self.run_dir, global_step)
+                    saved_path = save_checkpoint(state, self.run_dir, global_step)
 
                 if preempt.is_set():
                     flush_pending()
-                    path = save_checkpoint(state, self.run_dir, global_step)
+                    # the periodic save above may have just written this very
+                    # step — don't write the identical checkpoint twice
+                    path = saved_path or save_checkpoint(
+                        state, self.run_dir, global_step)
                     logger.warning(
                         "preempted at step %d: checkpoint saved to %s; "
                         "relaunch with resume=%r to continue at the exact "
