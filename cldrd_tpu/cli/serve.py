@@ -84,6 +84,19 @@ from .common import (
 logger = logging.getLogger("cldrd_tpu.cli.serve")
 
 
+class ServiceOverloaded(RuntimeError):
+    """The micro-batcher's pending queue is full: the caller should back
+    off and retry (mapped to HTTP 503 + Retry-After by the handler).
+    Bounds memory under burst — without a cap, a burst of slow rerank_k
+    requests can grow the pending-group queue without limit."""
+
+    def __init__(self, depth: int, retry_after_s: int = 1):
+        super().__init__(
+            f"service overloaded: {depth} requests already pending "
+            f"(--max-pending); retry after {retry_after_s}s")
+        self.retry_after_s = retry_after_s
+
+
 class _Pending:
     """One enqueued request awaiting the batching worker."""
 
@@ -161,7 +174,8 @@ class SearchService:
                  passage_max_length: int = 256,
                  index_loader=None,
                  reranker: Optional[Reranker] = None,
-                 docstore=None):
+                 docstore=None,
+                 max_pending: int = 256):
         self.tokenizer = tokenizer
         self.encode_fn = encode_fn
         self.index = index
@@ -182,9 +196,13 @@ class SearchService:
         self.passage_max_length = passage_max_length
         self.dynamic_batching = dynamic_batching
         self.max_batch_wait_ms = max_batch_wait_ms
+        # backpressure: reject (503) rather than queue beyond this many
+        # pending requests — the device drains at a bounded rate, so an
+        # unbounded queue converts a burst into unbounded memory + latency
+        self.max_pending = int(max_pending)
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "queries": 0, "device_batches": 0,
-                      "reranked_queries": 0}
+                      "reranked_queries": 0, "rejected_overload": 0}
         # guards stats increments (handler threads race) and the
         # enqueue-vs-close ordering: enqueues hold it, and close() swaps
         # _worker to None under it BEFORE posting the shutdown sentinel, so
@@ -336,9 +354,14 @@ class SearchService:
             return []
         t0 = time.perf_counter()
         with self._state_lock:
+            worker = self._worker
+            if worker is not None and self._queue.qsize() >= self.max_pending:
+                # reject BEFORE enqueuing (and before counting the request
+                # as accepted): the queue depth stays bounded under burst
+                self.stats["rejected_overload"] += 1
+                raise ServiceOverloaded(self._queue.qsize())
             self.stats["requests"] += 1
             self.stats["queries"] += len(texts)
-            worker = self._worker
             if worker is not None:
                 pending = _Pending(texts, fetch_k, exclude)
                 self._queue.put(pending)
@@ -555,11 +578,14 @@ class SearchService:
 class _Handler(BaseHTTPRequestHandler):
     service: SearchService = None  # set by serve()
 
-    def _reply(self, code: int, payload: dict) -> None:
+    def _reply(self, code: int, payload: dict,
+               headers: Optional[dict] = None) -> None:
         body = json.dumps(payload).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        for name, value in (headers or {}).items():
+            self.send_header(name, value)
         self.end_headers()
         self.wfile.write(body)
 
@@ -631,6 +657,11 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(400, {"error": str(e)})
         except NotImplementedError as e:
             self._reply(400, {"error": str(e)})
+        except ServiceOverloaded as e:
+            # backpressure: the pending queue is full — tell the client
+            # when to come back instead of queueing without bound
+            self._reply(503, {"error": str(e)},
+                        headers={"Retry-After": str(e.retry_after_s)})
         except RuntimeError as e:
             # e.g. the device-worker wait timed out: the client gets a
             # status-coded JSON error, not a dropped connection
@@ -710,6 +741,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "before launching a pass")
     p.add_argument("--no-dynamic-batching", action="store_true",
                    help="process each request in its own device pass")
+    p.add_argument("--max-pending", type=int, default=256,
+                   help="backpressure: reject requests with 503 + "
+                        "Retry-After once this many are already queued "
+                        "for the device worker (bounds queue memory and "
+                        "tail latency under burst)")
     p.add_argument("--precision", default="default",
                    choices=("default", "high", "highest"))
     add_model_args(p)
@@ -831,6 +867,7 @@ def make_service(args) -> SearchService:
         index_loader=index_loader,
         reranker=reranker,
         docstore=docstore,
+        max_pending=args.max_pending,
     )
 
 

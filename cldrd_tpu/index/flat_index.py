@@ -398,6 +398,7 @@ class FlatIPIndex(HostIdCacheMixin):
 
     def range_search(
         self, queries, radius: float, k_start: int = 1024,
+        max_passes: Optional[int] = 8,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """All hits with inner product STRICTLY above ``radius`` (FAISS
         ``range_search`` IP semantics), exact, returned in FAISS's CSR
@@ -411,18 +412,34 @@ class FlatIPIndex(HostIdCacheMixin):
         executable, reused across calls) until every query's k-th score has
         fallen to ``radius`` or the corpus is exhausted, then filters
         host-side. Queries whose hit count is <= ``k_start`` (the common
-        case for a sane radius) pay exactly one search."""
+        case for a sane radius) pay exactly one search.
+
+        ``max_passes`` bounds the worst case: a radius below the corpus
+        minimum would otherwise pay log2(N/k_start) full searches — a ~10x
+        latency surprise in a service. After ``max_passes`` doublings
+        (default 8 => depth 256*k_start) the search RAISES rather than
+        silently truncating, naming the offending radius; pass
+        ``max_passes=None`` for the unbounded FAISS-exhaustive behavior."""
         q = np.asarray(queries)
         n_rows = len(self._host_ids())  # padded size; -inf beyond corpus
         k = min(max(int(k_start), 1), n_rows)
+        passes = 0
         while True:
             scores, ids = self.search(q, k)
+            passes += 1
             valid = ids >= 0
             # deeper hits are possible only if some query's k-th kept slot
             # is a real row still scoring above radius
             if k >= n_rows or not np.any(valid[:, -1] &
                                          (scores[:, -1] > radius)):
                 break
+            if max_passes is not None and passes >= max_passes:
+                raise RuntimeError(
+                    f"range_search(radius={radius!r}) still unsaturated "
+                    f"after {passes} passes (depth {k} of {n_rows} rows): "
+                    f"the radius matches a large fraction of the corpus. "
+                    f"Raise k_start, raise max_passes, or pass "
+                    f"max_passes=None to search exhaustively.")
             k = min(k * 2, n_rows)
         keep = valid & (scores > radius)
         counts = keep.sum(axis=1)

@@ -1353,3 +1353,72 @@ def test_cli_serve_rejects_rerank_without_reranker(corpus_files, tmp_path):
         svc.search(["q"], 2, rerank_k=4)
     with pytest.raises(ValueError, match="--reranker"):
         svc.rerank("q", ["p"], 1)
+
+
+def test_serve_backpressure_rejects_burst():
+    """Once max_pending requests are queued for the device worker, further
+    searches fail fast with ServiceOverloaded (mapped to 503 + Retry-After
+    by the HTTP layer) instead of growing the queue without bound — and
+    the queued requests all still complete."""
+    import threading
+    import time as _time
+
+    from cldrd_tpu.cli.serve import SearchService, ServiceOverloaded
+
+    release = threading.Event()
+
+    class SlowIndex:
+        n_vectors, dim = 8, 4
+
+        def search(self, embs, k):
+            release.wait(timeout=30)  # hold the device "busy" until told
+            n = np.asarray(embs).shape[0]
+            ids = np.tile(np.arange(k), (n, 1))
+            return np.zeros((n, k), np.float32), ids
+
+    def fake_tokenizer(texts, max_length, **kw):
+        n = len(texts)
+        return {"input_ids": np.ones((n, max_length), np.int32),
+                "attention_mask": np.ones((n, max_length), np.int32)}
+
+    fake_encode = lambda tokens: np.zeros(  # noqa: E731
+        (tokens["input_ids"].shape[0], 4), np.float32)
+
+    svc = SearchService(fake_tokenizer, fake_encode, SlowIndex(), 8,
+                        encode_batch=1, default_k=5, dynamic_batching=True,
+                        max_batch_wait_ms=0.0, max_pending=4)
+    outcomes = []
+
+    def one(i):
+        try:
+            r = svc.search([f"q{i}"], 5)
+            outcomes.append(("ok", len(r)))
+        except ServiceOverloaded:
+            outcomes.append(("overloaded", None))
+        except Exception as e:  # noqa: BLE001
+            outcomes.append(("err", type(e).__name__))
+
+    try:
+        # burst 12 requests at a stalled device: the worker takes 1, up to
+        # max_pending=4 queue, the rest must be rejected immediately
+        threads = [threading.Thread(target=one, args=(i,)) for i in range(12)]
+        for t in threads:
+            t.start()
+        deadline = _time.time() + 10
+        while (sum(1 for o in outcomes if o[0] == "overloaded") < 12 - 4 - 1
+               and _time.time() < deadline):
+            _time.sleep(0.01)
+        release.set()
+        for t in threads:
+            t.join(timeout=30)
+        assert not any(t.is_alive() for t in threads), "a request hung"
+    finally:
+        release.set()
+        svc.close()
+    ok = sum(1 for o in outcomes if o[0] == "ok")
+    overloaded = sum(1 for o in outcomes if o[0] == "overloaded")
+    assert not any(o[0] == "err" for o in outcomes), outcomes
+    assert overloaded >= 12 - 4 - 2, outcomes  # most of the burst rejected
+    assert ok + overloaded == 12
+    assert ok >= 1  # accepted requests all completed
+    assert svc.stats["rejected_overload"] == overloaded

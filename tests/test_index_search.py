@@ -1415,15 +1415,36 @@ def test_range_search_matches_numpy_oracle(corpus):
 
 def test_range_search_deepens_past_k_start(corpus):
     """A radius below every score forces the doubling loop to the full
-    corpus: every valid row must come back for every query."""
+    corpus: every valid row must come back for every query (max_passes=None
+    opts into the FAISS-exhaustive behavior)."""
     q, c, ids = corpus
     index = FlatIPIndex.build(c, ids, mesh=None, dtype=jnp.float32,
                               block_rows=512, precision="highest")
-    lims, scores, got_ids = index.range_search(q[:2], -1e9, k_start=16)
+    lims, scores, got_ids = index.range_search(q[:2], -1e9, k_start=16,
+                                               max_passes=None)
     assert lims[-1] == 2 * len(ids)
     for qi in range(2):
         assert set(got_ids[lims[qi]:lims[qi + 1]].tolist()) == set(
             ids.tolist())
+
+
+def test_range_search_bounded_worst_case(corpus):
+    """A pathological radius costs a BOUNDED number of passes by default:
+    after max_passes doublings the search raises loudly instead of silently
+    re-searching the corpus log2(N/k_start) times."""
+    q, c, ids = corpus
+    index = FlatIPIndex.build(c, ids, mesh=None, dtype=jnp.float32,
+                              block_rows=512, precision="highest")
+    with pytest.raises(RuntimeError, match="unsaturated after 3 passes"):
+        index.range_search(q[:2], -1e9, k_start=16, max_passes=3)
+    # a sane radius under the same cap still completes in one pass
+    radius = float(np.quantile(q @ c.T, 0.999))
+    lims, scores, got_ids = index.range_search(q, radius, k_start=64,
+                                               max_passes=3)
+    want = _numpy_range_search(q, c, ids, radius)
+    for qi, (ws, wi) in enumerate(want):
+        assert set(got_ids[lims[qi]:lims[qi + 1]].tolist()) == set(
+            wi.tolist())
 
 
 def test_range_search_no_hits(corpus):
