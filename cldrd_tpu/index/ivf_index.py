@@ -45,6 +45,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .flat_index import (
     HostIdCacheMixin,
@@ -62,7 +63,13 @@ from .pq import (
     train_pq,
     unpack_codes4,
 )
-from cldrd_tpu.search.mips import _PRECISIONS, NEG_INF, _block_scores
+from cldrd_tpu.parallel import CORPUS_AXIS
+from cldrd_tpu.search.mips import (
+    _PRECISIONS,
+    NEG_INF,
+    _block_scores,
+    _topk_with_payload,
+)
 
 IVF_META_NAME = "ivf_meta.json"
 
@@ -184,6 +191,184 @@ def _ivf_pq_search(
     return v, ids
 
 
+# ---------------------------------------------------------------------------
+# Mesh-sharded IVF search (FAISS multi-GPU shard+merge equivalence for the
+# approximate tiers: the reference shards ANY index type via
+# ``co.shard=True``, ``retriever/retrieval_utils.py:164-182``).
+#
+# Layout: buckets / bucket_ids / bucket_scales are row-sharded over the
+# mesh's corpus axis; CENTROIDS ARE REPLICATED (nlist x D fp32 is ~26 MB at
+# 8.8M-row scale — two orders below one bucket shard), as are PQ codebooks.
+# Every shard therefore computes the IDENTICAL global probe set — exactly
+# ``nprobe`` buckets probed GLOBALLY, the same recall accounting as the
+# single-device index and as FAISS's replicated coarse quantizer — then
+# gathers only the probed buckets it owns (out-of-shard probes are masked,
+# not fetched), takes a local top-k, and the [ndev, B, k] candidates
+# all-gather over ICI for the final payload-sort merge: the same merge
+# machinery as ``sharded_topk`` (search/mips.py). With
+# ``nprobe == n_real_buckets`` every row is visited on exactly one shard,
+# so the sharded search inherits the exactness invariant (tested on the
+# virtual 8-device mesh against the numpy oracle).
+
+
+def _local_probe_indices(probe, nb_local: int, axis_name: str):
+    """Global probe bucket indices -> (clamped local indices, owned mask)
+    for this shard. Pure arithmetic: shard s owns the contiguous bucket
+    range [s*nb_local, (s+1)*nb_local)."""
+    offset = jax.lax.axis_index(axis_name) * nb_local
+    local = probe - offset
+    valid = (local >= 0) & (local < nb_local)
+    return jnp.where(valid, local, 0), valid
+
+
+def _merge_topk_over_mesh(scores, cand_ids, k: int, axis_name: str):
+    """Local masked-score top-k -> ICI all-gather -> global payload-sort
+    merge; pads to k with (-inf, -1) when fewer candidates exist."""
+    b = scores.shape[0]
+    k_eff = min(k, scores.shape[1])
+    v, ai = jax.lax.top_k(scores, k_eff)
+    ids = jnp.take_along_axis(cand_ids, ai, axis=1)
+    all_v = jax.lax.all_gather(v, axis_name)        # [ndev, B, k_eff]
+    all_i = jax.lax.all_gather(ids, axis_name)
+    ndev = all_v.shape[0]
+    cand_v = jnp.transpose(all_v, (1, 0, 2)).reshape(b, ndev * k_eff)
+    cand_i = jnp.transpose(all_i, (1, 0, 2)).reshape(b, ndev * k_eff)
+    kk = min(k, ndev * k_eff)
+    top_v, top_i = _topk_with_payload(cand_v, cand_i, kk)
+    if kk < k:
+        top_v = jnp.concatenate(
+            [top_v, jnp.full((b, k - kk), NEG_INF, top_v.dtype)], axis=-1)
+        top_i = jnp.concatenate(
+            [top_i, jnp.full((b, k - kk), -1, top_i.dtype)], axis=-1)
+    return top_v, jnp.where(jnp.isfinite(top_v), top_i, -1)
+
+
+def _ivf_search_sharded(
+    q, centroids, buckets_flat, bucket_ids, bucket_scales,
+    k: int, nprobe: int, slot: int, precision: str, n_real: int,
+    mesh: Mesh, axis_name: str,
+):
+    """Mesh-sharded flat/int8 IVF search; see the block comment above."""
+    from jax import shard_map
+
+    def shard_fn(q, cents, bkts, bids, scs):
+        b, d = q.shape
+        nb_local = bkts.shape[0]
+        cs = _block_scores(q.astype(jnp.float32), cents[:n_real])
+        _, probe = jax.lax.top_k(cs, nprobe)            # [B, p] global
+        lidx, valid = _local_probe_indices(probe, nb_local, axis_name)
+        cand = jnp.take(bkts, lidx, axis=0)             # [B, p, slot*D]
+        if bkts.dtype == jnp.int8:
+            cand = cand.astype(
+                q.dtype if q.dtype != jnp.int8 else jnp.bfloat16)
+        cand = cand.reshape(b, nprobe * slot, d)
+        cand_ids = jnp.where(
+            valid[:, :, None], jnp.take(bids, lidx, axis=0), -1
+        ).reshape(b, nprobe * slot)
+        scores = jnp.einsum(
+            "bd,bnd->bn", q, cand,
+            preferred_element_type=jnp.float32,
+            precision=_PRECISIONS[precision],
+        )
+        if scs.shape[1]:
+            sc = jnp.take(scs, lidx, axis=0).reshape(b, nprobe * slot)
+            scores = scores * sc
+        scores = jnp.where(cand_ids >= 0, scores, NEG_INF)
+        return _merge_topk_over_mesh(scores, cand_ids, k, axis_name)
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(), P()), check_vma=False)
+    return fn(q, centroids, buckets_flat, bucket_ids, bucket_scales)
+
+
+def _ivf_pq_search_sharded(
+    q, q_lut, centroids, buckets_flat, bucket_ids, codebooks,
+    k: int, nprobe: int, slot: int, n_real: int,
+    mesh: Mesh, axis_name: str,
+):
+    """Mesh-sharded IVFPQ search: coarse matmul + LUT build replicate
+    (both depend only on the query and the replicated small arrays); only
+    the code gather + LUT scoring touch the sharded store."""
+    from jax import shard_map
+
+    def shard_fn(q, q_lut, cents, bkts, bids, cbs):
+        b, d = q.shape
+        m = cbs.shape[0]
+        nb_local = bkts.shape[0]
+        row_bytes = bkts.shape[1] // slot
+        q32 = q.astype(jnp.float32)
+        cs = _block_scores(q32, cents[:n_real])
+        base, probe = jax.lax.top_k(cs, nprobe)         # [B, p] x2
+        lidx, valid = _local_probe_indices(probe, nb_local, axis_name)
+        cand = jnp.take(bkts, lidx, axis=0).reshape(
+            b, nprobe * slot, row_bytes)
+        if row_bytes == m:
+            cand_codes = cand.astype(jnp.int32)
+        else:                           # 4-bit: two codes per byte
+            cand_codes = unpack_codes4(cand, xp=jnp)
+        cand_ids = jnp.where(
+            valid[:, :, None], jnp.take(bids, lidx, axis=0), -1
+        ).reshape(b, nprobe * slot)
+        lut = pq_lut(q_lut.astype(jnp.float32), cbs)    # [B, m, n_codes]
+        scores = pq_scores_from_codes(cand_codes, lut)
+        scores = scores + jnp.repeat(base, slot, axis=1)
+        scores = jnp.where(cand_ids >= 0, scores, NEG_INF)
+        return _merge_topk_over_mesh(scores, cand_ids, k, axis_name)
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis_name), P(axis_name), P()),
+        out_specs=(P(), P()), check_vma=False)
+    return fn(q, q_lut, centroids, buckets_flat, bucket_ids, codebooks)
+
+
+def _place_bucket_store(
+    mat_flat: np.ndarray, bids: np.ndarray, scs, cents: np.ndarray,
+    bcl, store_dtype, slot: int, mesh: Optional[Mesh], axis_name: str,
+):
+    """Device-place the host bucket store: unsharded (mesh None), or pad
+    the bucket count to the mesh size and row-shard buckets/ids/scales
+    while replicating centroids. The ONE placement used by build() and
+    load(). Returns (buckets, bucket_ids, scales, centroids, bcl, n_real);
+    pad buckets carry zero rows, ids -1, scales 1, zero centroids, and
+    cluster -1 — and are additionally masked out of probe selection by the
+    static ``n_real`` slice (a zero centroid could otherwise win a probe
+    slot on all-negative coarse scores)."""
+    nb = mat_flat.shape[0]
+    int8 = scs is not None
+    if mesh is None:
+        buckets = jnp.asarray(mat_flat, dtype=store_dtype)
+        return (buckets, jnp.asarray(bids),
+                jnp.asarray(scs) if int8 else None,
+                jnp.asarray(cents, jnp.float32), bcl, nb)
+    ndev = mesh.devices.size
+    nb_pad = -(-max(nb, 1) // ndev) * ndev
+    if nb_pad != nb:
+        pad = nb_pad - nb
+        mat_flat = np.concatenate(
+            [mat_flat, np.zeros((pad, mat_flat.shape[1]), mat_flat.dtype)])
+        bids = np.concatenate([bids, np.full((pad, slot), -1, np.int32)])
+        if int8:
+            scs = np.concatenate([scs, np.ones((pad, slot), np.float32)])
+        cents = np.concatenate(
+            [cents, np.zeros((pad, cents.shape[1]), cents.dtype)])
+        if bcl is not None:
+            bcl = np.concatenate([bcl, np.full((pad,), -1, np.int32)])
+    sh = NamedSharding(mesh, P(axis_name))
+    rep = NamedSharding(mesh, P())
+    buckets = jax.device_put(mat_flat, sh)
+    if (mat_flat.dtype == np.float32
+            and jnp.dtype(store_dtype) != jnp.float32):
+        # float stores stage fp32 on host; cast to the HBM dtype on device
+        buckets = jax.jit(
+            lambda x: x.astype(store_dtype), out_shardings=sh)(buckets)
+    scales = jax.device_put(scs, sh) if int8 else None
+    return (buckets, jax.device_put(bids, sh), scales,
+            jax.device_put(cents.astype(np.float32), rep), bcl, nb)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_rows(buf, idx, rows):
     """In-place (donated) row scatter for live adds — the bucket matrix is
@@ -211,6 +396,12 @@ class IVFIndex(HostIdCacheMixin):
                                 # PQ mode — buckets hold uint8 residual codes
     opq_rotation: Optional[jax.Array] = None  # [D, D] fp32 orthogonal:
                                 # codes quantize ROTATED residuals (OPQ)
+    mesh: Optional[Mesh] = None  # row-shard buckets over this mesh's
+                                # axis_name (FAISS co.shard=True equivalence)
+    axis_name: str = CORPUS_AXIS
+    n_real_buckets: Optional[int] = None  # non-pad bucket count (sharded
+                                # stores pad nb to the mesh size); None =
+                                # all buckets are real
 
     @property
     def dim(self) -> int:
@@ -219,6 +410,12 @@ class IVFIndex(HostIdCacheMixin):
     @property
     def n_buckets(self) -> int:
         return self.centroids.shape[0]
+
+    @property
+    def n_real(self) -> int:
+        """Buckets that hold (or held) data — excludes mesh-pad buckets."""
+        return (self.n_buckets if self.n_real_buckets is None
+                else self.n_real_buckets)
 
     @property
     def is_pq(self) -> bool:
@@ -255,6 +452,8 @@ class IVFIndex(HostIdCacheMixin):
         pq_m: Optional[int] = None,
         pq_bits: int = 4,
         opq: bool = False,
+        mesh: Optional[Mesh] = None,
+        axis_name: str = CORPUS_AXIS,
     ) -> "IVFIndex":
         """Train (or accept) ``nlist`` centroids, group rows into
         fixed-``slot`` buckets, device-put everything.
@@ -270,7 +469,12 @@ class IVFIndex(HostIdCacheMixin):
         (codes are the store). ``opq`` additionally learns an orthogonal
         pre-rotation (FAISS ``OPQMatrix``) that decorrelates sub-spaces
         before coding — lower distortion, same search cost (the rotation
-        rides the query at search time)."""
+        rides the query at search time).
+
+        ``mesh`` row-shards the bucket store over ``axis_name`` (FAISS
+        multi-GPU ``co.shard=True`` applied to the IVF tiers,
+        ``retrieval_utils.py:164-182``); centroids/codebooks replicate.
+        See the sharded-search block comment above ``_ivf_search_sharded``."""
         embeddings = np.asarray(embeddings, np.float32)
         n, d = embeddings.shape
         assert ids.shape == (n,)
@@ -347,24 +551,36 @@ class IVFIndex(HostIdCacheMixin):
                 bi += 1
         assert bi == nb, (bi, nb)
 
-        scales = jnp.asarray(scs) if int8 else None
-        dev_mat = jnp.asarray(
-            mat.reshape(nb, slot * row_w),
-            dtype=(jnp.uint8 if pq_m is not None
-                   else (jnp.int8 if int8 else dtype)))
+        store_dtype = (jnp.uint8 if pq_m is not None
+                       else (jnp.int8 if int8 else dtype))
+        dev_mat, dev_ids, scales, dev_cents, bcl, n_real = (
+            _place_bucket_store(
+                mat.reshape(nb, slot * row_w), bids,
+                scs if int8 else None, cents, bcl, store_dtype, slot,
+                mesh, axis_name))
+        rep = (NamedSharding(mesh, P()) if mesh is not None else None)
+
+        def _replicate(x):
+            if x is None:
+                return None
+            x = np.asarray(x, np.float32)
+            return (jax.device_put(x, rep) if rep is not None
+                    else jnp.asarray(x))
+
         return cls(
-            centroids=jnp.asarray(cents),
+            centroids=dev_cents,
             buckets=dev_mat,
-            bucket_ids=jnp.asarray(bids),
+            bucket_ids=dev_ids,
             slot=slot,
             nprobe=nprobe,
             precision=precision,
             bucket_scales=scales,
             bucket_cluster=bcl,
-            codebooks=(None if codebooks is None
-                       else jnp.asarray(codebooks, jnp.float32)),
-            opq_rotation=(None if rotation is None
-                          else jnp.asarray(rotation, jnp.float32)),
+            codebooks=_replicate(codebooks),
+            opq_rotation=_replicate(rotation),
+            mesh=mesh,
+            axis_name=axis_name,
+            n_real_buckets=n_real,
         )
 
     # ------------------------------------------------------------ search
@@ -402,8 +618,8 @@ class IVFIndex(HostIdCacheMixin):
         p = self.nprobe if nprobe is None else int(nprobe)
         if p < 1:
             raise ValueError(f"nprobe must be >= 1 (got {p})")
-        p = min(p, self.n_buckets)
-        if p * self.slot < k and p < self.n_buckets:
+        p = min(p, self.n_real)
+        if p * self.slot < k and p < self.n_real:
             raise ValueError(
                 f"nprobe*slot ({p}*{self.slot}) < k ({k}): raise nprobe "
                 "or build with a larger slot")
@@ -419,17 +635,36 @@ class IVFIndex(HostIdCacheMixin):
             # q . x == (q R) . (x R); the coarse term keeps plain q
             q_lut = (q if self.opq_rotation is None
                      else q @ self.opq_rotation)
-            v, ids = _ivf_pq_search(
-                q, q_lut, self.centroids, self.buckets, self.bucket_ids,
-                self.codebooks, k, p, self.slot,
-            )
+            if self.mesh is not None:
+                v, ids = _ivf_pq_search_sharded(
+                    q, q_lut, self.centroids, self.buckets,
+                    self.bucket_ids, self.codebooks, k, p, self.slot,
+                    self.n_real, self.mesh, self.axis_name,
+                )
+            else:
+                v, ids = _ivf_pq_search(
+                    q, q_lut, self.centroids, self.buckets,
+                    self.bucket_ids, self.codebooks, k, p, self.slot,
+                )
         else:
-            scales = (self.bucket_scales if self.bucket_scales is not None
-                      else jnp.zeros((self.n_buckets, 0), jnp.float32))
-            v, ids = _ivf_search(
-                q, self.centroids, self.buckets, self.bucket_ids, scales,
-                k, p, self.slot, self.precision,
-            )
+            scales = self.bucket_scales
+            if scales is None:
+                scales = jnp.zeros((self.n_buckets, 0), jnp.float32)
+                if self.mesh is not None:
+                    scales = jax.device_put(
+                        scales,
+                        NamedSharding(self.mesh, P(self.axis_name)))
+            if self.mesh is not None:
+                v, ids = _ivf_search_sharded(
+                    q, self.centroids, self.buckets, self.bucket_ids,
+                    scales, k, p, self.slot, self.precision, self.n_real,
+                    self.mesh, self.axis_name,
+                )
+            else:
+                v, ids = _ivf_search(
+                    q, self.centroids, self.buckets, self.bucket_ids,
+                    scales, k, p, self.slot, self.precision,
+                )
         return np.asarray(v)[:b], np.asarray(ids)[:b]
 
     # ------------------------------------------------------- live updates
@@ -445,6 +680,10 @@ class IVFIndex(HostIdCacheMixin):
         shape change, so the compiled search executable is reused. Only
         cluster overflow appends new buckets (shape change -> the next
         search recompiles)."""
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "add() on a sharded IVF index would redistribute shards; "
+                "rebuild with IVFIndex.build(mesh=...)")
         embeddings = np.asarray(embeddings, np.float32)
         n, d = embeddings.shape
         ids = np.asarray(ids)
@@ -568,6 +807,9 @@ class IVFIndex(HostIdCacheMixin):
     def remove(self, ids) -> "IVFIndex":
         """Tombstone matching rows (id -> -1); FAISS ``remove_ids``
         equivalence. Capacity within the bucket is reclaimable by add()."""
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "remove() on a sharded IVF index: rebuild instead")
         drop = np.asarray(sorted(set(int(i) for i in ids)), np.int64)
         _check_ids(drop)
         host = self._host_ids()
@@ -585,22 +827,25 @@ class IVFIndex(HostIdCacheMixin):
 
     def save(self, out_dir: str) -> None:
         os.makedirs(out_dir, exist_ok=True)
+        nr = self.n_real  # mesh-pad buckets never persist: a reload onto a
+        # different mesh size (or none) re-pads for ITS topology
         np.save(os.path.join(out_dir, "centroids.npy"),
-                np.asarray(self.centroids))
+                np.asarray(self.centroids)[:nr])
         # fetch once, in the dtype being written (a bf16 store otherwise
         # pays a full host copy that is immediately discarded); PQ codes
         # are the store — they persist verbatim as uint8
         store = (np.asarray(self.buckets)
                  if self.buckets.dtype in (jnp.int8, jnp.uint8)
                  else np.asarray(self.buckets.astype(jnp.float32)))
-        np.save(os.path.join(out_dir, "buckets.npy"), store)
-        np.save(os.path.join(out_dir, "bucket_ids.npy"), self._host_ids())
+        np.save(os.path.join(out_dir, "buckets.npy"), store[:nr])
+        np.save(os.path.join(out_dir, "bucket_ids.npy"),
+                self._host_ids()[:nr])
         if self.bucket_scales is not None:
             np.save(os.path.join(out_dir, "bucket_scales.npy"),
-                    np.asarray(self.bucket_scales))
+                    np.asarray(self.bucket_scales)[:nr])
         if self.bucket_cluster is not None:
             np.save(os.path.join(out_dir, "bucket_cluster.npy"),
-                    self.bucket_cluster.astype(np.int32))
+                    self.bucket_cluster.astype(np.int32)[:nr])
         if self.is_pq:
             np.save(os.path.join(out_dir, "pq_codebooks.npy"),
                     np.asarray(self.codebooks))
@@ -612,7 +857,7 @@ class IVFIndex(HostIdCacheMixin):
             "nprobe": int(self.nprobe),
             "precision": self.precision,
             "dim": int(self.dim),
-            "n_buckets": int(self.n_buckets),
+            "n_buckets": int(nr),
             "dtype": ("pq" if self.is_pq
                       else "int8" if store.dtype == np.int8
                       else "float32"),
@@ -627,7 +872,9 @@ class IVFIndex(HostIdCacheMixin):
             json.dump(meta, f, indent=2)
 
     @classmethod
-    def load(cls, out_dir: str, dtype=None, precision=None) -> "IVFIndex":
+    def load(cls, out_dir: str, dtype=None, precision=None,
+             mesh: Optional[Mesh] = None,
+             axis_name: str = CORPUS_AXIS) -> "IVFIndex":
         with open(os.path.join(out_dir, IVF_META_NAME)) as f:
             meta = json.load(f)
         cents = np.load(os.path.join(out_dir, "centroids.npy"))
@@ -642,50 +889,64 @@ class IVFIndex(HostIdCacheMixin):
         # A PQ store has exactly one on-device representation (uint8 codes
         # scored through fp32 LUTs): ``dtype`` requests are meaningless
         # and rejected rather than silently ignored.
+        host_scales = None
         if meta["dtype"] == "pq":
             if dtype is not None:
                 raise ValueError(
                     "this IVF store holds PQ codes; the HBM dtype is "
                     "fixed (uint8 codes, fp32 LUT scoring) — drop the "
                     "dtype request or rebuild without --pq-m")
-            codebooks = jnp.asarray(
-                np.load(os.path.join(out_dir, "pq_codebooks.npy")),
-                jnp.float32)
+            codebooks = np.load(os.path.join(out_dir, "pq_codebooks.npy"))
             rot_path = os.path.join(out_dir, "opq_rotation.npy")
             if os.path.isfile(rot_path):
-                rotation = jnp.asarray(np.load(rot_path), jnp.float32)
-            dev = jnp.asarray(buckets)  # uint8 codes, verbatim
+                rotation = np.load(rot_path)
+            store_dtype = jnp.uint8   # codes, verbatim
         elif meta["dtype"] == "int8":
             sc = np.load(os.path.join(out_dir, "bucket_scales.npy"))
             if jnp.dtype(dtype or jnp.bfloat16) == jnp.int8:
-                scales = jnp.asarray(sc)
-                dev = jnp.asarray(buckets)
+                host_scales = sc
+                store_dtype = jnp.int8
             else:
                 nb_, slot_ = sc.shape
-                deq = (buckets.reshape(nb_, slot_, meta["dim"])
-                       .astype(np.float32) * sc[:, :, None])
-                dev = jnp.asarray(deq.reshape(nb_, slot_ * meta["dim"]),
-                                  dtype=dtype or jnp.bfloat16)
+                buckets = (buckets.reshape(nb_, slot_, meta["dim"])
+                           .astype(np.float32) * sc[:, :, None]
+                           ).reshape(nb_, slot_ * meta["dim"])
+                store_dtype = jnp.dtype(dtype or jnp.bfloat16)
         else:
             if dtype is not None and jnp.dtype(dtype) == jnp.int8:
                 raise ValueError(
                     "int8 HBM requested but this IVF store is float "
                     "(a raw cast would destroy the rows); rebuild with "
                     "cldrd-index --store-dtype int8 --ivf-nlist N")
-            dev = jnp.asarray(buckets, dtype=dtype or jnp.bfloat16)
+            store_dtype = jnp.dtype(dtype or jnp.bfloat16)
         bcl_path = os.path.join(out_dir, "bucket_cluster.npy")
+        bcl = np.load(bcl_path) if os.path.isfile(bcl_path) else None
+        dev, dev_ids, scales, dev_cents, bcl, n_real = _place_bucket_store(
+            buckets, bids, host_scales, cents, bcl, store_dtype,
+            int(meta["slot"]), mesh, axis_name)
+        rep = NamedSharding(mesh, P()) if mesh is not None else None
+
+        def _replicate(x):
+            if x is None:
+                return None
+            x = np.asarray(x, np.float32)
+            return (jax.device_put(x, rep) if rep is not None
+                    else jnp.asarray(x))
+
         return cls(
-            centroids=jnp.asarray(cents),
+            centroids=dev_cents,
             buckets=dev,
-            bucket_ids=jnp.asarray(bids),
+            bucket_ids=dev_ids,
             slot=int(meta["slot"]),
             nprobe=int(meta["nprobe"]),
             precision=precision or meta.get("precision", "default"),
             bucket_scales=scales,
-            bucket_cluster=(np.load(bcl_path)
-                            if os.path.isfile(bcl_path) else None),
-            codebooks=codebooks,
-            opq_rotation=rotation,
+            bucket_cluster=bcl,
+            codebooks=_replicate(codebooks),
+            opq_rotation=_replicate(rotation),
+            mesh=mesh,
+            axis_name=axis_name,
+            n_real_buckets=n_real,
         )
 
 

@@ -377,3 +377,97 @@ def test_randomized_ivf_invariant_sweep():
         ei = ids_ext[order]
         assert (i[:, :k_eff] == ei).mean() > 0.9, case
         assert (i[:, k_eff:] == -1).all(), case
+
+
+class TestShardedIVF:
+    """Mesh-sharded IVF/IVFPQ (FAISS multi-GPU ``co.shard=True`` applied to
+    the approximate tiers, ``/root/reference/retriever/retrieval_utils.py:
+    164-182``): buckets row-shard over the corpus axis, centroids/codebooks
+    replicate, per-shard local top-k all-gathers over the mesh for the
+    payload-sort merge. Runs on the virtual 8-device CPU mesh."""
+
+    def _mesh(self):
+        from cldrd_tpu.parallel import CORPUS_AXIS, make_mesh
+        return make_mesh(8, CORPUS_AXIS)
+
+    def test_sharded_full_probe_is_exact_fp32(self):
+        corpus, ids, q = _random_corpus(n=4100, d=32, seed=7)
+        idx = IVFIndex.build(corpus, ids, nlist=23, slot=128,
+                             dtype=jnp.float32, precision="highest",
+                             kmeans_iters=4, seed=0, mesh=self._mesh())
+        assert idx.n_buckets % 8 == 0          # padded to the mesh
+        assert idx.n_real <= idx.n_buckets
+        v, got = idx.search(q, 10, nprobe=idx.n_real)
+        oracle = ids[np.argsort(-(q @ corpus.T), axis=1)[:, :10]]
+        np.testing.assert_array_equal(got, oracle)
+        np.testing.assert_allclose(
+            v, np.sort(q @ corpus.T, axis=1)[:, ::-1][:, :10], rtol=1e-6)
+
+    def test_sharded_matches_single_device_partial_probe(self):
+        # same build seed -> identical buckets; the probe set is identical
+        # (replicated centroids), so partial-probe results must agree
+        corpus, ids, q = _random_corpus(n=3000, d=48, seed=8)
+        kw = dict(nlist=16, slot=128, dtype=jnp.float32,
+                  precision="highest", kmeans_iters=4, seed=3)
+        single = IVFIndex.build(corpus, ids, **kw)
+        shard = IVFIndex.build(corpus, ids, mesh=self._mesh(), **kw)
+        for nprobe in (1, 3, 7):
+            v1, i1 = single.search(q, 15, nprobe=nprobe)
+            v2, i2 = shard.search(q, 15, nprobe=nprobe)
+            np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-6)
+            np.testing.assert_array_equal(i1, i2)
+
+    def test_sharded_int8_matches_single_device(self):
+        corpus, ids, q = _random_corpus(n=2500, d=32, seed=9)
+        kw = dict(nlist=12, slot=128, dtype=jnp.int8, kmeans_iters=4,
+                  seed=1)
+        single = IVFIndex.build(corpus, ids, **kw)
+        shard = IVFIndex.build(corpus, ids, mesh=self._mesh(), **kw)
+        v1, i1 = single.search(q, 20, nprobe=single.n_real)
+        v2, i2 = shard.search(q, 20, nprobe=shard.n_real)
+        np.testing.assert_allclose(v1, v2, rtol=1e-4, atol=1e-4)
+        assert (i1 == i2).mean() > 0.99  # near-tied int8 scores may swap
+
+    def test_sharded_pq_matches_single_device(self):
+        corpus, ids, q = _random_corpus(n=2000, d=32, seed=10)
+        for pq_kw in (dict(pq_m=8, pq_bits=8),
+                      dict(pq_m=8, pq_bits=4, opq=True)):
+            kw = dict(nlist=10, slot=128, kmeans_iters=4, seed=2, **pq_kw)
+            single = IVFIndex.build(corpus, ids, **kw)
+            shard = IVFIndex.build(corpus, ids, mesh=self._mesh(), **kw)
+            v1, i1 = single.search(q, 10, nprobe=4)
+            v2, i2 = shard.search(q, 10, nprobe=4)
+            np.testing.assert_allclose(v1, v2, rtol=1e-4, atol=1e-4)
+            assert (i1 == i2).mean() > 0.99, pq_kw
+
+    def test_sharded_persistence_roundtrip(self, tmp_path):
+        # save strips mesh padding; load onto a mesh re-pads for ITS size
+        corpus, ids, q = _random_corpus(n=1500, d=32, seed=11)
+        mesh = self._mesh()
+        idx = IVFIndex.build(corpus, ids, nlist=9, slot=128,
+                             dtype=jnp.float32, kmeans_iters=4, seed=0,
+                             mesh=mesh)
+        idx.save(str(tmp_path))
+        meta = __import__("json").load(open(tmp_path / "ivf_meta.json"))
+        assert meta["n_buckets"] == idx.n_real  # pads not persisted
+        back_single = IVFIndex.load(str(tmp_path), dtype=jnp.float32)
+        back_shard = IVFIndex.load(str(tmp_path), dtype=jnp.float32,
+                                   mesh=mesh)
+        assert back_single.n_real == back_single.n_buckets == idx.n_real
+        v0, i0 = idx.search(q, 12, nprobe=5)
+        v1, i1 = back_single.search(q, 12, nprobe=5)
+        v2, i2 = back_shard.search(q, 12, nprobe=5)
+        np.testing.assert_allclose(v0, v1, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(v0, v2, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(i0, i2)
+
+    def test_sharded_add_remove_raise(self):
+        corpus, ids, _ = _random_corpus(n=600, d=16, seed=12)
+        idx = IVFIndex.build(corpus, ids, nlist=4, slot=128,
+                             dtype=jnp.float32, kmeans_iters=3, seed=0,
+                             mesh=self._mesh())
+        with pytest.raises(NotImplementedError):
+            idx.add(corpus[:2], np.asarray([990001, 990002]))
+        with pytest.raises(NotImplementedError):
+            idx.remove([int(ids[0])])
