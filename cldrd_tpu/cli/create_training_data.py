@@ -16,6 +16,7 @@ import sys
 from typing import List, Optional
 
 import jax.numpy as jnp
+import numpy as np
 
 from cldrd_tpu.data import build_curriculum_files, rerank_candidates_with_teacher
 from cldrd_tpu.data.loaders import load_passages, load_queries
@@ -35,6 +36,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--passages", required=True)
     p.add_argument("--teacher-checkpoint", default=None,
                    help="cross-encoder teacher weights (.msgpack or HF torch)")
+    p.add_argument("--teacher-oracle-qrels", default=None,
+                   help="ORACLE teacher: score candidates by graded qrels "
+                        "relevance (+ --teacher-noise) instead of a "
+                        "cross-encoder. For synthetic distillation "
+                        "experiments and for building curriculum files "
+                        "when complete graded judgments exist — the "
+                        "reference's MiniLM teacher is a download this "
+                        "hermetic environment cannot make (BASELINE.md)")
+    p.add_argument("--teacher-noise", type=float, default=0.0,
+                   help="stddev of Gaussian noise added to oracle grades "
+                        "(models an imperfect teacher; 0 = exact oracle)")
     p.add_argument("--teacher-arch", choices=("distilbert", "bert"),
                    default="distilbert",
                    help="'bert' = the reference teacher's family "
@@ -109,10 +121,49 @@ def reconcile_teacher_arch(args) -> None:
     args.arch = args.teacher_arch
 
 
+def oracle_scored(ranklists, qrels_path: str, noise: float, seed: int):
+    """Teacher scores from graded qrels: grade + N(0, noise), with a tiny
+    retrieval-rank decrement so noise=0 stays deterministic (ties resolve
+    in retrieval order, as a teacher that agrees with the retriever on
+    indistinguishable candidates would)."""
+    from cldrd_tpu.evaluation import load_qrels
+
+    qrels = load_qrels(qrels_path)
+    rng = np.random.default_rng(seed)
+    out = {}
+    for qid, pids in ranklists.items():
+        grades = qrels.get(int(qid), {})
+        scored = [
+            (int(pid),
+             float(grades.get(int(pid), 0.0))
+             + (float(rng.normal(0.0, noise)) if noise > 0 else 0.0)
+             - rank * 1e-6)
+            for rank, pid in enumerate(pids)
+        ]
+        scored.sort(key=lambda t: -t[1])
+        out[int(qid)] = scored
+    return out
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     setup_logging()
     args = build_parser().parse_args(argv)
     reconcile_teacher_arch(args)
+    if args.teacher_oracle_qrels:
+        if args.teacher_checkpoint:
+            raise SystemExit("--teacher-oracle-qrels and "
+                             "--teacher-checkpoint are mutually exclusive")
+        ranklists = load_run_ranklists(args.candidates_run)
+        logger.info("oracle-scoring %d queries from %s (noise %.3g) ...",
+                    len(ranklists), args.teacher_oracle_qrels,
+                    args.teacher_noise)
+        qid_to_scored = oracle_scored(
+            ranklists, args.teacher_oracle_qrels, args.teacher_noise,
+            args.seed)
+        paths = build_curriculum_files(qid_to_scored, args.out_prefix,
+                                       seed=args.seed)
+        print(json.dumps(paths, indent=2))
+        return 0
     if args.teacher_arch == "bert":
         from cldrd_tpu.models import BertConfig
 

@@ -602,8 +602,9 @@ class IVFIndex(HostIdCacheMixin):
         """queries [B, D] -> (scores [B, k] fp32, external ids [B, k];
         -1 fills ranks beyond the probed rows).
 
-        ``nprobe`` clamps to ``n_buckets`` (at which point the search is
-        EXACT — every bucket is visited).
+        ``nprobe`` clamps to ``n_real`` (at which point the search is
+        EXACT — every data-carrying bucket is visited — on one device or
+        sharded over a mesh alike).
 
         The query batch pads to the next power of two (>= 8) by
         replicating the first row: the dynamic micro-batcher in
