@@ -58,6 +58,10 @@ python -m cldrd_tpu.cli.index \
 #    (reference: retriever/retrieve_top_passages.py).
 #    bf16 HBM + default MXU precision is the production configuration; add
 #    --hbm-dtype float32 --precision highest for FAISS-fp32-parity scoring.
+#    HBM_DTYPE=int8 selects the single-chip full-corpus configuration
+#    (per-row-scaled int8 codes, 6.8 GB: the WHOLE 8.8M collection on ONE
+#    chip at >5k QPS — bench.py's north-star workload; recall cost of the
+#    int8 store measured in examples/quantization_study.py).
 python -m cldrd_tpu.cli.retrieve \
   --index "$OUT/index" \
   --queries "$DATA_DIR/queries.dev.small.tsv" \
@@ -65,6 +69,7 @@ python -m cldrd_tpu.cli.retrieve \
   --tokenizer "$TOKENIZER" \
   --run "$OUT/dev.run.tsv" \
   --max-length 30 --topk "$TOPK" \
+  --hbm-dtype "${HBM_DTYPE:-bfloat16}" \
   --encode-batch-size 512 --search-batch-size 512
 
 # 3. Metrics (reference: evaluation/retrieval_evaluator.py CLI main).
@@ -75,3 +80,36 @@ python -m cldrd_tpu.cli.evaluate \
   --qrels "$DATA_DIR/qrels.dev.small.tsv" \
   --run "$OUT/dev.run.tsv" \
   --per-query "$OUT/dev.per_query.csv" | tee "$OUT/metrics.json"
+
+# 4. OPTIONAL: the full 3-iteration curriculum from the TAS-B init
+#    (reference: trainer/multistep-curriculum/nway_listwise_{1,2,3}.py +
+#    README.md:14-31), producing the checkpoint that step 1 consumes.
+#    Runs only when the teacher bucket files are mounted; per-iteration
+#    dev-set retrieval eval (--eval-*) writes curriculum_eval.tsv — the
+#    between-stage quality curve (BASELINE configs 4/5). The same arms-
+#    and-checks protocol is demonstrated hermetically end-to-end by
+#    examples/distill_experiment.py.
+TRAIN_DIR="${TRAIN_DIR:-$DATA_DIR/train}"
+TASB="${TASB:-/data/tas-b/distilbert-dot-tas_b-b256-msmarco}"
+if [ -f "$TRAIN_DIR/5relT_25neg.train.json" ] \
+   && [ -f "$TRAIN_DIR/10relT_20neg.train.json" ] \
+   && [ -f "$TRAIN_DIR/20relT_10neg.train.json" ] && [ -e "$TASB" ]; then
+  python -m cldrd_tpu.cli.curriculum \
+    --queries "$DATA_DIR/queries.train.tsv" \
+    --passages "$DATA_DIR/collection.tsv" \
+    --training-paths "$TRAIN_DIR/5relT_25neg.train.json" \
+                     "$TRAIN_DIR/10relT_20neg.train.json" \
+                     "$TRAIN_DIR/20relT_10neg.train.json" \
+    --label-modes 8 9 10 \
+    --learning-rates 7e-6 3e-6 3e-6 \
+    --epochs 4 2 2 \
+    --model-checkpoint "$TASB" \
+    --tokenizer "$TOKENIZER" \
+    --run-folder "$OUT/curriculum" \
+    --eval-queries "$DATA_DIR/queries.dev.small.tsv" \
+    --eval-qrels "$DATA_DIR/qrels.dev.small.tsv" \
+    --eval-topk "$TOPK" --eval-batch-size 512
+else
+  echo "curriculum training inputs absent (TRAIN_DIR=$TRAIN_DIR, TASB=$TASB)"
+  echo "— skipped; steps 1-3 reproduced retrieval from the provided CKPT."
+fi
