@@ -323,14 +323,21 @@ def run(out_dir: str, n_q: int = 128, n_passages: int = 50_000,
     # 7. verdicts. nDCG@10 and Recall (all 3 planted positives) are the
     #    separating metrics: both arms rank the LABELED positive first, but
     #    only the distilled arm retrieves the planted false negatives.
+    #    'improves_over_iterations': every curriculum iteration beats the
+    #    pre-distillation baseline (iter0) and the arm does not decay
+    #    within the curriculum (the gain typically lands at iteration 1
+    #    and plateaus — a plateau is a pass, a slide back toward iter0 is
+    #    not). 'beats_control': the same-budget binary-label arm loses on
+    #    BOTH metrics.
     met = "nDCG@10"
     rec = next(c for c in results["distill"][0] if c.startswith("Recall@"))
     d_first, d_final = results["distill"][0], results["distill"][-1]
     c_final = results["control"][-1]
     checks = {
         "improves_over_iterations": (
-            d_final[met] >= d_first[met] - 1e-9
-            and d_final[met] > iter0[met]
+            all(r[met] > iter0[met] for r in results["distill"])
+            and d_final[rec] > iter0[rec]
+            and d_final[met] >= d_first[met] - 0.02
         ),
         "beats_control": (
             d_final[met] > c_final[met] and d_final[rec] > c_final[rec]
