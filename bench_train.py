@@ -64,7 +64,8 @@ def train_step_flops(cfg, bz: int, remat: bool, remat_policy: str = "full") -> f
 
 
 def bench_batch_size(bz: int, remat: bool = False,
-                     remat_policy: str = "full") -> dict:
+                     remat_policy: str = "full",
+                     fused_qkv: bool = False) -> dict:
     from cldrd_tpu.models import DistilBertConfig
     from cldrd_tpu.parallel import DATA_AXIS, make_mesh
     from cldrd_tpu.train import TrainConfig, Trainer, make_train_step
@@ -82,7 +83,8 @@ def bench_batch_size(bz: int, remat: bool = False,
         run_folder="/tmp/cldrd_bench_train",
         experiment_name=f"bz{bz}",
     )
-    model_cfg = DistilBertConfig(remat_policy=remat_policy)  # real 66M arch
+    model_cfg = DistilBertConfig(remat_policy=remat_policy,
+                                 fused_qkv=fused_qkv)  # real 66M arch
     mesh = make_mesh(1, DATA_AXIS)
     trainer = Trainer(cfg, model_cfg, mesh=mesh)
     total_steps = 10_000
@@ -137,6 +139,8 @@ def bench_batch_size(bz: int, remat: bool = False,
     tag = "_remat" if remat else ""
     if remat and remat_policy != "full":
         tag += f"_{remat_policy}"
+    if fused_qkv:
+        tag += "_fusedqkv"
     return {
         "metric": f"train_step_examples_per_s_bz{bz}{tag}_nway30_q30_p256",
         "value": round(ex_per_s, 2),

@@ -53,6 +53,13 @@ class DistilBertConfig:
     initializer_range: float = 0.02
     # 'xla' = einsum attention (XLA fuses); 'pallas' = fused Pallas kernel.
     attention_impl: str = "xla"
+    # compute q/k/v in ONE [D, 3D] matmul (the three projection kernels
+    # concatenate at apply time; the param tree and per-output numerics are
+    # unchanged — each output column still reduces over the same D inputs).
+    # Fewer, wider MXU dispatches on the hot tower; measured in
+    # bench_train.py. cls_only final blocks keep split projections (q is
+    # 1 row there — fusing would compute q for all L rows).
+    fused_qkv: bool = False
     # rematerialize each transformer block in the backward pass
     # (jax.checkpoint): trades ~1/3 more FLOPs for O(layers) less activation
     # memory — enables large nway*batch training shapes (e.g. bz=32, nway=30,
@@ -156,6 +163,28 @@ class Embeddings(nn.Module):
         return hidden
 
 
+class _ProjParams(nn.Module):
+    """Parameter container with nn.Dense's exact {kernel, bias} tree, for
+    projections whose matmul is fused OUTSIDE the module (fused_qkv)."""
+
+    in_features: int
+    features: int
+    initializer_range: float
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.normal(self.initializer_range),
+            (self.in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
 class MultiHeadSelfAttention(nn.Module):
     config: DistilBertConfig
     dtype: Dtype = jnp.float32
@@ -190,9 +219,28 @@ class MultiHeadSelfAttention(nn.Module):
         )
         q_in = hidden[:, :1, :] if cls_only else hidden
         q_len = q_in.shape[1]
-        q = dense("q_lin")(q_in).reshape(bsz, q_len, cfg.n_heads, head_dim)
-        k = dense("k_lin")(hidden).reshape(bsz, seq_len, cfg.n_heads, head_dim)
-        v = dense("v_lin")(hidden).reshape(bsz, seq_len, cfg.n_heads, head_dim)
+        if cfg.fused_qkv and not cls_only:
+            # One [D, 3D] projection matmul. _ProjParams declares the SAME
+            # q_lin/k_lin/v_lin {kernel, bias} tree nn.Dense would, so
+            # checkpoints are interchangeable with the unfused path; each
+            # output column's reduction is over the same D inputs at the
+            # same precision, so numerics match the three-matmul form.
+            kernels, biases = zip(*(
+                _ProjParams(cfg.dim, cfg.dim, cfg.initializer_range,
+                            name=name)()
+                for name in ("q_lin", "k_lin", "v_lin")
+            ))
+            w = jnp.concatenate(kernels, axis=1).astype(self.dtype)
+            b = jnp.concatenate(biases).astype(self.dtype)
+            qkv = hidden.astype(self.dtype) @ w + b   # [B, L, 3D]
+            q, k, v = (
+                x.reshape(bsz, seq_len, cfg.n_heads, head_dim)
+                for x in jnp.split(qkv, 3, axis=-1)
+            )
+        else:
+            q = dense("q_lin")(q_in).reshape(bsz, q_len, cfg.n_heads, head_dim)
+            k = dense("k_lin")(hidden).reshape(bsz, seq_len, cfg.n_heads, head_dim)
+            v = dense("v_lin")(hidden).reshape(bsz, seq_len, cfg.n_heads, head_dim)
 
         # The fused Pallas kernel does not implement attention-probs dropout,
         # the cls_only row-slice, or segment masking; use it only when all

@@ -934,3 +934,38 @@ def test_cosine_encode_index_search_consistent():
         * np.linalg.norm(embs, axis=1)[None, :])
     want = ids[np.argsort(-cos, axis=1, kind="stable")[:, :5]]
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused_qkv_param_tree_and_numerics_match():
+    """fused_qkv computes q/k/v in one [D, 3D] matmul; the param tree and
+    outputs must match the unfused path exactly (checkpoints
+    interchangeable; docs/perf.md records the measured A/B)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from cldrd_tpu.models import DistilBertConfig
+    from cldrd_tpu.models.distilbert import DistilBertEncoder
+
+    cfg = DistilBertConfig.tiny()
+    enc = DistilBertEncoder(cfg, dtype=jnp.float32)
+    encf = DistilBertEncoder(
+        dataclasses.replace(cfg, fused_qkv=True), dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    ids = jax.random.randint(rng, (4, 16), 0, cfg.vocab_size, jnp.int32)
+    mask = (jax.random.uniform(rng, (4, 16)) > 0.2).astype(jnp.int32)
+    mask = mask.at[:, 0].set(1)
+    p = enc.init(rng, ids, mask)["params"]
+    pf = encf.init(rng, ids, mask)["params"]
+    assert (jax.tree_util.tree_structure(p)
+            == jax.tree_util.tree_structure(pf))
+    for a, b in zip(jax.tree_util.tree_leaves(p),
+                    jax.tree_util.tree_leaves(pf)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+    for cls_only in (False, True):
+        o1 = enc.apply({"params": p}, ids, mask, deterministic=True,
+                       cls_only=cls_only)
+        o2 = encf.apply({"params": p}, ids, mask, deterministic=True,
+                        cls_only=cls_only)
+        assert jnp.allclose(o1, o2, atol=1e-5), cls_only
