@@ -65,7 +65,8 @@ def train_step_flops(cfg, bz: int, remat: bool, remat_policy: str = "full") -> f
 
 def bench_batch_size(bz: int, remat: bool = False,
                      remat_policy: str = "full",
-                     fused_qkv: bool = False) -> dict:
+                     fused_qkv: bool = False,
+                     softmax_bf16: bool = False) -> dict:
     from cldrd_tpu.models import DistilBertConfig
     from cldrd_tpu.parallel import DATA_AXIS, make_mesh
     from cldrd_tpu.train import TrainConfig, Trainer, make_train_step
@@ -84,7 +85,9 @@ def bench_batch_size(bz: int, remat: bool = False,
         experiment_name=f"bz{bz}",
     )
     model_cfg = DistilBertConfig(remat_policy=remat_policy,
-                                 fused_qkv=fused_qkv)  # real 66M arch
+                                 fused_qkv=fused_qkv,
+                                 softmax_in_compute_dtype=softmax_bf16,
+                                 )  # real 66M arch
     mesh = make_mesh(1, DATA_AXIS)
     trainer = Trainer(cfg, model_cfg, mesh=mesh)
     total_steps = 10_000
@@ -141,6 +144,8 @@ def bench_batch_size(bz: int, remat: bool = False,
         tag += f"_{remat_policy}"
     if fused_qkv:
         tag += "_fusedqkv"
+    if softmax_bf16:
+        tag += "_softmaxbf16"
     return {
         "metric": f"train_step_examples_per_s_bz{bz}{tag}_nway30_q30_p256",
         "value": round(ex_per_s, 2),

@@ -60,6 +60,12 @@ class DistilBertConfig:
     # bench_train.py. cls_only final blocks keep split projections (q is
     # 1 row there — fusing would compute q for all L rows).
     fused_qkv: bool = False
+    # keep attention scores + softmax in the COMPUTE dtype (bf16) instead
+    # of fp32: halves the [B, H, L, L] score-tensor HBM traffic. Softmax
+    # subtracts the row max first, so bf16 is numerically safe (exp inputs
+    # <= 0); expect ulp-level logit drift vs the HF-parity fp32 default —
+    # off by default, measured in bench_train.py / docs/perf.md.
+    softmax_in_compute_dtype: bool = False
     # rematerialize each transformer block in the backward pass
     # (jax.checkpoint): trades ~1/3 more FLOPs for O(layers) less activation
     # memory — enables large nway*batch training shapes (e.g. bz=32, nway=30,
@@ -258,8 +264,10 @@ class MultiHeadSelfAttention(nn.Module):
         else:
             # HF parity: scale Q (not the logits) before the matmul.
             q = q / jnp.sqrt(jnp.asarray(head_dim, dtype=self.dtype))
+            score_dtype = (self.dtype if cfg.softmax_in_compute_dtype
+                           else jnp.float32)
             scores = jnp.einsum(
-                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=score_dtype
             )
             mask = attention_mask[:, None, None, :].astype(jnp.bool_)
             if segment_ids is not None:

@@ -969,3 +969,43 @@ def test_fused_qkv_param_tree_and_numerics_match():
         o2 = encf.apply({"params": p}, ids, mask, deterministic=True,
                         cls_only=cls_only)
         assert jnp.allclose(o1, o2, atol=1e-5), cls_only
+
+
+def test_softmax_in_compute_dtype_close_to_fp32():
+    """softmax_in_compute_dtype keeps attention scores + softmax in the
+    compute dtype (bf16) instead of fp32 — halves the [B,H,L,L] score
+    HBM traffic (+1.5 MFU points measured, docs/perf.md). It must stay
+    numerically a rounding-level perturbation of the fp32-softmax path:
+    same params, bf16 compute both sides, embeddings near-identical."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cldrd_tpu.models import DistilBertConfig
+    from cldrd_tpu.models.distilbert import DistilBertEncoder
+
+    cfg = DistilBertConfig.tiny()
+    assert not cfg.softmax_in_compute_dtype  # HF-parity fp32 is the default
+    enc = DistilBertEncoder(cfg, dtype=jnp.bfloat16)
+    encs = DistilBertEncoder(
+        dataclasses.replace(cfg, softmax_in_compute_dtype=True),
+        dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    ids = jax.random.randint(rng, (4, 16), 0, cfg.vocab_size, jnp.int32)
+    mask = (jax.random.uniform(rng, (4, 16)) > 0.2).astype(jnp.int32)
+    mask = mask.at[:, 0].set(1)
+    p = enc.init(rng, ids, mask)["params"]
+    for cls_only in (False, True):
+        o1 = np.asarray(enc.apply({"params": p}, ids, mask,
+                                  deterministic=True, cls_only=cls_only),
+                        dtype=np.float32)
+        o2 = np.asarray(encs.apply({"params": p}, ids, mask,
+                                   deterministic=True, cls_only=cls_only),
+                        dtype=np.float32)
+        # bf16 has ~3 decimal digits; embeddings are O(1) post-LayerNorm
+        np.testing.assert_allclose(o1, o2, atol=0.05, rtol=0.05)
+        cos = (o1 * o2).sum(-1) / (
+            np.linalg.norm(o1, axis=-1) * np.linalg.norm(o2, axis=-1))
+        assert float(cos.min()) > 0.999, cls_only
