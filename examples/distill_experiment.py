@@ -207,9 +207,9 @@ def _base_yaml(out_dir: str, batch_size: int) -> str:
     # nway_listwise_1.py:339-350) — without them a tiny student can ace its
     # own candidate list by learning "trained-subject-ness" while its
     # full-corpus query embeddings collapse; both arms get the same setting.
-    # batch 32 (not the reference's 8): more in-batch negatives per step —
-    # the tiny student needs them to keep 50k noise passages away (measured
-    # warm MRR@10 0.98 vs 0.68 at batch 8); identical for both arms
+    # batch 8 (the reference's size): the passing run (warm MRR@10 0.80,
+    # distill nDCG@10 0.52->0.63 vs control 0.48) used 8 with a 480-epoch
+    # warm-up; identical for both arms
     # share_weights: a siamese tower (like TAS-B itself; the reference's
     # --share_weights path) makes token-overlap scoring directly learnable
     # by a random-init student — with separate towers the tiny model just
@@ -225,7 +225,7 @@ def _base_yaml(out_dir: str, batch_size: int) -> str:
 
 
 def run(out_dir: str, n_q: int = 128, n_passages: int = 50_000,
-        batch_size: int = 32, warmup_epochs: int = 480,
+        batch_size: int = 8, warmup_epochs: int = 480,
         epochs=(8, 4, 4), lrs=(1e-3, 5e-4, 5e-4),
         mine_topk: int = 100,
         teacher_noise: float = 0.05, eval_topk: int = 10,
@@ -375,6 +375,8 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     report = run(args.out, n_q=args.n_queries, n_passages=args.n_passages,
                  batch_size=args.batch_size, seed=args.seed)
+    with open(os.path.join(args.out, "report.json"), "w") as fh:
+        json.dump(report, fh, indent=1)
     print(json.dumps(report))
     return 0 if all(report["checks"].values()) else 1
 
