@@ -156,7 +156,7 @@ def bench_batch_size(bz: int, remat: bool = False,
     }
 
 
-def bench_packed(bz: int) -> dict:
+def bench_packed(bz: int, softmax_bf16: bool = False) -> dict:
     """The train step with sequence packing (data/packing.py) at realistic
     MS MARCO passage lengths (clipped lognormal, ~70-token mean — the same
     distribution as examples/bench_bucketed_encode.py). Flat padding makes
@@ -177,7 +177,7 @@ def bench_packed(bz: int) -> dict:
         compute_dtype="bfloat16", pack_passages=True,
         run_folder="/tmp/cldrd_bench_train", experiment_name=f"pk{bz}",
     )
-    model_cfg = DistilBertConfig()
+    model_cfg = DistilBertConfig(softmax_in_compute_dtype=softmax_bf16)
     mesh = make_mesh(1, DATA_AXIS)
     trainer = Trainer(cfg, model_cfg, mesh=mesh)
     optimizer = trainer._make_optimizer(10_000)
@@ -237,8 +237,9 @@ def bench_packed(bz: int) -> dict:
         return 3.0 * (2.0 * t * (4 * D * D + 2 * D * H) * L_layers
                       + 2.0 * 2 * t * L * D * L_layers)
     flops = enc(bz, LQ) + enc(bz * rows, LP)
+    tag = "_softmaxbf16" if softmax_bf16 else ""
     return {
-        "metric": f"train_step_examples_per_s_bz{bz}_packed_msmarco_lengths",
+        "metric": f"train_step_examples_per_s_bz{bz}_packed{tag}_msmarco_lengths",
         "value": round(bz / per_step, 2),
         "unit": "examples/s",
         "vs_baseline": round(bz / per_step / BASELINE_EX_PER_S, 3),

@@ -63,3 +63,25 @@ def test_readme_test_count_matches_suite():
     assert claimed == actual, (
         f"README claims {claimed} test functions; tests/ has {actual} — "
         "update README.md's tests/ line")
+
+
+def test_readme_distill_numbers_match_report():
+    """README's curriculum-distillation paragraph quotes the committed
+    report (examples/results/distill_report.json); the two must not drift
+    (same discipline as the test-count pin above)."""
+    import json
+
+    rep = json.load(open(os.path.join(
+        ROOT, "examples", "results", "distill_report.json")))
+    assert all(rep["checks"].values()), rep["checks"]
+    text = open(os.path.join(ROOT, "README.md"), encoding="utf-8").read()
+    para = text[text.index("The curriculum distills"):]
+    para = para[:para.index("\n\n")]
+    met, rec = rep["metric"], rep["recall_metric"]
+    # the README quotes 2-decimal roundings of iter0 + the distill/control
+    # trajectories; every quoted figure must match the report
+    for val in ([rep["iter0"][met], rep["iter0"][rec]]
+                + [r[met] for r in rep["distill"]]
+                + [rep["distill"][-1][rec], rep["control"][-1][met]]):
+        assert f"{val:.2f}" in para, (f"{val:.2f} not quoted in README's "
+                                      "distillation paragraph")
