@@ -447,11 +447,12 @@ def _scores_and_binmax(
 # Profiled motivation (v5e, B=512, N=1.1M, k=1000): the v1 path spent
 # 12.8 ms gathering candidate bins from HBM scores and 4.6 ms extracting;
 # both now ride the matmul's VMEM consumer.
-_EXTRACT_ROUNDS = 7   # level 1: 6 candidates + 1 remainder bound per bin
-# (level-1 depth 6: P(one 128-row bin holds >= 7 of the top-k) ~ Pois(0.115)
-# tail = 8e-7 per query -> ~4e-4 per 512-query batch; measured +7.4% QPS
-# over depth 7. The certificate is sound at ANY depth — bin-level
-# exclusions are bounded by rem1 — so depth only tunes fallback frequency.)
+_EXTRACT_ROUNDS = 7   # level 1 MAX: 6 candidates + 1 remainder bound per bin
+# (The certificate is sound at ANY depth — bin-level exclusions are bounded
+# by rem1 — so depth only tunes fallback frequency. The actual depth is
+# Poisson-sized per corpus size by _extract_rounds below: 7 rounds at the
+# 1.1M per-chip shard, 5 at the 8.86M full corpus — each dropped round
+# removes one (max, argmax-emulate, mask) VPU sweep over every score.)
 _SUPER_ROWS = 2048    # rows per level-2 super-block
 # Level-2 depth is sized by the Poisson tail of "top-k items landing in one
 # super-block": at k=1000, N=1.1M, S=2048 rows, lambda = k*S/N = 1.84 and
@@ -491,6 +492,38 @@ def _select_rounds(n: int, nsup: int, bz: int, k: int, m2: int) -> int:
         if m * nsup >= k and (1.0 - cdf) * nsup * bz <= 1e-4:
             return m
     return m2
+
+
+def _extract_rounds(n: int, bz: int, k: int, bin_rows: int) -> int:
+    """Level-1 extraction rounds (candidates + 1 remainder) for an n-row
+    segment — the bin-granularity twin of ``_select_rounds``.
+
+    The number of true top-k items landing in one ``bin_rows``-row bin is
+    ~Poisson(k * bin_rows / n); a bin holding MORE items than the kept
+    depth m fails the per-query certificate (its (m+1)-th value — the
+    remainder bound rem1 — lands at/above vk) and that query re-runs
+    exactly, so depth only tunes the fallback rate. Keep the smallest m
+    whose expected (bin, query) misses per batch stay below ~5e-4 (the
+    measured-acceptable rate of the historical fixed depth 6 at 1.1M
+    rows; the amortized rescue cost at that rate is microseconds). Each
+    dropped round removes one full (max, argmax-emulate, mask) VPU sweep
+    over every score the kernel produces: at 8.86M rows this cuts level-1
+    extraction work by 2/7."""
+    import math
+
+    lam = k * bin_rows / n
+    nbins = n // bin_rows
+    pmf = math.exp(-lam)
+    cdf = pmf
+    for m in range(1, _EXTRACT_ROUNDS - 1):
+        pmf *= lam / m
+        cdf += pmf
+        # tail = P(X >= m + 1): bins holding more top-k items than kept
+        if (1.0 - cdf) * nbins * bz <= 5e-4:
+            return m + 1
+    return _EXTRACT_ROUNDS
+
+
 _INTERPRET = False  # tests flip this to run the kernel on CPU
 
 
@@ -505,10 +538,11 @@ def _tile_plan(bz: int):
 
 def _extract_kernel_factory(bins_t: int, bin_rows: int, bz: int,
                             tile_rows: int, s_tiles: int,
-                            with_scales: bool = False):
+                            with_scales: bool = False,
+                            rounds: int = _EXTRACT_ROUNDS):
     from jax.experimental import pallas as pl
 
-    R = _EXTRACT_ROUNDS
+    R = rounds
     m = R - 1
     R2 = _SUPER_ROUNDS
     cw = bins_t * m  # level-1 candidates per tile
@@ -654,7 +688,7 @@ def _binmax_segment_extract(
 
     bz = queries.shape[0]
     n, d = segment.shape
-    R = _EXTRACT_ROUNDS
+    R = _extract_rounds(n, bz, k, bin_rows)  # Poisson-sized level-1 depth
     R2 = _SUPER_ROUNDS
     m2 = R2 - 1
 
@@ -676,7 +710,7 @@ def _binmax_segment_extract(
         operands.append(seg_scales.reshape(n, 1))
     sup_v, sup_p, rem1 = pl.pallas_call(
         _extract_kernel_factory(bins_t, bin_rows, bz, t, s_tiles,
-                                with_scales),
+                                with_scales, rounds=R),
         grid=(ntiles,),
         in_specs=in_specs,
         out_specs=[

@@ -635,6 +635,82 @@ class TestFusedExtractPath:
             assert m <= prev
             prev = m
 
+    def test_extract_rounds_properties(self):
+        """The level-1 Poisson depth model (`mips._extract_rounds`): full
+        depth at per-chip-shard size and below, reduced at full-corpus
+        size, never outside [2, _EXTRACT_ROUNDS], monotone non-increasing
+        in n (larger corpora -> emptier bins)."""
+        from cldrd_tpu.search import mips
+        k, bz, L = 1000, 512, 128
+
+        def depth(n):
+            return mips._extract_rounds(n, bz, k, L)
+
+        assert depth(4096) == mips._EXTRACT_ROUNDS      # test-scale corpora
+        assert depth(1_114_112) == mips._EXTRACT_ROUNDS  # bench headline
+        assert depth(8_863_744) < mips._EXTRACT_ROUNDS   # full corpus trims
+        prev = mips._EXTRACT_ROUNDS
+        for n in (1_114_112, 2_228_224, 4_456_448, 8_863_744, 17_727_488):
+            r = depth(n)
+            assert 2 <= r <= mips._EXTRACT_ROUNDS
+            assert r <= prev
+            prev = r
+
+    def test_reduced_l1_depth_flags_and_recovers(self, monkeypatch):
+        """A BIN holding more top-k items than the level-1 depth must fail
+        that query's certificate via the bin remainder bound rem1 (the
+        (m+1)-th value of the overfull bin lands above vk), and the
+        in-graph fallback must restore oracle exactness. Forces a tiny
+        level-1 depth to make the trip at test scale."""
+        from cldrd_tpu.search import mips
+        monkeypatch.setattr(mips, "_extract_rounds",
+                            lambda n, bz, k, bin_rows: 3)  # 2 cands + rem
+        # n = 2 super-blocks so the block-candidate width (2 * 15) covers
+        # k and the certificate path (not the width<k streaming branch) runs
+        bz, n, d, k = 128, 4096, 32, 20
+        rng = np.random.default_rng(13)
+        c = rng.standard_normal((n, d)).astype(np.float32) * 0.01
+        # 4 > depth-2 top-20 items for query 0 inside ONE 128-row bin
+        c[256:260, 0] = np.linspace(5.0, 6.0, 4)
+        q = rng.standard_normal((bz, d)).astype(np.float32) * 0.01
+        q[0] = 0.0
+        q[0, 0] = 1.0
+        ids = jnp.arange(n, dtype=jnp.int32)
+        _, _, okq = mips._binmax_segment_extract(
+            jnp.asarray(q), jnp.asarray(c), ids, k, 128, on_miss="flag")
+        okq = np.asarray(okq)
+        assert not okq[0], "overfull bin must flag its query"
+        v, i = mips._binmax_segment_extract(
+            jnp.asarray(q), jnp.asarray(c), ids, k, 128)  # on_miss=fallback
+        ref_v, ref_i = self._oracle(q, c, k)
+        np.testing.assert_array_equal(np.asarray(i), ref_i)
+        np.testing.assert_allclose(np.asarray(v), ref_v, rtol=1e-5)
+
+    def test_reduced_l1_depth_exact_when_spread(self, monkeypatch):
+        """With top-k items spread across bins (the Poisson-typical case),
+        a reduced level-1 depth must certify and return oracle-exact
+        results on the fast path (okq all True)."""
+        from cldrd_tpu.search import mips
+        monkeypatch.setattr(mips, "_extract_rounds",
+                            lambda n, bz, k, bin_rows: 3)
+        bz, n, d, k = 128, 4096, 32, 16
+        # one clear winner per chosen bin, tiny noise elsewhere: <= 1 top-k
+        # item per bin (depth-2 covers each bin) AND 8 per super-block
+        # (within the level-2 depth), so every certificate holds
+        rng = np.random.default_rng(17)
+        c = rng.standard_normal((n, d)).astype(np.float32) * 1e-4
+        winners = np.arange(16) * 256 + 5
+        c[winners, 0] = np.linspace(2.0, 3.0, 16)
+        q = np.zeros((bz, d), np.float32)
+        q[:, 0] = 1.0
+        ids = jnp.arange(n, dtype=jnp.int32)
+        v, i, okq = mips._binmax_segment_extract(
+            jnp.asarray(q), jnp.asarray(c), ids, k, 128, on_miss="flag")
+        assert np.asarray(okq).all(), "spread top-k must certify"
+        ref_v, ref_i = self._oracle(q, c, k)
+        np.testing.assert_array_equal(np.asarray(i), ref_i)
+        np.testing.assert_allclose(np.asarray(v), ref_v, rtol=1e-5)
+
     def test_reduced_depth_flags_and_recovers(self, monkeypatch):
         """A block holding more top-k items than the selection depth must
         fail that query's certificate (its (m+1)-th candidate bounds the
