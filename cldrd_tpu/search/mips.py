@@ -460,7 +460,10 @@ _SUPER_ROWS = 2048    # rows per level-2 super-block
 # ~4e-5 per-batch fallback probability. (The first, single-tile version used
 # depth 8 at lambda = 0.92: ~3 expected violations PER BATCH -> it fell back
 # almost every time and benched at 450 QPS.)
-_SUPER_ROUNDS = 16    # level 2: 15 candidates + 1 remainder bound per block
+_SUPER_ROUNDS = 16    # level 2 MAX: 15 candidates + 1 remainder per block
+# (the rounds actually EMITTED are Poisson-sized by _super_rounds below:
+# 8 at full-corpus sizes, where every emitted round doubles as a selection
+# candidate and the last as the block remainder bound)
 # Selection-chunk candidate width for the post-kernel top-k: 8160 is the
 # measured variadic-sort sweet spot on v5e (sort cost grows super-linearly
 # in width).
@@ -478,8 +481,9 @@ def _select_rounds(n: int, nsup: int, bz: int, k: int, m2: int) -> int:
     per batch below ~1e-4 — a block deeper than m just fails the
     certificate (its (m+1)-th candidate, which bounds everything dropped
     from it, lands above vk) and those queries re-run, so the result is
-    EXACT at any depth. Measured at 8.86M rows this halves selection
-    volume (m=7 vs 15)."""
+    EXACT at any depth. Governs the FULL-emission layout (shard sizes);
+    at corpus sizes where ``_super_rounds`` cuts the emission itself to 8
+    the selection consumes every emitted round and this is bypassed."""
     import math
 
     lam = k * _SUPER_ROWS / n
@@ -524,6 +528,33 @@ def _extract_rounds(n: int, bz: int, k: int, bin_rows: int) -> int:
     return _EXTRACT_ROUNDS
 
 
+def _super_rounds(n: int, nsup: int, bz: int, k: int) -> int:
+    """Level-2 rounds the kernel EMITS (multiple of 8: Mosaic block
+    sublane constraint on the [nsup, R2, B] outputs).
+
+    Reduced mode (8 at the 8.86M full corpus): all emitted rounds are
+    selection candidates and the LAST one doubles as the block remainder
+    bound — flagging a query whenever any block holds >= R2 top-k items
+    (Poisson tail P(X >= R2) * nsup * bz <= ~5e-4 per batch, the same
+    budget as the level-1 depth). Full mode keeps ``_SUPER_ROUNDS`` with
+    the selection depth handled by ``_select_rounds``. Two effects of the
+    reduced layout at 8.86M rows, both profiled in
+    examples/profile_search.py: the post-kernel candidate SLICE disappears
+    (14.2 ms/batch of 2 ns/element relayout copies) and half the level-2
+    extraction rounds are never executed."""
+    import math
+
+    lam = k * _SUPER_ROWS / n
+    for r2 in range(8, _SUPER_ROUNDS, 8):
+        if r2 * nsup < k:
+            continue
+        tail = 1.0 - math.exp(-lam) * sum(
+            lam**i / math.factorial(i) for i in range(r2))
+        if tail * nsup * bz <= 5e-4:
+            return r2
+    return _SUPER_ROUNDS
+
+
 _INTERPRET = False  # tests flip this to run the kernel on CPU
 
 
@@ -539,12 +570,21 @@ def _tile_plan(bz: int):
 def _extract_kernel_factory(bins_t: int, bin_rows: int, bz: int,
                             tile_rows: int, s_tiles: int,
                             with_scales: bool = False,
-                            rounds: int = _EXTRACT_ROUNDS):
+                            rounds: int = _EXTRACT_ROUNDS,
+                            rounds2: int = _SUPER_ROUNDS):
     from jax.experimental import pallas as pl
 
     R = rounds
     m = R - 1
-    R2 = _SUPER_ROUNDS
+    # ``rounds2``: level-2 rounds actually emitted — Poisson-sized by
+    # ``_super_rounds`` (8 at the 8.86M full corpus, 16 at shard sizes).
+    # In reduced mode ALL emitted rounds are selection candidates and the
+    # LAST one doubles as the block remainder bound (descending emission:
+    # the R2-th value bounds everything deeper), so the post-kernel path
+    # needs no slice — whose 2 ns/element relayout copies cost a profiled
+    # 14.2 ms/batch at 8.86M rows (examples/profile_search.py) — and the
+    # kernel runs half the extraction rounds.
+    R2 = rounds2
     cw = bins_t * m  # level-1 candidates per tile
     neg = float("-inf")
 
@@ -668,10 +708,11 @@ def _binmax_segment_extract(
     """Exact segment top-k via the fused scores+two-level-extraction kernel.
 
     Same contract as ``_binmax_segment``. Each 2048-row super-block emits
-    its top-``_SUPER_ROUNDS - 1`` items plus two remainder bounds; the final
-    top-k runs over the ``nsup * (R2-1)`` block candidates and certifies
-    itself against its own k-th value (always a sound lower bound on the
-    true k-th score, because candidates are a subset of all items). Falls
+    its top-``m_sel`` items (the Poisson-sized selection depth, up to
+    ``_SUPER_ROUNDS - 1``) plus two remainder bounds; the final top-k runs
+    over the ``nsup * m_sel`` block candidates and certifies itself
+    against its own k-th value (always a sound lower bound on the true
+    k-th score, because candidates are a subset of all items). Falls
     back to ``topk_streaming`` (memory-lean, exact) whenever a bound cannot
     certify the narrowing.
 
@@ -698,6 +739,33 @@ def _binmax_segment_extract(
     nsup = ntiles // s_tiles
     cw = bins_t * (R - 1)
     with_scales = seg_scales is not None
+
+    f32 = jnp.float32
+    finfo_min = f32(jnp.finfo(jnp.float32).min)
+    # Poisson-adaptive level-2 emission (see _super_rounds): at large n
+    # the kernel emits 8 rounds instead of 16 — every round a selection
+    # candidate, the last doubling as the block remainder bound — which
+    # removes the post-kernel slice (and its relayout copies) and half
+    # the level-2 extraction work. At shard sizes it emits the full R2
+    # and _select_rounds trims the SELECTION depth instead.
+    cand_rows = _super_rounds(n, nsup, bz, k)
+    reduced = cand_rows < R2
+    m_sel = cand_rows if reduced else _select_rounds(n, nsup, bz, k, m2)
+    if nsup * m_sel < k:
+        # not enough super-block candidates to cover k: exact streaming
+        # fallback, skipping the kernel entirely. block_rows must divide
+        # n; the extract path only guarantees n % _SUPER_ROWS == 0, so
+        # pass that rather than the 8192 default. Contract: this function
+        # returns SEGMENT-LOCAL POSITIONS, so feed the scan
+        # position-substituted ids, not the external ones.
+        lpos = jnp.where(seg_row_ids >= 0,
+                         jnp.arange(n, dtype=seg_row_ids.dtype), -1)
+        v, p = topk_streaming(queries, segment, lpos, k, _SUPER_ROWS,
+                              row_scales=seg_scales)
+        if on_miss == "flag":
+            return v, p, jnp.ones((bz,), jnp.bool_)  # streaming is exact
+        return v, p
+
     in_specs = [
         pl.BlockSpec((bz, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((t, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -710,20 +778,20 @@ def _binmax_segment_extract(
         operands.append(seg_scales.reshape(n, 1))
     sup_v, sup_p, rem1 = pl.pallas_call(
         _extract_kernel_factory(bins_t, bin_rows, bz, t, s_tiles,
-                                with_scales, rounds=R),
+                                with_scales, rounds=R, rounds2=cand_rows),
         grid=(ntiles,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, R2, bz), lambda i: (i // s_tiles, 0, 0),
+            pl.BlockSpec((1, cand_rows, bz), lambda i: (i // s_tiles, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R2, bz), lambda i: (i // s_tiles, 0, 0),
+            pl.BlockSpec((1, cand_rows, bz), lambda i: (i // s_tiles, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, bz), lambda i: (i // s_tiles, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nsup, R2, bz), jnp.float32),
-            jax.ShapeDtypeStruct((nsup, R2, bz), jnp.int32),
+            jax.ShapeDtypeStruct((nsup, cand_rows, bz), jnp.float32),
+            jax.ShapeDtypeStruct((nsup, cand_rows, bz), jnp.int32),
             jax.ShapeDtypeStruct((nsup, 8, bz), jnp.float32),
         ],
         scratch_shapes=[
@@ -733,62 +801,41 @@ def _binmax_segment_extract(
         cost_estimate=pl.CostEstimate(
             flops=2 * bz * n * d,
             bytes_accessed=n * d * segment.dtype.itemsize
-            + (2 * nsup * R2 * bz + nsup * 8 * bz) * 4,
+            + (2 * nsup * cand_rows * bz + nsup * 8 * bz) * 4,
             transcendentals=0,
         ),
         interpret=_INTERPRET,
     )(*operands)
-
-    # Final selection needs NO per-query bin gather: each super-block
-    # already carries its own top-m2, so the candidate set is simply the
-    # flattening of the block outputs. Per-round 2D transposes
-    # [nsup, B] -> [B, nsup] are the only relayouts (fast, full-lane);
-    # everything irregular that remains is one top_k over [B, nsup*m2] and
-    # one small position resolve.
-    f32 = jnp.float32
-    finfo_min = f32(jnp.finfo(jnp.float32).min)
-    width = nsup * m2
-    if width < k:
-        # not enough super-block candidates to cover k: exact fallback.
-        # block_rows must divide n; the extract path only guarantees
-        # n % _SUPER_ROWS == 0, so pass that rather than the 8192 default.
-        # Contract: this function returns SEGMENT-LOCAL POSITIONS, so feed
-        # the scan position-substituted ids, not the external ones.
-        lpos = jnp.where(seg_row_ids >= 0,
-                         jnp.arange(n, dtype=seg_row_ids.dtype), -1)
-        v, p = topk_streaming(queries, segment, lpos, k, _SUPER_ROWS,
-                              row_scales=seg_scales)
-        if on_miss == "flag":
-            return v, p, jnp.ones((bz,), jnp.bool_)  # streaming is exact
-        return v, p
-
-    # Poisson-adaptive selection depth (see _select_rounds): only rounds
-    # :m_sel enter the selection; rounds beyond are covered by the
-    # per-block bound below. m_sel == m2 at per-chip-shard sizes, drops to
-    # ~7 at 8.86M rows — halving selection sort + transpose volume.
-    m_sel = _select_rounds(n, nsup, bz, k, m2)
-    # rem2: bound on everything NOT in the selection's candidate set from
-    # the block side — candidates are emitted in descending order, so a
-    # block's m_sel-th value bounds all of its deeper items (including the
-    # kernel's own remainder round).
-    rem2 = jnp.max(sup_v[:, m_sel, :], axis=0)  # [B]
+    # rem2: candidates are emitted in descending order, so a block's LAST
+    # emitted value bounds everything deeper. In reduced mode that last
+    # round is itself a selection candidate (conservative: a block holding
+    # exactly cand_rows top-k items flags even though all were found —
+    # priced into _super_rounds' tail budget); in full mode it is the
+    # dedicated remainder round beyond the m_sel selection depth.
+    rem2 = jnp.max(sup_v[:, (cand_rows if reduced else m_sel + 1) - 1, :],
+                   axis=0)  # [B]
     rem1 = jnp.max(rem1, axis=(0, 1))  # [B] bin-level remainder bound
 
-    # One plain 2-D transpose moves the candidate tensor to B-major (XLA's
-    # tiled transpose emitter — the B-major-from-the-kernel alternative
-    # slowed the kernel ~45% with lane->sublane relayouts). Order matters:
-    # at full depth, transpose-everything-then-slice fuses the slice into
-    # the consumer (measured 10.7 vs 12.6 ms/batch at 1.1M); at reduced
-    # depth, slice-first halves the transpose bytes (98 vs ~105 ms at
-    # 8.86M int8).
-    if m_sel == m2:
+    # Final selection needs NO per-query bin gather: each super-block
+    # already carries its selection candidates, flattened to B-major
+    # through one plain 2-D transpose (XLA's tiled transpose emitter —
+    # the B-major-from-the-kernel alternative slowed the kernel ~45% with
+    # lane->sublane relayouts).
+    if reduced:
+        # every emitted round is a candidate: contiguous reshape + fast
+        # transpose, NO slice anywhere (a slice here emitted 14.2 ms of
+        # 2 ns/element relayout copies at 8.86M — profile_search.py)
+        kv = sup_v.reshape(nsup * cand_rows, bz).T
+        kp = sup_p.reshape(nsup * cand_rows, bz).T
+        m_lay = cand_rows  # candidate rows per block in the sort layout
+    else:
+        # full depth: transpose-everything-then-slice fuses the slice
+        # into the selection sort (measured 10.7 vs 12.6 ms/batch at 1.1M)
         kvt = sup_v.reshape(nsup * R2, bz).T.reshape(bz, nsup, R2)
         kpt = sup_p.reshape(nsup * R2, bz).T.reshape(bz, nsup, R2)
         kv = kvt[:, :, :m_sel].reshape(bz, nsup * m_sel)
         kp = kpt[:, :, :m_sel].reshape(bz, nsup * m_sel)
-    else:
-        kv = sup_v[:, :m_sel, :].reshape(nsup * m_sel, bz).T
-        kp = sup_p[:, :m_sel, :].reshape(nsup * m_sel, bz).T
+        m_lay = m_sel
 
     # Selection. Variadic-sort cost grows super-linearly in width
     # (measured: [512, 8160] 1.26 ms but [512, 64920] 41.8 ms), so large
@@ -796,8 +843,8 @@ def _binmax_segment_extract(
     # top-k strips — the whole-corpus kernel pass stays ONE pallas_call
     # either way (no lax.scan segment staging).
     # super-blocks per chunk; every chunk strip must hold k candidates
-    # (sel_w >= k) for the per-chunk top-k to be meaningful
-    sel_sup = max(_SELECT_WIDTH // m_sel, -(-k // m_sel), 1)
+    # (sel_sup * m_lay >= k) for the per-chunk top-k to be meaningful
+    sel_sup = max(_SELECT_WIDTH // m_lay, -(-k // m_lay), 1)
     if nsup <= sel_sup:
         kept_v = jnp.maximum(kv, finfo_min)  # -inf -> sentinel (empty)
         # one variadic sort yields winner values AND positions together —
@@ -805,14 +852,14 @@ def _binmax_segment_extract(
         v, p_raw = _topk_with_payload(kept_v, kp, k)
     else:
         nseg = -(-nsup // sel_sup)
-        pad = (nseg * sel_sup - nsup) * m_sel
+        pad = (nseg * sel_sup - nsup) * m_lay
         if pad:
             # padded blocks behave exactly like empty candidates
             kv = jnp.concatenate(
                 [kv, jnp.full((bz, pad), NEG_INF, f32)], axis=1)
             kp = jnp.concatenate(
                 [kp, jnp.full((bz, pad), -1, jnp.int32)], axis=1)
-        sel_w = sel_sup * m_sel
+        sel_w = sel_sup * m_lay
         kept_v = jnp.maximum(kv.reshape(bz, nseg, sel_w), finfo_min)
         kept_p = kp.reshape(bz, nseg, sel_w)
         # batched per-chunk sort, then one merge over [B, nseg*k]. Every

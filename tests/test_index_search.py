@@ -614,6 +614,27 @@ class TestFusedExtractPath:
         np.testing.assert_array_equal(np.asarray(i), ref_i)
         np.testing.assert_allclose(np.asarray(v), ref_v, rtol=1e-5)
 
+    def test_super_rounds_properties(self):
+        """The level-2 emission model (`mips._super_rounds`): full 16
+        rounds at shard sizes (selection trimming handles depth there),
+        8 at full-corpus sizes, always a multiple of 8, always covering
+        k, monotone non-increasing in n."""
+        from cldrd_tpu.search import mips
+        k, bz = 1000, 512
+
+        def rounds(n):
+            return mips._super_rounds(n, n // mips._SUPER_ROWS, bz, k)
+
+        assert rounds(1_114_112) == mips._SUPER_ROUNDS
+        assert rounds(8_863_744) == 8
+        prev = mips._SUPER_ROUNDS
+        for n in (1_114_112, 2_228_224, 4_456_448, 8_863_744, 17_727_488):
+            r2 = rounds(n)
+            assert r2 % 8 == 0 and 8 <= r2 <= mips._SUPER_ROUNDS
+            assert r2 * (n // mips._SUPER_ROWS) >= k
+            assert r2 <= prev
+            prev = r2
+
     def test_select_rounds_properties(self):
         """The Poisson depth model: full depth at per-chip-shard size,
         reduced at full-corpus size, never below k coverage, monotone
@@ -634,6 +655,40 @@ class TestFusedExtractPath:
             assert m * (n // mips._SUPER_ROWS) >= k  # coverage floor
             assert m <= prev
             prev = m
+
+    def test_reduced_emission_chunked_selection_exact(self, monkeypatch):
+        """Reduced level-2 EMISSION (``_super_rounds`` < 16: the kernel
+        emits 8 rounds, all selection candidates, the last doubling as
+        the rem2 bound — no post-kernel slice) combined with chunked
+        selection: the chunk layout arithmetic must partition the
+        8-round layout and still return oracle-exact results, including
+        a ragged last chunk."""
+        from cldrd_tpu.search import mips
+        monkeypatch.setattr(mips, "_super_rounds",
+                            lambda n, nsup, bz, k: 8)
+        monkeypatch.setattr(mips, "_SELECT_WIDTH", 30)
+        rng = np.random.default_rng(23)
+        bz, n, d, k = 128, 5 * mips._SUPER_ROWS, 32, 12
+        q = rng.standard_normal((bz, d)).astype(np.float32)
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        ids = jnp.arange(n, dtype=jnp.int32)
+        sel_sup = max(30 // 8, -(-k // 8), 1)
+        assert n // mips._SUPER_ROWS > sel_sup, "chunked branch not hit"
+        assert (n // mips._SUPER_ROWS) % sel_sup, "want a ragged tail"
+        v, i, okq = mips._binmax_segment_extract(
+            jnp.asarray(q), jnp.asarray(c), ids, k, 128, on_miss="flag")
+        ref_v, ref_i = self._oracle(q, c, k)
+        okq = np.asarray(okq)
+        # at the forced shallow depth a FEW queries may legitimately flag
+        # (lambda = k*2048/n = 2.4 here); certified rows must be exact
+        assert okq.mean() > 0.9, "most queries should certify"
+        np.testing.assert_array_equal(np.asarray(i)[okq], ref_i[okq])
+        np.testing.assert_allclose(np.asarray(v)[okq], ref_v[okq], rtol=1e-5)
+        # and the in-graph fallback restores full-batch oracle equality
+        v2, i2 = mips._binmax_segment_extract(
+            jnp.asarray(q), jnp.asarray(c), ids, k, 128)  # on_miss=fallback
+        np.testing.assert_array_equal(np.asarray(i2), ref_i)
+        np.testing.assert_allclose(np.asarray(v2), ref_v, rtol=1e-5)
 
     def test_extract_rounds_properties(self):
         """The level-1 Poisson depth model (`mips._extract_rounds`): full
