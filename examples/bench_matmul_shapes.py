@@ -40,7 +40,11 @@ def bench_dot(name, a_shape, b_shape, dims, flops_weight):
     def f(a, b):
         out = jax.lax.dot_general(
             a, b, dimension_numbers=dims, preferred_element_type=jnp.float32)
-        return jnp.sum(out[..., -1])
+        # consume EVERY output element: a sliced consumer (e.g.
+        # sum(out[..., -1])) lets XLA dead-code-eliminate all other
+        # columns and compute a matvec — measured 219-670% of "peak"
+        # before this fix. The full reduce adds ~M*N ops, <1% of the dot.
+        return jnp.sum(out)
 
     float(f(a_sets[0], b))  # compile
 

@@ -160,6 +160,7 @@ def main():
         return "other: " + src.rsplit("/", 1)[-1][:48]
 
     by_name = defaultdict(float)
+    by_raw = defaultdict(float)
     total = 0.0
     import re as _re
     step_level = _re.compile(r"^(\d+|jit_step_fn.*)$")
@@ -171,6 +172,8 @@ def main():
             if step_level.match(name):
                 continue  # whole-program / per-step envelope events
             by_name[category(name)] += e["dur"]
+            src = op_src.get(name.lstrip("%"), "")
+            by_raw[f"{name[:40]}  <-  {src[-100:]}"] += e["dur"]
             total += e["dur"]
 
     per_step_us = total / PROFILE_STEPS
@@ -182,6 +185,11 @@ def main():
     for name, dur in rows:
         print(f"{dur / PROFILE_STEPS / 1e3:9.3f} ms  {100 * dur / total:5.1f}%"
               f"  {name[:110]}", file=sys.stderr)
+    if "--raw" in sys.argv:
+        print("--- raw ops (top 30) ---", file=sys.stderr)
+        for name, dur in sorted(by_raw.items(), key=lambda kv: -kv[1])[:30]:
+            print(f"{dur / PROFILE_STEPS / 1e3:9.3f} ms "
+                  f"{100 * dur / total:5.1f}%  {name[:170]}", file=sys.stderr)
 
     print(json.dumps({
         "metric": f"train_step_profile_bz{bz}",
