@@ -66,7 +66,8 @@ def train_step_flops(cfg, bz: int, remat: bool, remat_policy: str = "full") -> f
 def bench_batch_size(bz: int, remat: bool = False,
                      remat_policy: str = "full",
                      fused_qkv: bool = False,
-                     softmax_bf16: bool = False) -> dict:
+                     softmax_bf16: bool = False,
+                     attention_impl: str = "xla") -> dict:
     from cldrd_tpu.models import DistilBertConfig
     from cldrd_tpu.parallel import DATA_AXIS, make_mesh
     from cldrd_tpu.train import TrainConfig, Trainer, make_train_step
@@ -87,6 +88,7 @@ def bench_batch_size(bz: int, remat: bool = False,
     model_cfg = DistilBertConfig(remat_policy=remat_policy,
                                  fused_qkv=fused_qkv,
                                  softmax_in_compute_dtype=softmax_bf16,
+                                 attention_impl=attention_impl,
                                  )  # real 66M arch
     mesh = make_mesh(1, DATA_AXIS)
     trainer = Trainer(cfg, model_cfg, mesh=mesh)
@@ -146,6 +148,8 @@ def bench_batch_size(bz: int, remat: bool = False,
         tag += "_fusedqkv"
     if softmax_bf16:
         tag += "_softmaxbf16"
+    if attention_impl != "xla":
+        tag += f"_{attention_impl}attn"
     return {
         "metric": f"train_step_examples_per_s_bz{bz}{tag}_nway30_q30_p256",
         "value": round(ex_per_s, 2),

@@ -248,16 +248,30 @@ class MultiHeadSelfAttention(nn.Module):
             k = dense("k_lin")(hidden).reshape(bsz, seq_len, cfg.n_heads, head_dim)
             v = dense("v_lin")(hidden).reshape(bsz, seq_len, cfg.n_heads, head_dim)
 
-        # The fused Pallas kernel does not implement attention-probs dropout,
-        # the cls_only row-slice, or segment masking; use it only when all
-        # are no-ops so train/eval numerics stay faithful.
+        # Fused Pallas attention: the inference kernel handles the
+        # deterministic/no-dropout case; the TRAINING kernel pair
+        # (flash_attention_train) additionally runs attention-probs
+        # dropout in-kernel via a counter-based hash — statistically the
+        # same Bernoulli(1-p) as flax Dropout but a different stream (the
+        # same contract as torch-vs-JAX RNG in the parity suite). Neither
+        # implements the cls_only row-slice or segment masking, so those
+        # stay on the XLA path.
         use_pallas = (
             cfg.attention_impl == "pallas"
             and not cls_only
             and segment_ids is None
-            and (deterministic or cfg.attention_dropout == 0.0)
         )
-        if use_pallas:
+        if use_pallas and not (deterministic or cfg.attention_dropout == 0.0):
+            from cldrd_tpu.ops.attention import flash_attention_train
+
+            seed = jax.random.bits(
+                self.make_rng("dropout"), dtype=jnp.uint32
+            ).astype(jnp.int32)
+            context = flash_attention_train(
+                q, k, v, attention_mask, seed,
+                float(cfg.attention_dropout),
+            )
+        elif use_pallas:
             from cldrd_tpu.ops.attention import flash_attention
 
             context = flash_attention(q, k, v, attention_mask)

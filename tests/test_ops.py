@@ -6,7 +6,12 @@ import numpy as np
 import pytest
 
 from cldrd_tpu.models import DistilBertConfig, DistilBertEncoder
-from cldrd_tpu.ops.attention import _xla_attention, flash_attention
+from cldrd_tpu.ops.attention import (
+    _xla_attention,
+    dropout_keep_mask,
+    flash_attention,
+    flash_attention_train,
+)
 
 
 def _random_qkv(key, bsz=2, seq=16, heads=4, dim=8, dtype=jnp.float32):
@@ -65,6 +70,115 @@ def test_flash_gradients_match_xla():
     g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def _xla_attention_with_keep(q, k, v, mask, keep, p):
+    """XLA reference applying the EXACT keep mask the train kernel's
+    counter-based hash generates (dropout_keep_mask) — the ops mirror the
+    kernel's (explicit max-subtracted softmax, probs cast to compute
+    dtype, where-masked inverse scaling)."""
+    head_dim = q.shape[-1]
+    qs = q / jnp.sqrt(jnp.asarray(head_dim, q.dtype))
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", qs, k, preferred_element_type=jnp.float32)
+    scores = jnp.where(mask[:, None, None, :] != 0, scores, -1e9)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    pr = jnp.exp(scores - m)
+    probs = (pr / jnp.sum(pr, axis=-1, keepdims=True)).astype(q.dtype)
+    inv = jnp.asarray(1.0 / (1.0 - p), probs.dtype)
+    probs = jnp.where(keep, probs * inv, jnp.zeros_like(probs))
+    return jnp.einsum(
+        "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+
+
+class TestFlashAttentionTrain:
+    """The fused TRAIN kernels (forward + custom backward, in-kernel
+    counter-based dropout), run in interpret mode on CPU."""
+
+    def test_no_dropout_matches_xla_fwd_and_grads(self):
+        q, k, v, mask = _random_qkv(jax.random.PRNGKey(7))
+        seed = jnp.int32(0)
+        out = flash_attention_train(q, k, v, mask, seed, 0.0)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(_xla_attention(q, k, v, mask)),
+            atol=1e-5, rtol=1e-5)
+
+        def loss_t(q, k, v):
+            return jnp.sum(flash_attention_train(q, k, v, mask, seed, 0.0) ** 2)
+
+        def loss_x(q, k, v):
+            return jnp.sum(_xla_attention(q, k, v, mask) ** 2)
+
+        g1 = jax.grad(loss_t, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+    def test_dropout_exactly_matches_masked_reference(self):
+        """The kernel's in-kernel dropout must equal the XLA path with the
+        hash twin's keep mask applied — outputs AND gradients."""
+        p = 0.25
+        q, k, v, mask = _random_qkv(jax.random.PRNGKey(8))
+        bsz, seq, heads, _ = q.shape
+        seed = jnp.int32(12345)
+        keep = dropout_keep_mask(bsz, heads, seq, seq, seed, p)
+        out = flash_attention_train(q, k, v, mask, seed, p)
+        ref = _xla_attention_with_keep(q, k, v, mask, keep, p)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+        def loss_t(q, k, v):
+            return jnp.sum(flash_attention_train(q, k, v, mask, seed, p) ** 2)
+
+        def loss_r(q, k, v):
+            return jnp.sum(_xla_attention_with_keep(q, k, v, mask, keep, p) ** 2)
+
+        g1 = jax.grad(loss_t, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+    def test_dropout_deterministic_seeded_and_calibrated(self):
+        p = 0.1
+        q, k, v, mask = _random_qkv(jax.random.PRNGKey(9), bsz=2, seq=32,
+                                    heads=4, dim=8)
+        s1, s2 = jnp.int32(7), jnp.int32(8)
+        o1a = flash_attention_train(q, k, v, mask, s1, p)
+        o1b = flash_attention_train(q, k, v, mask, s1, p)
+        o2 = flash_attention_train(q, k, v, mask, s2, p)
+        np.testing.assert_array_equal(np.asarray(o1a), np.asarray(o1b))
+        assert not np.allclose(np.asarray(o1a), np.asarray(o2))
+        keep = dropout_keep_mask(8, 12, 64, 64, jnp.int32(3), p)
+        frac = float(np.asarray(keep).mean())
+        assert abs(frac - (1 - p)) < 0.01, frac
+
+    def test_encoder_train_mode_pallas_dropout(self):
+        """Encoder forward in TRAIN mode (deterministic=False) with
+        attention_impl='pallas' routes through flash_attention_train:
+        finite outputs, differs from the deterministic pass, and the
+        gradient is finite."""
+        cfg = DistilBertConfig.tiny(attention_impl="pallas")
+        enc = DistilBertEncoder(cfg, jnp.float32)
+        ids = jax.random.randint(jax.random.PRNGKey(10), (2, 24), 0,
+                                 cfg.vocab_size)
+        mask = jnp.ones((2, 24), jnp.int32)
+        params = enc.init(jax.random.PRNGKey(11), ids, mask)["params"]
+        det = enc.apply({"params": params}, ids, mask, True)
+        rngs = {"dropout": jax.random.PRNGKey(12)}
+        trn = enc.apply({"params": params}, ids, mask, False, rngs=rngs)
+        assert np.isfinite(np.asarray(trn)).all()
+        assert not np.allclose(np.asarray(det), np.asarray(trn))
+
+        def loss(params):
+            out = enc.apply({"params": params}, ids, mask, False, rngs=rngs)
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss)(params)
+        flat, _ = jax.tree_util.tree_flatten(g)
+        assert all(np.isfinite(np.asarray(x)).all() for x in flat)
 
 
 def test_encoder_pallas_impl_matches_xla():
