@@ -160,7 +160,8 @@ def bench_batch_size(bz: int, remat: bool = False,
     }
 
 
-def bench_packed(bz: int, softmax_bf16: bool = False) -> dict:
+def bench_packed(bz: int, softmax_bf16: bool = False,
+                 attention_impl: str = "xla") -> dict:
     """The train step with sequence packing (data/packing.py) at realistic
     MS MARCO passage lengths (clipped lognormal, ~70-token mean — the same
     distribution as examples/bench_bucketed_encode.py). Flat padding makes
@@ -181,7 +182,8 @@ def bench_packed(bz: int, softmax_bf16: bool = False) -> dict:
         compute_dtype="bfloat16", pack_passages=True,
         run_folder="/tmp/cldrd_bench_train", experiment_name=f"pk{bz}",
     )
-    model_cfg = DistilBertConfig(softmax_in_compute_dtype=softmax_bf16)
+    model_cfg = DistilBertConfig(softmax_in_compute_dtype=softmax_bf16,
+                                 attention_impl=attention_impl)
     mesh = make_mesh(1, DATA_AXIS)
     trainer = Trainer(cfg, model_cfg, mesh=mesh)
     optimizer = trainer._make_optimizer(10_000)
@@ -242,6 +244,8 @@ def bench_packed(bz: int, softmax_bf16: bool = False) -> dict:
                       + 2.0 * 2 * t * L * D * L_layers)
     flops = enc(bz, LQ) + enc(bz * rows, LP)
     tag = "_softmaxbf16" if softmax_bf16 else ""
+    if attention_impl != "xla":
+        tag += f"_{attention_impl}attn"
     return {
         "metric": f"train_step_examples_per_s_bz{bz}_packed{tag}_msmarco_lengths",
         "value": round(bz / per_step, 2),

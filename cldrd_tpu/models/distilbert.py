@@ -249,19 +249,16 @@ class MultiHeadSelfAttention(nn.Module):
             v = dense("v_lin")(hidden).reshape(bsz, seq_len, cfg.n_heads, head_dim)
 
         # Fused Pallas attention: the inference kernel handles the
-        # deterministic/no-dropout case; the TRAINING kernel pair
-        # (flash_attention_train) additionally runs attention-probs
+        # deterministic/no-dropout unpacked case; the TRAINING kernel
+        # pair (flash_attention_train) additionally runs attention-probs
         # dropout in-kernel via a counter-based hash — statistically the
         # same Bernoulli(1-p) as flax Dropout but a different stream (the
-        # same contract as torch-vs-JAX RNG in the parity suite). Neither
-        # implements the cls_only row-slice or segment masking, so those
-        # stay on the XLA path.
-        use_pallas = (
-            cfg.attention_impl == "pallas"
-            and not cls_only
-            and segment_ids is None
-        )
-        if use_pallas and not (deterministic or cfg.attention_dropout == 0.0):
+        # same contract as torch-vs-JAX RNG in the parity suite) — and
+        # supports packed segment masking. The cls_only row-slice stays
+        # on the XLA path (the final block's q is 1 row).
+        use_pallas = cfg.attention_impl == "pallas" and not cls_only
+        train_mode = not (deterministic or cfg.attention_dropout == 0.0)
+        if use_pallas and train_mode:
             from cldrd_tpu.ops.attention import flash_attention_train
 
             seed = jax.random.bits(
@@ -269,9 +266,9 @@ class MultiHeadSelfAttention(nn.Module):
             ).astype(jnp.int32)
             context = flash_attention_train(
                 q, k, v, attention_mask, seed,
-                float(cfg.attention_dropout),
+                float(cfg.attention_dropout), segment_ids,
             )
-        elif use_pallas:
+        elif use_pallas and segment_ids is None:
             from cldrd_tpu.ops.attention import flash_attention
 
             context = flash_attention(q, k, v, attention_mask)

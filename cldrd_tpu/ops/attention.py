@@ -202,8 +202,13 @@ def dropout_keep_mask(bsz: int, n_heads: int, q_len: int, k_len: int,
 
 
 def _train_fwd_kernel_factory(n_heads: int, seq_len: int,
-                              dropout_p: float):
-    def kernel(q_ref, k_ref, v_ref, mask_ref, seed_ref, out_ref):
+                              dropout_p: float,
+                              with_segments: bool = False):
+    def kernel(q_ref, k_ref, v_ref, mask_ref, *rest):
+        if with_segments:
+            seg_ref, seed_ref, out_ref = rest
+        else:
+            seed_ref, out_ref = rest
         b = pl.program_id(0)
         q = q_ref[0]  # [H, L, D]
         k = k_ref[0]
@@ -216,7 +221,14 @@ def _train_fwd_kernel_factory(n_heads: int, seq_len: int,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [H, L, L] fp32
-        scores = jnp.where(mask[None, None, :] != 0, scores, NEG_INF)
+        allowed = mask[None, None, :] != 0
+        if with_segments:
+            # packed rows (data/packing.py): tokens attend only within
+            # their segment — exactly the XLA path's pairwise mask
+            seg = seg_ref[0, 0, :]  # [L]
+            allowed = allowed & (
+                seg[None, :, None] == seg[None, None, :])
+        scores = jnp.where(allowed, scores, NEG_INF)
         m = jnp.max(scores, axis=-1, keepdims=True)
         p = jnp.exp(scores - m)
         probs = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
@@ -243,14 +255,18 @@ def _train_fwd_kernel_factory(n_heads: int, seq_len: int,
 
 
 def _train_bwd_kernel_factory(n_heads: int, seq_len: int,
-                              dropout_p: float, heads_per: int):
+                              dropout_p: float, heads_per: int,
+                              with_segments: bool = False):
     """``heads_per``: heads handled per program — the backward holds two
     fp32 and two bf16 [H, L, L] tensors live at once, which blows the
     16 MB scoped-VMEM limit at H=12, L=256 (measured 18.4 MB), so heads
     split across a second grid dimension. The dropout hash uses the
     GLOBAL head index so any split reproduces the forward's mask."""
-    def kernel(q_ref, k_ref, v_ref, mask_ref, seed_ref, g_ref,
-               dq_ref, dk_ref, dv_ref):
+    def kernel(q_ref, k_ref, v_ref, mask_ref, *rest):
+        if with_segments:
+            seg_ref, seed_ref, g_ref, dq_ref, dk_ref, dv_ref = rest
+        else:
+            seed_ref, g_ref, dq_ref, dk_ref, dv_ref = rest
         b = pl.program_id(0)
         h0 = pl.program_id(1) * heads_per  # global index of first head
         q = q_ref[0]
@@ -267,7 +283,12 @@ def _train_bwd_kernel_factory(n_heads: int, seq_len: int,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        scores = jnp.where(mask[None, None, :] != 0, scores, NEG_INF)
+        allowed = mask[None, None, :] != 0
+        if with_segments:
+            seg = seg_ref[0, 0, :]
+            allowed = allowed & (
+                seg[None, :, None] == seg[None, None, :])
+        scores = jnp.where(allowed, scores, NEG_INF)
         m = jnp.max(scores, axis=-1, keepdims=True)
         p = jnp.exp(scores - m)
         probs = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
@@ -343,28 +364,39 @@ def _train_flops(bsz, n_heads, seq_len, head_dim, n_dots):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def flash_attention_train(q, k, v, mask, seed, dropout_p=0.0):
+def flash_attention_train(q, k, v, mask, seed, dropout_p=0.0,
+                          segment_ids=None):
     """Fused attention for TRAINING: q/k/v [B, L, H, D], mask [B, L],
     ``seed`` an int32 scalar array (fold the step RNG into it), static
-    ``dropout_p``. Attention-probs dropout runs INSIDE the kernels via a
-    counter-based hash (see ``dropout_keep_mask`` for the exact stream),
-    so neither the [B,H,L,L] probability tensor nor its dropout mask ever
-    reaches HBM — in either direction."""
-    return _train_fwd(q, k, v, mask, seed, dropout_p)[0]
+    ``dropout_p``, optional ``segment_ids`` [B, L] (packed rows,
+    ``data/packing.py``: attention restricted to ``seg_q == seg_k``).
+    Attention-probs dropout runs INSIDE the kernels via a counter-based
+    hash (see ``dropout_keep_mask`` for the exact stream), so neither the
+    [B,H,L,L] probability tensor nor its dropout mask ever reaches HBM —
+    in either direction."""
+    return _train_fwd(q, k, v, mask, seed, dropout_p, segment_ids)[0]
 
 
-def _train_fwd(q, k, v, mask, seed, dropout_p):
+def _train_fwd(q, k, v, mask, seed, dropout_p, segment_ids=None):
     bsz, seq_len, n_heads, head_dim = q.shape
     qt, kt, vt = (jnp.transpose(x, (0, 2, 1, 3)) for x in (q, k, v))
     mask3 = mask[:, None, :]
     seed2 = jnp.asarray(seed, jnp.int32).reshape(1, 1)
     qkv_spec, mask_spec, seed_spec = _train_specs(
         bsz, seq_len, n_heads, head_dim)
+    operands = [qt, kt, vt, mask3]
+    in_specs = [qkv_spec, qkv_spec, qkv_spec, mask_spec]
+    if segment_ids is not None:
+        operands.append(segment_ids[:, None, :].astype(jnp.int32))
+        in_specs.append(mask_spec)
+    operands.append(seed2)
+    in_specs.append(seed_spec)
     interpret = jax.default_backend() == "cpu"
     out = pl.pallas_call(
-        _train_fwd_kernel_factory(n_heads, seq_len, dropout_p),
+        _train_fwd_kernel_factory(n_heads, seq_len, dropout_p,
+                                  with_segments=segment_ids is not None),
         grid=(bsz,),
-        in_specs=[qkv_spec, qkv_spec, qkv_spec, mask_spec, seed_spec],
+        in_specs=in_specs,
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
         interpret=interpret,
@@ -374,8 +406,9 @@ def _train_fwd(q, k, v, mask, seed, dropout_p):
             * q.dtype.itemsize,
             transcendentals=bsz * n_heads * seq_len * seq_len,
         ),
-    )(qt, kt, vt, mask3, seed2)
-    return jnp.transpose(out, (0, 2, 1, 3)), (q, k, v, mask, seed)
+    )(*operands)
+    return (jnp.transpose(out, (0, 2, 1, 3)),
+            (q, k, v, mask, seed, segment_ids))
 
 
 def _bwd_head_groups(n_heads: int, seq_len: int) -> int:
@@ -393,7 +426,7 @@ def _bwd_head_groups(n_heads: int, seq_len: int) -> int:
 
 
 def _train_bwd(dropout_p, residuals, g):
-    q, k, v, mask, seed = residuals
+    q, k, v, mask, seed, segment_ids = residuals
     bsz, seq_len, n_heads, head_dim = q.shape
     qt, kt, vt, gt = (jnp.transpose(x, (0, 2, 1, 3)) for x in (q, k, v, g))
     mask3 = mask[:, None, :]
@@ -409,12 +442,19 @@ def _train_bwd(dropout_p, residuals, g):
     )
     seed_spec = pl.BlockSpec((1, 1), lambda b, h: (0, 0),
                              memory_space=pltpu.VMEM)
+    operands = [qt, kt, vt, mask3]
+    in_specs = [hblk_spec, hblk_spec, hblk_spec, mask_spec]
+    if segment_ids is not None:
+        operands.append(segment_ids[:, None, :].astype(jnp.int32))
+        in_specs.append(mask_spec)
+    operands += [seed2, gt]
+    in_specs += [seed_spec, hblk_spec]
     interpret = jax.default_backend() == "cpu"
     dq, dk, dv = pl.pallas_call(
-        _train_bwd_kernel_factory(n_heads, seq_len, dropout_p, heads_per),
+        _train_bwd_kernel_factory(n_heads, seq_len, dropout_p, heads_per,
+                                  with_segments=segment_ids is not None),
         grid=(bsz, groups),
-        in_specs=[hblk_spec, hblk_spec, hblk_spec, mask_spec, seed_spec,
-                  hblk_spec],
+        in_specs=in_specs,
         out_specs=[hblk_spec, hblk_spec, hblk_spec],
         out_shape=[jax.ShapeDtypeStruct(qt.shape, q.dtype)] * 3,
         interpret=interpret,
@@ -424,9 +464,9 @@ def _train_bwd(dropout_p, residuals, g):
             * q.dtype.itemsize,
             transcendentals=bsz * n_heads * seq_len * seq_len,
         ),
-    )(qt, kt, vt, mask3, seed2, gt)
+    )(*operands)
     un = lambda x: jnp.transpose(x, (0, 2, 1, 3))  # noqa: E731
-    return un(dq), un(dk), un(dv), None, None
+    return un(dq), un(dk), un(dv), None, None, None
 
 
 flash_attention_train.defvjp(_train_fwd, _train_bwd)

@@ -72,16 +72,21 @@ def test_flash_gradients_match_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
 
 
-def _xla_attention_with_keep(q, k, v, mask, keep, p):
+def _xla_attention_with_keep(q, k, v, mask, keep, p, seg=None):
     """XLA reference applying the EXACT keep mask the train kernel's
     counter-based hash generates (dropout_keep_mask) — the ops mirror the
     kernel's (explicit max-subtracted softmax, probs cast to compute
-    dtype, where-masked inverse scaling)."""
+    dtype, where-masked inverse scaling); ``seg`` adds the packed-row
+    pairwise segment mask."""
     head_dim = q.shape[-1]
     qs = q / jnp.sqrt(jnp.asarray(head_dim, q.dtype))
     scores = jnp.einsum(
         "bqhd,bkhd->bhqk", qs, k, preferred_element_type=jnp.float32)
-    scores = jnp.where(mask[:, None, None, :] != 0, scores, -1e9)
+    allowed = mask[:, None, None, :] != 0
+    if seg is not None:
+        allowed = allowed & (
+            seg[:, None, :, None] == seg[:, None, None, :])
+    scores = jnp.where(allowed, scores, -1e9)
     m = jnp.max(scores, axis=-1, keepdims=True)
     pr = jnp.exp(scores - m)
     probs = (pr / jnp.sum(pr, axis=-1, keepdims=True)).astype(q.dtype)
@@ -154,6 +159,41 @@ class TestFlashAttentionTrain:
         keep = dropout_keep_mask(8, 12, 64, 64, jnp.int32(3), p)
         frac = float(np.asarray(keep).mean())
         assert abs(frac - (1 - p)) < 0.01, frac
+
+    def test_segment_masked_dropout_matches_reference(self):
+        """Packed rows: the kernel's pairwise segment mask + in-kernel
+        dropout must match the XLA reference with the hash twin's keep
+        mask — outputs and gradients."""
+        p = 0.2
+        q, k, v, _ = _random_qkv(jax.random.PRNGKey(13), bsz=2, seq=32,
+                                 heads=4, dim=8)
+        seg = np.zeros((2, 32), np.int32)
+        seg[:, :12] = 1
+        seg[:, 12:28] = 2  # two segments + 4 padding tokens (segment 0)
+        mask = jnp.asarray((seg > 0).astype(np.int32))
+        seg = jnp.asarray(seg)
+        seed = jnp.int32(99)
+        keep = dropout_keep_mask(2, 4, 32, 32, seed, p)
+        out = flash_attention_train(q, k, v, mask, seed, p, seg)
+        ref = _xla_attention_with_keep(q, k, v, mask, keep, p, seg)
+        real = np.asarray(mask, bool)  # padded q rows are don't-care
+        np.testing.assert_allclose(
+            np.asarray(out)[real], np.asarray(ref)[real],
+            atol=1e-5, rtol=1e-5)
+
+        def loss_t(q, k, v):
+            o = flash_attention_train(q, k, v, mask, seed, p, seg)
+            return jnp.sum(jnp.where(mask[:, :, None, None] != 0, o, 0.0) ** 2)
+
+        def loss_r(q, k, v):
+            o = _xla_attention_with_keep(q, k, v, mask, keep, p, seg)
+            return jnp.sum(jnp.where(mask[:, :, None, None] != 0, o, 0.0) ** 2)
+
+        g1 = jax.grad(loss_t, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
 
     def test_encoder_train_mode_pallas_dropout(self):
         """Encoder forward in TRAIN mode (deterministic=False) with
