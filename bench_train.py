@@ -264,27 +264,29 @@ def main():
     # (save weight-matmul outputs, recompute attention internals) is the
     # sweet spot there; bz>=24 exceeds HBM even under 'dots' (the saved
     # q/k/v/ffn outputs are ~14 KB/token x 6 layers) -> full-block remat.
-    for bz, remat, policy in [
-        (8, False, "full"),
-        (16, True, "dots"),
-        (16, True, "full"),
-        (24, True, "full"),
-        (32, True, "full"),
+    for bz, remat, policy, attn in [
+        (8, False, "full", "pallas"),   # best flat: fused train attention
+        (8, False, "full", "xla"),
+        (16, True, "dots", "xla"),
+        (16, True, "full", "xla"),
+        (24, True, "full", "xla"),
+        (32, True, "full", "xla"),
     ]:
         try:
             print(json.dumps(bench_batch_size(bz, remat=remat,
-                                              remat_policy=policy)))
+                                              remat_policy=policy,
+                                              attention_impl=attn)))
         except Exception as e:  # e.g. OOM on a configuration that no longer fits
             print(json.dumps({
-                "metric": f"train_step_bz{bz}_remat{int(remat)}_{policy}",
+                "metric": f"train_step_bz{bz}_remat{int(remat)}_{policy}_{attn}",
                 "error": f"{type(e).__name__}: {str(e)[:200]}",
             }))
-    for bz in (8, 16):
+    for bz, attn in ((8, "pallas"), (8, "xla"), (16, "xla")):
         try:
-            print(json.dumps(bench_packed(bz)))
+            print(json.dumps(bench_packed(bz, attention_impl=attn)))
         except Exception as e:
             print(json.dumps({
-                "metric": f"train_step_bz{bz}_packed",
+                "metric": f"train_step_bz{bz}_packed_{attn}",
                 "error": f"{type(e).__name__}: {str(e)[:200]}",
             }))
 
