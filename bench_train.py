@@ -82,6 +82,7 @@ def bench_batch_size(bz: int, remat: bool = False,
         max_passage_len=LP,
         compute_dtype="bfloat16",
         remat=remat,
+        pack_passages=False,  # this bench builds the flat [bz, nway, L] batch
         run_folder="/tmp/cldrd_bench_train",
         experiment_name=f"bz{bz}",
     )
@@ -161,7 +162,7 @@ def bench_batch_size(bz: int, remat: bool = False,
 
 
 def bench_packed(bz: int, softmax_bf16: bool = False,
-                 attention_impl: str = "xla") -> dict:
+                 attention_impl: str = "auto") -> dict:
     """The train step with sequence packing (data/packing.py) at realistic
     MS MARCO passage lengths (clipped lognormal, ~70-token mean — the same
     distribution as examples/bench_bucketed_encode.py). Flat padding makes
@@ -246,7 +247,7 @@ def bench_packed(bz: int, softmax_bf16: bool = False,
     tag = "_softmaxbf16" if softmax_bf16 else ""
     if attention_impl != "xla":
         tag += f"_{attention_impl}attn"
-    return {
+    out = {
         "metric": f"train_step_examples_per_s_bz{bz}_packed{tag}_msmarco_lengths",
         "value": round(bz / per_step, 2),
         "unit": "examples/s",
@@ -255,6 +256,11 @@ def bench_packed(bz: int, softmax_bf16: bool = False,
         "packed_rows_per_example": rows,
         "mfu_pct": round(100 * flops / per_step / (PEAK_BF16_TFLOPS * 1e12), 1),
     }
+    if attention_impl == "auto":
+        from cldrd_tpu.models import resolve_attention_impl
+
+        out["attention_impl_resolved"] = resolve_attention_impl("auto", True)
+    return out
 
 
 def main():
@@ -281,7 +287,10 @@ def main():
                 "metric": f"train_step_bz{bz}_remat{int(remat)}_{policy}_{attn}",
                 "error": f"{type(e).__name__}: {str(e)[:200]}",
             }))
-    for bz, attn in ((8, "pallas"), (8, "xla"), (16, "xla")):
+    # the "auto" row is the NO-FLAGS default configuration: on TPU it must
+    # match the explicit packed+pallas row (the measured-best path is the
+    # product default, VERDICT r4 item 1)
+    for bz, attn in ((8, "auto"), (8, "pallas"), (8, "xla"), (16, "xla")):
         try:
             print(json.dumps(bench_packed(bz, attention_impl=attn)))
         except Exception as e:

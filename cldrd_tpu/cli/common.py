@@ -44,12 +44,13 @@ def model_config_from_args(args: argparse.Namespace) -> DistilBertConfig:
         else:
             overrides = json.loads(spec)
         overrides.setdefault(
-            "attention_impl", getattr(args, "attention_impl", "xla")
+            "attention_impl", getattr(args, "attention_impl", "auto")
         )
         return cfg_cls(**overrides)
     if getattr(args, "model_size", "full") == "tiny":
-        return cfg_cls.tiny()
-    full_kwargs = dict(attention_impl=getattr(args, "attention_impl", "xla"))
+        return cfg_cls.tiny(
+            attention_impl=getattr(args, "attention_impl", "auto"))
+    full_kwargs = dict(attention_impl=getattr(args, "attention_impl", "auto"))
     if arch == "bert":
         # full BERT defaults to the bert-base-uncased shape (the inherited
         # defaults describe distilbert-base: 6 layers)
@@ -69,7 +70,12 @@ def add_model_args(p: argparse.ArgumentParser, cosine: bool = True) -> None:
     p.add_argument("--model-config", default=None,
                    help="config overrides as a JSON file path or "
                         "inline JSON (takes precedence over --model-size)")
-    p.add_argument("--attention-impl", choices=("xla", "pallas"), default="xla")
+    p.add_argument("--attention-impl", choices=("auto", "xla", "pallas"),
+                   default="auto",
+                   help="'auto' (default) = measured-best per backend: the "
+                        "fused Pallas train kernels on TPU when dropout is "
+                        "active, XLA everywhere else (inference/encode, and "
+                        "CPU). Explicit 'xla'/'pallas' force that path")
     # default=None so a YAML config's share_weights survives when the flag
     # is not passed (argparse's store_true default False would clobber it)
     p.add_argument("--share-weights", action="store_true", default=None,

@@ -53,7 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pack-passages", action="store_true", default=None,
                    help="pack short passages into shared rows "
                         "(token-proportional passage-tower FLOPs, "
-                        "identical logits)")
+                        "identical logits). Default 'auto': ON for TPU, "
+                        "OFF for CPU")
+    p.add_argument("--no-pack-passages", dest="pack_passages",
+                   action="store_false",
+                   help="force the flat [bz, nway, L] layout")
     p.add_argument("--model-checkpoint", default=None,
                    help="warm start for iteration 1 (e.g. converted TAS-B)")
     p.add_argument("--eval-queries", default=None,

@@ -55,7 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pack short passages into shared max-passage-len "
                         "rows (segment-masked attention + position reset): "
                         "~token-proportional passage-tower FLOPs, "
-                        "numerically identical logits")
+                        "numerically identical logits. Default 'auto': "
+                        "ON for TPU (the measured-best configuration), "
+                        "OFF for CPU")
+    p.add_argument("--no-pack-passages", dest="pack_passages",
+                   action="store_false",
+                   help="force the flat [bz, nway, L] layout (overrides "
+                        "the TPU 'auto' default)")
     p.add_argument("--tensorboard", action="store_true", default=None,
                    help="also write TensorBoard event files under "
                         "<run_dir>/tb (TSV/JSONL logs are always written)")

@@ -1,4 +1,5 @@
-from .distilbert import DistilBertConfig, DistilBertEncoder, cls_pool
+from .distilbert import (DistilBertConfig, DistilBertEncoder, cls_pool,
+                         resolve_attention_impl)
 from .bert import BertConfig, BertEncoder
 from .dual_encoder import NwayDualEncoder, DualEncoder
 from .cross_encoder import CrossEncoder
@@ -25,6 +26,7 @@ __all__ = [
     "DualEncoder",
     "CrossEncoder",
     "distilbert_torch_to_flax",
+    "resolve_attention_impl",
     "distilbert_flax_to_torch",
     "bert_torch_to_flax",
     "bert_flax_to_torch",

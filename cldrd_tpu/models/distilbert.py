@@ -16,8 +16,10 @@ TPU-first design choices (NOT a port of the torch module):
   (``nway_listwise_1.py:31,328-359``); bf16 needs no loss scaling.
 - all shapes static: sequences are padded to fixed ``max_len`` by the host
   collator so every train/encode step hits the same XLA executable.
-- attention is one fused ``einsum`` chain; an optional Pallas flash-attention
-  kernel (``cldrd_tpu.ops.attention``) can be swapped in via ``attention_impl``.
+- attention defaults to ``attention_impl='auto'``: the fused Pallas train
+  kernels (``cldrd_tpu.ops.attention``) on TPU when dropout is active, the
+  fused ``einsum`` chain (XLA) everywhere else; explicit 'xla'/'pallas'
+  override (see :func:`resolve_attention_impl`).
 - no data-dependent Python control flow anywhere under ``jit``.
 """
 from __future__ import annotations
@@ -37,6 +39,24 @@ Dtype = Any
 NEG_INF = -1e9
 
 
+def resolve_attention_impl(impl: str, train_mode: bool) -> str:
+    """Resolve ``attention_impl='auto'`` to the measured-best implementation
+    for the current backend (a trace-time Python decision — the choice is
+    static per compiled executable):
+
+    - TPU + training (attention dropout active): the fused Pallas fwd+bwd
+      train kernels (``ops/attention.py``) — 47.1% vs 37.3% MFU at the
+      reference workload shape (bench_train.py, docs/perf.md).
+    - everything else — TPU inference/encode (the Pallas inference kernel
+      measured 0.98x XLA) and CPU (kernels would run in interpret mode) —
+      the XLA einsum path.
+
+    Explicit 'xla'/'pallas' always win (the CLI flag overrides)."""
+    if impl != "auto":
+        return impl
+    return "pallas" if (train_mode and jax.default_backend() == "tpu") else "xla"
+
+
 @dataclasses.dataclass(frozen=True)
 class DistilBertConfig:
     """Static architecture hyperparameters (HF ``DistilBertConfig`` parity)."""
@@ -51,8 +71,14 @@ class DistilBertConfig:
     attention_dropout: float = 0.1
     layer_norm_eps: float = 1e-12
     initializer_range: float = 0.02
+    # 'auto' (default) = measured-best per backend, resolved at trace time
+    # by resolve_attention_impl(): the fused Pallas TRAIN kernels on TPU
+    # when attention dropout is active (47.1% vs 37.3% MFU, bench_train.py),
+    # XLA everywhere else — inference/encode stays XLA even on TPU (the
+    # Pallas inference kernel measured 0.98x XLA, docs/perf.md), and CPU
+    # stays XLA (the kernels would only run in interpret mode there).
     # 'xla' = einsum attention (XLA fuses); 'pallas' = fused Pallas kernel.
-    attention_impl: str = "xla"
+    attention_impl: str = "auto"
     # compute q/k/v in ONE [D, 3D] matmul (the three projection kernels
     # concatenate at apply time; the param tree and per-output numerics are
     # unchanged — each output column still reduces over the same D inputs).
@@ -256,8 +282,9 @@ class MultiHeadSelfAttention(nn.Module):
         # same contract as torch-vs-JAX RNG in the parity suite) — and
         # supports packed segment masking. The cls_only row-slice stays
         # on the XLA path (the final block's q is 1 row).
-        use_pallas = cfg.attention_impl == "pallas" and not cls_only
         train_mode = not (deterministic or cfg.attention_dropout == 0.0)
+        impl = resolve_attention_impl(cfg.attention_impl, train_mode)
+        use_pallas = impl == "pallas" and not cls_only
         if use_pallas and train_mode:
             from cldrd_tpu.ops.attention import flash_attention_train
 

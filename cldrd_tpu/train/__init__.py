@@ -1,4 +1,5 @@
-from .config import TrainConfig, CurriculumConfig, curriculum_iterations
+from .config import (TrainConfig, CurriculumConfig, curriculum_iterations,
+                     resolve_pack_passages)
 from .optim import make_optimizer, linear_warmup_schedule
 from .checkpoint import save_checkpoint, load_checkpoint, latest_checkpoint
 from .trainer import Trainer, TrainState, batch_mrr_recall, make_loss_fn, make_train_step
@@ -11,6 +12,7 @@ __all__ = [
     "TrainConfig",
     "CurriculumConfig",
     "curriculum_iterations",
+    "resolve_pack_passages",
     "make_optimizer",
     "linear_warmup_schedule",
     "save_checkpoint",

@@ -234,6 +234,9 @@ class Trainer:
         model_config: DistilBertConfig,
         mesh: Optional[Mesh] = None,
     ):
+        # 'auto' fields -> concrete values for this backend (pack_passages:
+        # ON for TPU, OFF for CPU) so config.yaml records what actually ran
+        cfg = cfg.resolve()
         self.cfg = cfg
         if cfg.remat and not model_config.remat:
             import dataclasses

@@ -196,11 +196,14 @@ def _read_eval_tsv(path: str) -> list:
 # from 0.98 to 0.43)
 _TINY = json.dumps(dict(vocab_size=32768, max_position_embeddings=64,
                         dim=32, n_layers=2, n_heads=4, hidden_dim=64))
-_MODEL = ["--model-config", _TINY, "--tokenizer", "hash",
-          "--share-weights"]
 
 
-def _base_yaml(out_dir: str, batch_size: int) -> str:
+def _model_args(attention_impl: str) -> list:
+    return ["--model-config", _TINY, "--tokenizer", "hash",
+            "--share-weights", "--attention-impl", attention_impl]
+
+
+def _base_yaml(out_dir: str, batch_size: int, seed: int = 0) -> str:
     from cldrd_tpu.train import TrainConfig
 
     # in_batch_loss: other examples' passages as extra negatives (reference
@@ -214,11 +217,14 @@ def _base_yaml(out_dir: str, batch_size: int) -> str:
     # --share_weights path) makes token-overlap scoring directly learnable
     # by a random-init student — with separate towers the tiny model just
     # memorizes its one labeled positive and mines noise, not near-misses
+    # seed rides into the TRAINING RNG too (param init, shuffles, dropout
+    # stream), so the multi-seed report varies the full pipeline, not just
+    # the corpus/teacher draws
     cfg = TrainConfig(max_query_len=16, max_passage_len=24,
                       compute_dtype="float32", warmup_steps=2,
                       logging_steps=50, evaluate_steps=10**6,
                       batch_size=batch_size, in_batch_loss=True,
-                      share_weights=True)
+                      share_weights=True, seed=4680 + seed)
     path = os.path.join(out_dir, "base.yaml")
     cfg.save_yaml(path)
     return path
@@ -229,7 +235,14 @@ def run(out_dir: str, n_q: int = 128, n_passages: int = 50_000,
         epochs=(8, 4, 4), lrs=(1e-3, 5e-4, 5e-4),
         mine_topk: int = 100,
         teacher_noise: float = 0.05, eval_topk: int = 10,
-        seed: int = 0) -> dict:
+        seed: int = 0, attention_impl: str = "xla",
+        pack_passages: bool = False) -> dict:
+    """``attention_impl='pallas'`` + ``pack_passages=True`` is the FAST-PATH
+    variant: the measured-best TPU train configuration (the 'auto' default
+    on TPU). On CPU the Pallas train kernels run in interpret mode — the
+    TPU kernels' exact math (per-op exact equivalence incl. the counter-
+    hash dropout stream: tests/test_ops.py), so a CPU fast-path quality
+    run transfers to the TPU kernels verbatim."""
     from cldrd_tpu.cli import create_training_data as cli_ctd
     from cldrd_tpu.cli import curriculum as cli_curriculum
     from cldrd_tpu.cli import index as cli_index
@@ -237,8 +250,12 @@ def run(out_dir: str, n_q: int = 128, n_passages: int = 50_000,
     from cldrd_tpu.cli import train as cli_train
     from cldrd_tpu.evaluation import RankingEvaluator
 
+    _MODEL = _model_args(attention_impl)
+    # explicit either way: the report must not depend on the backend's
+    # 'auto' resolution (both arms + warm-up share the same layout)
+    pack_flag = ["--pack-passages"] if pack_passages else ["--no-pack-passages"]
     f = make_corpus(os.path.join(out_dir, "data"), n_q, n_passages, seed=seed)
-    yaml = _base_yaml(out_dir, batch_size)
+    yaml = _base_yaml(out_dir, batch_size, seed=seed)
     evaluator = RankingEvaluator(f["qrels_full"])
 
     # 1. warm-up on the sparse labels with RANDOM negatives: the shared
@@ -252,7 +269,8 @@ def run(out_dir: str, n_q: int = 128, n_passages: int = 50_000,
         "--passages-path", f["passages"], "--label-mode", "1",
         "--config", yaml, "--learning-rate", "5e-3", "--loss", "ranknet",
         "--num-train-epochs", str(warmup_epochs),
-        "--run-folder", out_dir, "--experiment-name", "warmup", *_MODEL,
+        "--run-folder", out_dir, "--experiment-name", "warmup",
+        *pack_flag, *_MODEL,
     ])
     assert rc == 0
     warm_ckpt = _latest_checkpoint(warm_dir)
@@ -324,7 +342,7 @@ def run(out_dir: str, n_q: int = 128, n_passages: int = 50_000,
             "--config", yaml, "--run-folder", folder,
             "--eval-queries", f["queries"], "--eval-qrels", f["qrels_full"],
             "--eval-topk", str(eval_topk), "--eval-batch-size", "256",
-            *_MODEL,
+            *pack_flag, *_MODEL,
         ])
         assert rc == 0
         results[name] = _read_eval_tsv(os.path.join(folder, "curriculum_eval.tsv"))
@@ -354,6 +372,8 @@ def run(out_dir: str, n_q: int = 128, n_passages: int = 50_000,
     }
     report = {
         "n_queries": n_q, "n_passages": n_passages,
+        "seed": seed, "attention_impl": attention_impl,
+        "pack_passages": pack_passages,
         "metric": met, "recall_metric": rec,
         "iter0": {met: iter0[met], rec: iter0[rec], "MRR@10": iter0["MRR@10"]},
         "distill": [{**{"step": r["step"]}, met: r[met], rec: r[rec],
@@ -372,9 +392,19 @@ def main(argv=None) -> int:
     p.add_argument("--n-passages", type=int, default=50_000)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--attention-impl", choices=("xla", "pallas"),
+                   default="xla",
+                   help="'pallas' = the fast-path variant (the TPU 'auto' "
+                        "default; interpret mode on CPU — the kernels' "
+                        "exact math)")
+    p.add_argument("--pack-passages", action="store_true",
+                   help="packed passage rows (the other half of the "
+                        "fast-path default)")
     args = p.parse_args(argv)
     report = run(args.out, n_q=args.n_queries, n_passages=args.n_passages,
-                 batch_size=args.batch_size, seed=args.seed)
+                 batch_size=args.batch_size, seed=args.seed,
+                 attention_impl=args.attention_impl,
+                 pack_passages=args.pack_passages)
     with open(os.path.join(args.out, "report.json"), "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report))

@@ -89,6 +89,12 @@ python -m cldrd_tpu.cli.evaluate \
 #    between-stage quality curve (BASELINE configs 4/5). The same arms-
 #    and-checks protocol is demonstrated hermetically end-to-end by
 #    examples/distill_experiment.py.
+#    NOTE: on TPU the trainer's 'auto' defaults select the measured-best
+#    configuration with NO flags — fused Pallas train attention + packed
+#    passage rows (104.2 ex/s vs 35.5 for the reference layout,
+#    bench_train.py; quality-proven end-to-end by the fast-path distill
+#    report). Add --no-pack-passages --attention-impl xla to force the
+#    reference layout instead.
 TRAIN_DIR="${TRAIN_DIR:-$DATA_DIR/train}"
 TASB="${TASB:-/data/tas-b/distilbert-dot-tas_b-b256-msmarco}"
 if [ -f "$TRAIN_DIR/5relT_25neg.train.json" ] \
