@@ -687,13 +687,17 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("bfloat16", "float32", "int8"))
     p.add_argument("--shards", type=int, default=1,
                    help="shard the corpus over this many local devices; "
-                        "0 = all local devices")
+                        "0 = all local devices. Applies to every index "
+                        "tier (flat, IVF, IVFPQ) — FAISS shards any index "
+                        "type, and so does this daemon")
     p.add_argument("--ivf", action="store_true",
                    help="serve from the IVF index at <index>/ivf "
                         "(built by cldrd-index --ivf-nlist): probes "
                         "--nprobe cells per query instead of scanning the "
                         "whole corpus — the low-latency mode for small "
-                        "request batches")
+                        "request batches. Combines with --shards (buckets "
+                        "row-shard over the mesh, probe merge over ICI); "
+                        "live /add and /remove require an unsharded index")
     p.add_argument("--nprobe", type=int, default=None,
                    help="IVF cells probed per query (default: the value "
                         "stored at build time); higher = better recall, "
@@ -772,11 +776,6 @@ def make_service(args) -> SearchService:
                 f"={cfg.max_position_embeddings}")
     mesh = None
     if args.shards != 1:
-        if getattr(args, "ivf", False):
-            raise SystemExit("--ivf does not combine with --shards: the "
-                             "IVF index is single-device (it exists for "
-                             "the low-latency regime; shard the flat "
-                             "index for capacity)")
         from cldrd_tpu.parallel import CORPUS_AXIS, make_mesh
 
         mesh = make_mesh(args.shards or None, CORPUS_AXIS)
@@ -817,14 +816,21 @@ def make_service(args) -> SearchService:
                 is_pq = json.load(f)["dtype"] == "pq"
             # a PQ store's device representation is fixed (uint8 codes,
             # fp32 LUT scoring): --hbm-dtype does not apply to it
+            # mesh-sharded load (FAISS shards any index type into serving,
+            # reference retrieval_utils.py:164-182): buckets row-shard over
+            # the corpus axis, centroids/codebooks replicate, probe results
+            # merge over ICI — answers are identical to the single-device
+            # load (tests/test_ivf.py::TestShardedIVF)
             idx = IVFIndex.load(
                 ivf_dir, dtype=None if is_pq else hbm_dtype,
-                precision=args.precision)
+                precision=args.precision, mesh=mesh)
             if args.nprobe is not None:
                 idx.nprobe = min(args.nprobe, idx.n_buckets)
-            logger.info("IVF%s serving: %d buckets x %d slot, nprobe=%d",
+            logger.info("IVF%s serving: %d buckets x %d slot, nprobe=%d%s",
                         "PQ" if is_pq else "", idx.n_buckets, idx.slot,
-                        idx.nprobe)
+                        idx.nprobe,
+                        "" if mesh is None else
+                        f", sharded over {mesh.devices.size} devices")
             if args.refine_factor:
                 from cldrd_tpu.index import DiskRefiner, RefinedIndex
                 from cldrd_tpu.index.persistence import index_exists

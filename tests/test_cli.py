@@ -938,6 +938,140 @@ def test_cli_serve_sharded(corpus_files, tmp_path):
         httpd.server_close()
 
 
+def test_cli_serve_ivf_sharded(corpus_files, tmp_path):
+    """cldrd-serve --ivf --shards 0: the IVF tier serves mesh-sharded
+    (FAISS shards any index type, reference retrieval_utils.py:164-182).
+    Served answers must equal the single-device IVF load of the same
+    artifacts at the same nprobe; live /add refuses cleanly (400 with the
+    library's message) instead of corrupting shards."""
+    import threading
+    import urllib.error
+    import urllib.request
+
+    import jax.numpy as jnp
+
+    from cldrd_tpu.cli import serve as cli_serve
+    from cldrd_tpu.index import IVFIndex
+
+    f = corpus_files
+    idx_dir = str(tmp_path / "ivf_sh_idx")
+    rc = cli_index.main([
+        "--collection", f["passages"], "--out", idx_dir,
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "16", "--batch-size", "8",
+        "--compute-dtype", "float32",
+        "--ivf-nlist", "4", "--ivf-slot", "128", "--ivf-nprobe", "2",
+    ])
+    assert rc == 0
+    args = cli_serve.build_parser().parse_args([
+        "--index", idx_dir, "--port", "0", "--shards", "0",
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "12", "--passage-max-length", "16",
+        "--encode-batch-size", "8", "--topk", "5",
+        "--ivf", "--nprobe", "2",
+        "--hbm-dtype", "float32", "--precision", "highest",
+    ])
+    httpd = cli_serve.serve(args)
+    svc = httpd.RequestHandlerClass.service
+    try:
+        assert svc.index.mesh is not None
+        assert svc.index.mesh.devices.size == 8
+        assert svc.index.n_buckets % 8 == 0  # padded to the mesh
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.loads(r.read())
+
+        queries = ["find subject3 info", "find subject7 info"]
+        got = post("/search", {"queries": queries, "k": 5})["results"]
+
+        # oracle: the single-device IVF over the same artifacts at the
+        # same partial nprobe, queried with the service's own encoder —
+        # the sharded probe + ICI merge must answer identically
+        single = IVFIndex.load(os.path.join(idx_dir, "ivf"),
+                               dtype=jnp.float32, precision="highest")
+        tokens = svc._pad(svc.tokenizer(queries, svc.max_length),
+                          svc.encode_batch)
+        embs = np.asarray(svc.encode_fn(tokens))[: len(queries)]
+        _, want = single.search(embs, 5, nprobe=2)
+        for r in range(len(queries)):
+            assert [h["id"] for h in got[r]] == want[r].tolist()
+
+        # live mutation refuses cleanly on a sharded IVF deployment
+        try:
+            post("/add", {"ids": [9100], "texts": ["find walrus info"]})
+            raise AssertionError("expected HTTP 400 for sharded /add")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "sharded" in json.loads(e.read())["error"]
+    finally:
+        svc.close()
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_cli_serve_ivfpq_sharded(corpus_files, tmp_path):
+    """cldrd-serve --ivf --shards 0 over a PQ store: the sharded LUT
+    probe + merge answers exactly like the single-device PQ load at full
+    probe."""
+    import threading
+    import urllib.request
+
+    from cldrd_tpu.cli import serve as cli_serve
+    from cldrd_tpu.index import IVFIndex
+
+    f = corpus_files
+    idx_dir = str(tmp_path / "pq_sh_idx")
+    rc = cli_index.main([
+        "--collection", f["passages"], "--out", idx_dir,
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "16", "--batch-size", "8",
+        "--compute-dtype", "float32",
+        "--ivf-nlist", "4", "--ivf-slot", "128",
+        "--pq-m", "8", "--pq-bits", "4",
+    ])
+    assert rc == 0
+    args = cli_serve.build_parser().parse_args([
+        "--index", idx_dir, "--port", "0", "--shards", "0",
+        "--model-size", "tiny", "--tokenizer", "hash",
+        "--max-length", "12", "--passage-max-length", "16",
+        "--encode-batch-size", "8", "--topk", "5",
+        "--ivf", "--nprobe", "100",  # clamps -> full probe
+    ])
+    httpd = cli_serve.serve(args)
+    svc = httpd.RequestHandlerClass.service
+    try:
+        assert svc.index.mesh is not None and svc.index.is_pq
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        queries = ["find subject3 info", "find subject7 info"]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/search",
+            data=json.dumps({"queries": queries, "k": 5}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            got = json.loads(r.read())["results"]
+        single = IVFIndex.load(os.path.join(idx_dir, "ivf"))
+        tokens = svc._pad(svc.tokenizer(queries, svc.max_length),
+                          svc.encode_batch)
+        embs = np.asarray(svc.encode_fn(tokens))[: len(queries)]
+        _, want = single.search(embs, 5, nprobe=single.n_buckets)
+        for r in range(len(queries)):
+            assert [h["id"] for h in got[r]] == want[r].tolist()
+    finally:
+        svc.close()
+        httpd.shutdown()
+        httpd.server_close()
+
+
 def test_cli_rerank_eval(corpus_files, tmp_path):
     """cldrd-rerank-eval: the continue_rerank_evaluator workflow — every
     checkpoint in a run folder scored over candidate pairs (dual mode),
