@@ -85,7 +85,7 @@ python -m cldrd_tpu.cli.evaluate \
 #    (reference: trainer/multistep-curriculum/nway_listwise_{1,2,3}.py +
 #    README.md:14-31), producing the checkpoint that step 1 consumes.
 #    Runs only when the teacher bucket files are mounted; per-iteration
-#    dev-set retrieval eval (--eval-*) writes curriculum_eval.tsv — the
+#    dev-set retrieval eval (--eval-queries/--eval-qrels) writes curriculum_eval.tsv — the
 #    between-stage quality curve (BASELINE configs 4/5). The same arms-
 #    and-checks protocol is demonstrated hermetically end-to-end by
 #    examples/distill_experiment.py.

@@ -89,6 +89,28 @@ def test_serving_md_flags_exist_in_parsers():
     assert "does not combine" not in text
 
 
+def test_reproduce_script_flags_exist_in_parsers():
+    """Every `--flag` in reproduce_msmarco.sh (commands AND comments) must
+    be accepted by one of the CLIs it drives — the script must stay in
+    lockstep with flag/default changes (VERDICT r4 item 9) so BASELINE
+    configs 1-5 remain one command away the day data mounts."""
+    from cldrd_tpu.cli import curriculum as cli_curriculum
+    from cldrd_tpu.cli import evaluate as cli_evaluate
+    from cldrd_tpu.cli import index as cli_index
+    from cldrd_tpu.cli import retrieve as cli_retrieve
+
+    valid = set()
+    for mod in (cli_index, cli_retrieve, cli_evaluate, cli_curriculum):
+        for action in mod.build_parser()._actions:
+            valid.update(action.option_strings)
+    text = open(os.path.join(ROOT, "reproduce_msmarco.sh"),
+                encoding="utf-8").read()
+    flags = set(re.findall(r"--[a-z][a-z0-9-]*[a-z0-9]", text))
+    unknown = sorted(flags - valid)
+    assert not unknown, (
+        f"reproduce_msmarco.sh references flags no CLI accepts: {unknown}")
+
+
 def test_serve_accepts_ivf_with_shards():
     """The parser-level contract behind the serving.md claim: --ivf with
     --shards parses (the refusal was removed in r5); equivalence of the
