@@ -171,6 +171,28 @@ def make_mined_control_file(cand_run: str, labeled_pos: dict,
     return out_path
 
 
+def _mined_discovery(cand_run: str, qrels_path: str) -> dict:
+    """Mean number of truly-relevant (qrels_full) passages per query that
+    hard-negative mining actually surfaced, + the count of queries where
+    it surfaced none."""
+    import collections
+
+    qrels = collections.defaultdict(set)
+    for line in open(qrels_path):
+        q, _, p, _ = line.split("\t")
+        qrels[q].add(p)
+    found = collections.defaultdict(set)
+    for line in open(cand_run):
+        q, p = line.split("\t")[:2]
+        if p in qrels[q]:
+            found[q].add(p)
+    rates = [len(found[q]) for q in qrels]
+    return {
+        "mean_per_query": round(sum(rates) / len(rates), 3),
+        "queries_with_zero": sum(1 for r in rates if r == 0),
+    }
+
+
 def _latest_checkpoint(run_dir: str) -> str:
     ckpts = glob.glob(os.path.join(run_dir, "checkpoint_*.msgpack"))
     if not ckpts:
@@ -305,6 +327,11 @@ def run(out_dir: str, n_q: int = 128, n_passages: int = 50_000,
         "--compute-dtype", "float32", *_MODEL,
     ])
     assert rc == 0
+    # diagnostic: how many of the 3 planted positives did mining surface?
+    # Distillation can only rescue false negatives the candidate lists
+    # CONTAIN — this is the experiment's precondition, reported so a
+    # failing seed is attributable (multi-seed analysis, README)
+    mined_discovery = _mined_discovery(cand_run, f["qrels_full"])
 
     # 4. oracle teacher -> 3 curriculum bucket files
     prefix = os.path.join(out_dir, "curr_")
@@ -375,6 +402,7 @@ def run(out_dir: str, n_q: int = 128, n_passages: int = 50_000,
         "seed": seed, "attention_impl": attention_impl,
         "pack_passages": pack_passages,
         "metric": met, "recall_metric": rec,
+        "mined_discovery": mined_discovery,
         "iter0": {met: iter0[met], rec: iter0[rec], "MRR@10": iter0["MRR@10"]},
         "distill": [{**{"step": r["step"]}, met: r[met], rec: r[rec],
                      "MRR@10": r["MRR@10"]} for r in results["distill"]],
