@@ -20,9 +20,13 @@ IVF fixes the low-batch regime the FAISS way — probe ``nprobe`` of
   list).
 - **Search is three MXU/VPU ops, no host round trip**: q @ centroids.T ->
   ``lax.top_k`` buckets -> one batched block-gather of [B, nprobe,
-  slot*D] -> scoring einsum -> masked ``lax.top_k``. The gather moves
-  B*nprobe*slot rows instead of the whole corpus: at serving batch sizes
-  that is 10-100x less HBM traffic than the flat scan.
+  slot*D] -> scoring einsum -> masked chunked payload-sort selection
+  (``topk_with_payload_chunked`` — one ``lax.top_k`` over the wide
+  [B, nprobe*slot] candidate row measured 34 ms at 65k wide, the entire
+  batch-1 latency budget; the chunked sort is exact and ~10x cheaper).
+  The gather moves B*nprobe*slot rows instead of the whole corpus: at
+  serving batch sizes that is 10-100x less HBM traffic than the flat
+  scan.
 - **Exactness invariant**: with ``nprobe == n_buckets`` the search visits
   every row — results must equal ``FlatIPIndex`` / the numpy oracle
   exactly (tested). Recall at smaller nprobe is a measured, monotone
@@ -69,6 +73,7 @@ from cldrd_tpu.search.mips import (
     NEG_INF,
     _block_scores,
     _topk_with_payload,
+    topk_with_payload_chunked,
 )
 
 IVF_META_NAME = "ivf_meta.json"
@@ -131,8 +136,11 @@ def _ivf_search(
         scores = scores * sc
     scores = jnp.where(cand_ids >= 0, scores, NEG_INF)
     k_eff = min(k, nprobe * slot)
-    v, ai = jax.lax.top_k(scores, k_eff)
-    ids = jnp.take_along_axis(cand_ids, ai, axis=1)
+    # chunked payload-sort selection: the [B, nprobe*slot] candidate row
+    # is wide (65k at full-corpus probe configs) and one lax.top_k over it
+    # measured 34 ms at [8, 65536] — the whole batch-1 IVF budget; the
+    # chunked sort is exact, tie-stable, and ~10x cheaper there
+    v, ids = topk_with_payload_chunked(scores, cand_ids, k_eff)
     if k_eff < k:
         v = jnp.concatenate(
             [v, jnp.full((b, k - k_eff), NEG_INF, v.dtype)], axis=-1)
@@ -180,8 +188,7 @@ def _ivf_pq_search(
     scores = scores + jnp.repeat(base, slot, axis=1)
     scores = jnp.where(cand_ids >= 0, scores, NEG_INF)
     k_eff = min(k, nprobe * slot)
-    v, ai = jax.lax.top_k(scores, k_eff)
-    ids = jnp.take_along_axis(cand_ids, ai, axis=1)
+    v, ids = topk_with_payload_chunked(scores, cand_ids, k_eff)
     if k_eff < k:
         v = jnp.concatenate(
             [v, jnp.full((b, k - k_eff), NEG_INF, v.dtype)], axis=-1)
@@ -226,8 +233,7 @@ def _merge_topk_over_mesh(scores, cand_ids, k: int, axis_name: str):
     merge; pads to k with (-inf, -1) when fewer candidates exist."""
     b = scores.shape[0]
     k_eff = min(k, scores.shape[1])
-    v, ai = jax.lax.top_k(scores, k_eff)
-    ids = jnp.take_along_axis(cand_ids, ai, axis=1)
+    v, ids = topk_with_payload_chunked(scores, cand_ids, k_eff)
     all_v = jax.lax.all_gather(v, axis_name)        # [ndev, B, k_eff]
     all_i = jax.lax.all_gather(ids, axis_name)
     ndev = all_v.shape[0]
