@@ -10,6 +10,14 @@ pays the full corpus scan (~8.8M rows -> milliseconds of HBM traffic).
 IVF fixes the low-batch regime the FAISS way — probe ``nprobe`` of
 ``nlist`` cells — with a TPU-first layout:
 
+- **Row-layout device store.** Non-PQ buckets live on device as
+  [n_buckets*slot, D] rows (bucket j = rows j*slot:(j+1)*slot): the
+  probe step streams (slot, D) rectangles from it at HBM bandwidth —
+  both the Pallas probe kernel and the XLA row-gather. (The earlier
+  [n_buckets, slot*D] layout forced a whole-store XLA retile inside
+  every search call: measured 20-140 ms/batch at the 8.4M-row config,
+  the entire IVF latency budget.) PQ code stores stay [n_buckets,
+  slot*mb] — their gather is KBs. Disk format is unchanged.
 - **Fixed-size buckets, not ragged lists.** FAISS stores ragged inverted
   lists; ragged anything is hostile to XLA. We pad every cluster into one
   or more fixed ``slot``-row buckets ([n_buckets, slot, D] storage); a
@@ -98,17 +106,60 @@ def _chunk_into_buckets(row_idx, values, ids, slot: int, scales=None):
         yield blk, bid, sc
 
 
+def _probe_kernel_eligible(store_dtype, precision: str) -> bool:
+    """The fused probe-score Pallas kernel (ops/ivf_probe.py) runs on TPU
+    at 'default' precision for <=2-byte stores (bf16/int8 — its in-VMEM
+    dot is bf16, which IS the TPU 'default' matmul input precision; fp32
+    stores at higher precision keep the XLA path, same policy as the
+    fused exact-search kernel's ``_fused_eligible``)."""
+    return (jax.default_backend() == "tpu"
+            and precision == "default"
+            and jnp.dtype(store_dtype).itemsize <= 2)
+
+
+def _probe_and_score(q, buckets_rows, bucket_scales, probe,
+                     slot: int, precision: str):
+    """Scores [B, p*slot] fp32 of every row in the probed buckets, from
+    the ROW-layout store [nb*slot, D]. TPU: one streaming Pallas kernel
+    (each probed bucket HBM->VMEM exactly once, scored in VMEM — no
+    materialized gather). Elsewhere: row-gather + einsum."""
+    from cldrd_tpu.ops.ivf_probe import probe_scores
+
+    b = q.shape[0]
+    nprobe = probe.shape[1]
+    if _probe_kernel_eligible(buckets_rows.dtype, precision):
+        return probe_scores(q, buckets_rows, probe,
+                            bucket_scales if bucket_scales.shape[1] else None,
+                            slot=slot)
+    rowix = (probe[:, :, None] * slot
+             + jnp.arange(slot, dtype=probe.dtype)[None, None, :]
+             ).reshape(b, nprobe * slot)
+    cand = jnp.take(buckets_rows, rowix, axis=0)        # [B, p*slot, D]
+    if cand.dtype == jnp.int8:
+        cand = cand.astype(q.dtype if q.dtype != jnp.int8 else jnp.bfloat16)
+    scores = jnp.einsum(
+        "bd,bnd->bn", q, cand,
+        preferred_element_type=jnp.float32,
+        precision=_PRECISIONS[precision],
+    )
+    if bucket_scales.shape[1]:
+        sc = jnp.take(bucket_scales, probe, axis=0).reshape(b, nprobe * slot)
+        scores = scores * sc
+    return scores
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "nprobe", "slot", "precision"))
 def _ivf_search(
-    q, centroids, buckets_flat, bucket_ids, bucket_scales,
+    q, centroids, buckets_rows, bucket_ids, bucket_scales,
     k: int, nprobe: int, slot: int, precision: str,
 ):
     """Device IVF search.
 
     q [B, D] (compute dtype), centroids [nb, D] fp32,
-    buckets_flat [nb, slot*D] (store dtype), bucket_ids [nb, slot] int32
-    (-1 padding), bucket_scales [nb, slot] fp32 or [nb, 0] when unused.
+    buckets_rows [nb*slot, D] ROW-layout store (store dtype; bucket j =
+    rows j*slot:(j+1)*slot), bucket_ids [nb, slot] int32 (-1 padding),
+    bucket_scales [nb, slot] fp32 or [nb, 0] when unused.
     Returns (scores [B, k] fp32 desc, external ids [B, k] int32, -1 pad).
     """
     b, d = q.shape
@@ -116,24 +167,11 @@ def _ivf_search(
     #    the shared scoring helper from the exact-search stack)
     cs = _block_scores(q.astype(jnp.float32), centroids)   # [B, nb]
     _, probe = jax.lax.top_k(cs, nprobe)                    # [B, nprobe]
-    # 2) one block-gather per (query, probe): rows are slot*D contiguous
-    #    elements — gather cost scales with rows moved, B*nprobe*slot,
-    #    NOT with corpus size.
-    cand = jnp.take(buckets_flat, probe, axis=0)        # [B, p, slot*D]
-    store_dtype = buckets_flat.dtype
-    if store_dtype == jnp.int8:
-        cand = cand.astype(q.dtype if q.dtype != jnp.int8 else jnp.bfloat16)
-    cand = cand.reshape(b, nprobe * slot, d)
+    # 2+3) stream the probed buckets and score them — cost scales with
+    #    rows probed (B*nprobe*slot), NOT with corpus size
     cand_ids = jnp.take(bucket_ids, probe, axis=0).reshape(b, nprobe * slot)
-    # 3) score + mask padding/tombstones + final top-k
-    scores = jnp.einsum(
-        "bd,bnd->bn", q, cand,
-        preferred_element_type=jnp.float32,
-        precision=_PRECISIONS[precision],
-    )                                                   # [B, p*slot]
-    if bucket_scales.shape[1]:
-        sc = jnp.take(bucket_scales, probe, axis=0).reshape(b, nprobe * slot)
-        scores = scores * sc
+    scores = _probe_and_score(q, buckets_rows, bucket_scales, probe,
+                              slot, precision)          # [B, p*slot]
     scores = jnp.where(cand_ids >= 0, scores, NEG_INF)
     k_eff = min(k, nprobe * slot)
     # chunked payload-sort selection: the [B, nprobe*slot] candidate row
@@ -259,26 +297,14 @@ def _ivf_search_sharded(
 
     def shard_fn(q, cents, bkts, bids, scs):
         b, d = q.shape
-        nb_local = bkts.shape[0]
+        nb_local = bkts.shape[0] // slot      # bkts: local rows [nbl*slot, D]
         cs = _block_scores(q.astype(jnp.float32), cents[:n_real])
         _, probe = jax.lax.top_k(cs, nprobe)            # [B, p] global
         lidx, valid = _local_probe_indices(probe, nb_local, axis_name)
-        cand = jnp.take(bkts, lidx, axis=0)             # [B, p, slot*D]
-        if bkts.dtype == jnp.int8:
-            cand = cand.astype(
-                q.dtype if q.dtype != jnp.int8 else jnp.bfloat16)
-        cand = cand.reshape(b, nprobe * slot, d)
         cand_ids = jnp.where(
             valid[:, :, None], jnp.take(bids, lidx, axis=0), -1
         ).reshape(b, nprobe * slot)
-        scores = jnp.einsum(
-            "bd,bnd->bn", q, cand,
-            preferred_element_type=jnp.float32,
-            precision=_PRECISIONS[precision],
-        )
-        if scs.shape[1]:
-            sc = jnp.take(scs, lidx, axis=0).reshape(b, nprobe * slot)
-            scores = scores * sc
+        scores = _probe_and_score(q, bkts, scs, lidx, slot, precision)
         scores = jnp.where(cand_ids >= 0, scores, NEG_INF)
         return _merge_topk_over_mesh(scores, cand_ids, k, axis_name)
 
@@ -344,8 +370,22 @@ def _place_bucket_store(
     slot on all-negative coarse scores)."""
     nb = mat_flat.shape[0]
     int8 = scs is not None
+    pq = jnp.dtype(store_dtype) == jnp.uint8
+
+    def _layout(m):
+        # Non-PQ stores live device-side in ROW layout [nb*slot, D]: the
+        # probe step (Pallas kernel AND the XLA row-gather) streams
+        # (slot, D) blocks at HBM bandwidth from it, whereas any in-jit
+        # reshape of a [nb, slot*D] store retiles the WHOLE array every
+        # call (measured: the retile alone was 20-140 ms per batch at the
+        # 8.4M-row config — the entire IVF latency budget; row layout
+        # probes the same bytes in 1.6 ms). A host-side numpy reshape
+        # here is free. PQ code stores keep [nb, slot*mb] (the code
+        # gather is KBs; nothing to win).
+        return m if pq else m.reshape(m.shape[0] * slot, -1)
+
     if mesh is None:
-        buckets = jnp.asarray(mat_flat, dtype=store_dtype)
+        buckets = jnp.asarray(_layout(mat_flat), dtype=store_dtype)
         return (buckets, jnp.asarray(bids),
                 jnp.asarray(scs) if int8 else None,
                 jnp.asarray(cents, jnp.float32), bcl, nb)
@@ -364,7 +404,7 @@ def _place_bucket_store(
             bcl = np.concatenate([bcl, np.full((pad,), -1, np.int32)])
     sh = NamedSharding(mesh, P(axis_name))
     rep = NamedSharding(mesh, P())
-    buckets = jax.device_put(mat_flat, sh)
+    buckets = jax.device_put(_layout(mat_flat), sh)
     if (mat_flat.dtype == np.float32
             and jnp.dtype(store_dtype) != jnp.float32):
         # float stores stage fp32 on host; cast to the HBM dtype on device
@@ -730,7 +770,9 @@ class IVFIndex(HostIdCacheMixin):
             codes_new, scales_new = quantize_rows(embeddings, xp=np)
         else:
             codes_new, scales_new = embeddings, None
-        row_w = self.buckets.shape[1] // self.slot  # D, or pq_m in code space
+        # D for row-layout flat/int8 stores, pq_m bytes for PQ code stores
+        row_w = (self.buckets.shape[1] // self.slot if self.is_pq
+                 else self.buckets.shape[1])
         for i in range(n):
             c = int(clusters[i])
             blist = cluster_buckets[c]
@@ -772,8 +814,10 @@ class IVFIndex(HostIdCacheMixin):
                     nbk_cents.append(ccent)
                     nbk_cl.append(c)
                     nbk_sc.append(sc)
-            slab = np.stack(nbk_rows).reshape(len(nbk_rows),
-                                              self.slot * row_w)
+            slab = np.stack(nbk_rows)                 # [n_new, slot, row_w]
+            slab = (slab.reshape(len(nbk_rows), self.slot * row_w)
+                    if self.is_pq                     # PQ: bucket layout
+                    else slab.reshape(len(nbk_rows) * self.slot, row_w))
             buckets = jnp.concatenate(
                 [buckets, jnp.asarray(slab, dtype=buckets.dtype)])
             host_ids = np.concatenate([host_ids, np.stack(nbk_ids)])
@@ -787,20 +831,33 @@ class IVFIndex(HostIdCacheMixin):
         if placements:
             idx = np.asarray(sorted(placements), np.int32)
             dev_idx = jnp.asarray(idx)
-            cur = np.asarray(jnp.take(buckets, dev_idx, axis=0))
-            cur = cur.reshape(len(idx), self.slot, row_w).copy()
-            cur_sc = (np.asarray(jnp.take(scales, dev_idx, axis=0)).copy()
-                      if int8 else None)
-            for j, b in enumerate(idx):
-                for s, i in placements[int(b)]:
-                    cur[j, s] = codes_new[i]
-                    if int8:
-                        cur_sc[j, s] = scales_new[i]
-            buckets = _scatter_rows(
-                buckets, dev_idx,
-                jnp.asarray(cur.reshape(len(idx), self.slot * row_w),
-                            dtype=buckets.dtype))
+            if self.is_pq:
+                # PQ bucket layout: block read-modify-write
+                cur = np.asarray(jnp.take(buckets, dev_idx, axis=0))
+                cur = cur.reshape(len(idx), self.slot, row_w).copy()
+                for j, b in enumerate(idx):
+                    for s, i in placements[int(b)]:
+                        cur[j, s] = codes_new[i]
+                buckets = _scatter_rows(
+                    buckets, dev_idx,
+                    jnp.asarray(cur.reshape(len(idx), self.slot * row_w),
+                                dtype=buckets.dtype))
+            else:
+                # row layout: scatter the new rows DIRECTLY into their
+                # bucket*slot+pos positions — no block read-back at all
+                flat_pos, flat_val = [], []
+                for b in idx:
+                    for s, i in placements[int(b)]:
+                        flat_pos.append(int(b) * self.slot + s)
+                        flat_val.append(codes_new[i])
+                buckets = _scatter_rows(
+                    buckets, jnp.asarray(np.asarray(flat_pos, np.int32)),
+                    jnp.asarray(np.stack(flat_val), dtype=buckets.dtype))
             if int8:
+                cur_sc = np.asarray(jnp.take(scales, dev_idx, axis=0)).copy()
+                for j, b in enumerate(idx):
+                    for s, i in placements[int(b)]:
+                        cur_sc[j, s] = scales_new[i]
                 scales = _scatter_rows(scales, dev_idx, jnp.asarray(cur_sc))
 
         return IVFIndex(
@@ -840,10 +897,15 @@ class IVFIndex(HostIdCacheMixin):
                 np.asarray(self.centroids)[:nr])
         # fetch once, in the dtype being written (a bf16 store otherwise
         # pays a full host copy that is immediately discarded); PQ codes
-        # are the store — they persist verbatim as uint8
+        # are the store — they persist verbatim as uint8. The DISK format
+        # stays [nb, slot*row_w] (format_version 1, unchanged): the
+        # device-side row layout is a placement detail of
+        # ``_place_bucket_store``, re-derived on load.
         store = (np.asarray(self.buckets)
                  if self.buckets.dtype in (jnp.int8, jnp.uint8)
                  else np.asarray(self.buckets.astype(jnp.float32)))
+        if not self.is_pq:          # rows [nb*slot, D] -> disk [nr, slot*D]
+            store = store[: nr * self.slot].reshape(nr, -1)
         np.save(os.path.join(out_dir, "buckets.npy"), store[:nr])
         np.save(os.path.join(out_dir, "bucket_ids.npy"),
                 self._host_ids()[:nr])

@@ -88,7 +88,7 @@ def main():
 
     ivf = IVFIndex(
         centroids=cents,
-        buckets=buckets3.reshape(NB, SLOT * DIM),
+        buckets=buckets3.reshape(NB * SLOT, DIM),  # row layout (ivf_index)
         bucket_ids=ids,
         slot=SLOT,
         bucket_cluster=np.arange(NB, dtype=np.int32),

@@ -238,3 +238,71 @@ def test_encoder_pallas_impl_matches_xla():
     np.testing.assert_allclose(
         np.asarray(out_x), np.asarray(out_p), atol=1e-4, rtol=1e-4
     )
+
+
+class TestIVFProbeKernel:
+    """The fused IVF probe-and-score kernel (ops/ivf_probe.py) vs its XLA
+    twin — interpret mode on CPU runs the TPU kernel's exact math.
+    Replaces: FAISS InvertedListScanner.scan_codes over probed lists."""
+
+    def _mk(self, store, scaled, nb=16, slot=64, d=128, b=4, p=5, seed=0):
+        rng = np.random.default_rng(seed)
+        if store == "int8":
+            rows = jnp.asarray(rng.integers(-127, 128, (nb * slot, d)),
+                               jnp.int8)
+        else:
+            rows = jnp.asarray(rng.normal(size=(nb * slot, d)), jnp.bfloat16)
+        q = jnp.asarray(rng.normal(size=(b, d)), jnp.bfloat16)
+        probe = jnp.asarray(rng.integers(0, nb, (b, p)), jnp.int32)
+        scales = (jnp.asarray(rng.uniform(0.9, 1.1, (nb, slot)), jnp.float32)
+                  if scaled else None)
+        return q, rows, probe, scales, slot
+
+    def test_matches_xla_twin(self):
+        from cldrd_tpu.ops.ivf_probe import (probe_scores,
+                                             probe_scores_reference)
+
+        for store, scaled in (("bf16", False), ("bf16", True),
+                              ("int8", True)):
+            q, rows, probe, scales, slot = self._mk(store, scaled)
+            got = probe_scores(q, rows, probe, scales, slot=slot)
+            want = probe_scores_reference(q, rows, probe, scales, slot=slot)
+            scale = float(jnp.max(jnp.abs(want))) + 1.0
+            assert float(jnp.max(jnp.abs(got - want))) < 1e-2 * scale, (
+                store, scaled)
+
+    def test_duplicate_probes_and_shapes(self):
+        from cldrd_tpu.ops.ivf_probe import (probe_scores,
+                                             probe_scores_reference)
+
+        q, rows, _, scales, slot = self._mk("int8", True)
+        probe = jnp.asarray([[0, 0, 3, 3, 15]] * 4, jnp.int32)  # repeats
+        got = probe_scores(q, rows, probe, scales, slot=slot)
+        want = probe_scores_reference(q, rows, probe, scales, slot=slot)
+        assert got.shape == (4, 5 * slot)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-2, rtol=1e-2)
+
+    def test_gating_is_xla_on_cpu(self):
+        from cldrd_tpu.index.ivf_index import _probe_kernel_eligible
+
+        assert not _probe_kernel_eligible(jnp.int8, "default")  # cpu suite
+        assert not _probe_kernel_eligible(jnp.float32, "highest")
+
+
+def test_topk_with_payload_chunked_equals_single_sort():
+    """Chunked wide-row selection == one whole-row payload sort, including
+    the smaller-payload tie-break, on a tie-heavy input."""
+    from cldrd_tpu.search.mips import (_topk_with_payload,
+                                       topk_with_payload_chunked)
+
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.integers(0, 300, (4, 40000)).astype(np.float32))
+    p = jnp.asarray(np.tile(np.arange(40000, dtype=np.int32), (4, 1)))
+    cv, cp = topk_with_payload_chunked(v, p, 137)
+    sv, sp = _topk_with_payload(v, p, 137)
+    assert (np.asarray(cv) == np.asarray(sv)).all()
+    assert (np.asarray(cp) == np.asarray(sp)).all()
+    # k > width and narrow-row passthrough
+    nv, npay = topk_with_payload_chunked(v[:, :50], p[:, :50], 137)
+    assert nv.shape == (4, 50)
