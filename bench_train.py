@@ -290,7 +290,13 @@ def main():
     # the "auto" row is the NO-FLAGS default configuration: on TPU it must
     # match the explicit packed+pallas row (the measured-best path is the
     # product default, VERDICT r4 item 1)
-    for bz, attn in ((8, "auto"), (8, "pallas"), (8, "xla"), (16, "xla")):
+    # packed rows. (16, "pallas") / (32, "pallas") probe whether the fused
+    # kernels' memory win (the [B,H,L,L] probs tensor never reaches HBM)
+    # lets larger packed batches beat the bz=8 rate — the r4 finding that
+    # "scaling packed batches does not help" was measured on the XLA path,
+    # where bz=16 needs remat.
+    for bz, attn in ((8, "auto"), (8, "pallas"), (8, "xla"), (16, "xla"),
+                     (16, "pallas"), (32, "pallas")):
         try:
             print(json.dumps(bench_packed(bz, attention_impl=attn)))
         except Exception as e:

@@ -471,7 +471,8 @@ class FlatIPIndex(HostIdCacheMixin):
         The binmax path searches in POSITIONS mode — the device returns row
         positions and the external-id lookup is a host-side ``np.take``
         (a device gather of [B, k] ids costs ~3.7 ms at B=512/k=1000; the
-        host map is ~1 ms of overlappable numpy).
+        host map is overlappable numpy — measured 4.9 ms on this 1-core
+        host, bench.py's ``api_resolve_ms``).
 
         Query batches are padded up to a multiple of 128 so the fused
         extraction kernel's batch-on-lanes eligibility always holds (an
@@ -514,8 +515,9 @@ class FlatIPIndex(HostIdCacheMixin):
         """Dispatch one device search; returns device arrays (scores,
         positions, is_positions=True, ok_or_None) WITHOUT forcing a host
         fetch. Every path searches in POSITIONS mode: the ~3.7 ms
-        [B=512, k=1000] device id-gather is replaced by a ~1 ms
-        overlappable host np.take. The single-device binmax path also
+        [B=512, k=1000] device id-gather is replaced by an
+        overlappable host np.take (measured 4.9 ms on this 1-core host,
+        bench.py's ``api_resolve_ms``). The single-device binmax path also
         returns the per-query exactness certificate (``ok``) so misses
         recover per query instead of per batch."""
         if self.mesh is not None:
