@@ -22,6 +22,17 @@ the adversarial floor.
 Timing uses the marginal protocol (t(N)-t(1))/(N-1) with np.asarray
 syncs, cycling 4 distinct query sets to defeat any single-batch luck.
 
+NOTE on absolute latencies in THIS environment: these rows time the
+PUBLIC ``search()`` API, whose per-call host fetch pays the axon
+tunnel's ~25+ ms dispatch round trip — on this setup the B=8 rows
+measure the tunnel, not the device (observed: flat across nprobe
+8..32). Device-side launch latencies (the production figure on a PCIe
+host) live in ``bench_latency.py`` -> ``results/latency_table.json``
+(IVF nprobe=32 at this scale: 0.3-0.7 ms). The recall columns and the
+flat-vs-IVF ratio remain this bench's real content; the clustered
+corpus also drives the flat path's certificate-miss rescue (exactness
+is kept; the flat rows include those re-scans).
+
 ``--pq``: ALSO measure the IVFPQ tier (uint8 residual codes, one-hot LUT
 matmul scoring — ``index/pq.py``). The index is assembled on device:
 residuals computed from the generator's true centroids, codebooks trained
@@ -175,6 +186,10 @@ def main():
         }), flush=True)
 
     if "--pq" in sys.argv:
+        # free the flat index's corpus copy (1.6 GB at full shape) before
+        # the PQ residual/encode transients — with it resident the PQ
+        # stage OOM'd a 16 GB chip (2026-08-21 run)
+        del flat, ivf
         bench_pq(cents, buckets3, ids, qsets8, uniform8, exact8, exact_u,
                  t_flat8)
 
@@ -193,10 +208,13 @@ def bench_pq(cents, buckets3, ids, qsets8, uniform8, exact8, exact_u,
     _log(f"PQ: training {pq_m}x{n_codes}-codeword codebooks on a "
          "subsample ...")
     t0 = time.perf_counter()
-    resid3 = (buckets3.astype(jnp.float32) - cents[:, None, :])
+    # bf16 residuals: halves the 3.2 GB fp32 transient (codeword
+    # ASSIGNMENT is argmin over distances — bf16 is ample for a bench;
+    # the production build computes residuals host-side in fp32)
+    resid3 = (buckets3 - cents[:, None, :].astype(jnp.bfloat16))
     # subsample: one slot column from every bucket stride — spread across
-    # clusters, bounded host transfer (NB rows at DIM fp32)
-    sample = np.asarray(resid3[:, 0, :])
+    # clusters, bounded host transfer (NB rows at DIM)
+    sample = np.asarray(resid3[:, 0, :]).astype(np.float32)
     codebooks = train_pq(sample, pq_m, n_codes, iters=10, seed=0)
     cb_dev = jnp.asarray(codebooks, jnp.float32)
     _log(f"PQ: codebooks in {time.perf_counter() - t0:.1f}s; encoding "
