@@ -207,6 +207,40 @@ def bench_ivf_int8_full():
                      "ivf int8", 200, batches=(8,))
 
 
+def bench_ivfpq_full():
+    """IVFPQ at full-corpus scale (4-bit codes, 48 B/row): the capacity
+    tier's device-side serving latency."""
+    from cldrd_tpu.index.ivf_index import _ivf_pq_search
+
+    nb, slot = NB * 2, SLOT * 4   # 4096 x 2048 = 8.4M rows
+    m, n_codes = 96, 16           # 96 sub-quantizers, 4-bit
+    if "--small" in sys.argv:
+        nb, slot, m = NB, SLOT, max(4, DIM // 8)
+    mb = m // 2                   # nibble-packed bytes/row
+    log(f"ivfpq: generating {nb} x {slot} x {mb}B code store ...")
+    codes = jax.random.randint(jax.random.PRNGKey(11), (nb, slot * mb),
+                               0, 256, dtype=jnp.int32).astype(jnp.uint8)
+    cents = jax.random.normal(jax.random.PRNGKey(12), (nb, DIM), jnp.float32)
+    cbs = jax.random.normal(jax.random.PRNGKey(13), (m, n_codes, DIM // m),
+                            jnp.float32)
+    bids = jnp.arange(nb * slot, dtype=jnp.int32).reshape(nb, slot)
+    _ = np.asarray(codes[0, 0])
+
+    out = {"nprobe": NPROBE, "rows": nb * slot, "bytes_per_row": mb}
+    for k in (K, 10):
+        def search(q, cents, codes, bids, cbs, k=k):
+            q32 = q.astype(jnp.float32)
+            v, ids = _ivf_pq_search(q32, q32, cents, codes, bids, cbs,
+                                    k, NPROBE, slot)
+            return jnp.sum(v[:, -1]) + jnp.sum(ids[:, -1].astype(jnp.float32))
+
+        log(f"ivfpq: B=8 k={k} nprobe={NPROBE} ...")
+        t = measure(jax.jit(search), query_sets(8, 300 + k), cents, codes,
+                    bids, cbs)
+        out[f"B8_k{k}_ms"] = round(t * 1e3, 2)
+    return out
+
+
 def bench_host_resolve(n_rows):
     """The API's only host-side step beyond the fetch: certificate check +
     positions -> external-id np.take (``FlatIPIndex._recover_resolve``)."""
@@ -233,6 +267,7 @@ def main():
     full = bench_int8_full()
     ivf = bench_ivf()
     ivf8 = bench_ivf_int8_full()
+    ivfpq = bench_ivfpq_full()
     resolve_ms = bench_host_resolve(N_FULL) * 1e3
 
     def per_query(rows, b):
@@ -243,7 +278,11 @@ def main():
         "protocol": "marginal device launch latency, scalar-reduced; "
                     "batches <=128 share the B=128 executable (flat) / "
                     "<=8 the B=8 executable (IVF); + host_resolve_ms "
-                    "per batch on the API path",
+                    "per batch on the API path. Launches under ~3 ms "
+                    "carry ~2x run-to-run dispatch jitter through this "
+                    "environment's tunnel (observed across repeated "
+                    "runs: IVF 8.4M B8 k1000 1.19-2.27 ms, 1.05M "
+                    "0.32-0.67 ms) — docs quote those rows as ranges",
         "host_resolve_ms_b512": round(resolve_ms, 2),
         "bf16_shard_1.1M": {
             **shard,
@@ -268,6 +307,13 @@ def main():
             "ms_per_query_k1000": {
                 "1": ivf8[f"B8_k{K}_ms"],
                 "8": round(ivf8[f"B8_k{K}_ms"] / 8, 3),
+            },
+        },
+        "ivfpq_nprobe32_8.4M_4bit": {
+            **ivfpq,
+            "ms_per_query_k1000": {
+                "1": ivfpq[f"B8_k{K}_ms"],
+                "8": round(ivfpq[f"B8_k{K}_ms"] / 8, 3),
             },
         },
     }
